@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.Column
+
+/** Schema-checked loaders for the driver-generated test tables.
+  *
+  * The reference system stores its facts in PostgreSQL (i2b2 CRC star
+  * schema, cf. /root/reference/generated/compose.yml database service);
+  * here every table is a columnar parquet scan so Catalyst can push
+  * filters and prune columns all the way into the file reader.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long and convert with integer
+    * division (ns-since-epoch exceeds 2^53, so double math would lose
+    * precision); the generator only populates µs precision so the
+    * conversion is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Cross-engine-deterministic aggregate helpers.
+  *
+  * Double summation order differs between engines (and between Spark
+  * partitionings), so raw `sum(double)` is not reproducible. Summing an
+  * exact decimal rendition and casting the exact result back to double
+  * is bit-stable on any engine and any partitioning — the 100 TB answer
+  * is the sf0.01 answer.
+  */
+object Det {
+  /** Exact-decimal sum of a double expression, returned as double.
+    *
+    * Scale 6 because the test columns carry exactly 2 decimals, so any
+    * 2-/3-factor product is exact at ≤6 decimals — the cast rounds to
+    * the true decimal value on every engine with no tie ambiguity.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** High-precision variant for second moments (x*x overflows (18,4)). */
+  def dsumWide(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum / count, divided in double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** SQL fragments mirroring the above for the DuckDB oracle. */
+  def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlDsumWide(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT(*))"
+}

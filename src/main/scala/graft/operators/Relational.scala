@@ -1,0 +1,502 @@
+package graft.operators
+
+import graft.Det._
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.A — the relational/SQL core.
+  *
+  * This is the analytics surface the reference exposes through i2b2's
+  * CRC cell + PostgreSQL (aktin/docker-aktin-dwh ships the schema in
+  * its database image; cf. src/docker/database/Dockerfile): filtered
+  * star-join aggregation, grouping, windows, set ops, subqueries.
+  * Everything is declared with the DataFrame API so Catalyst plans the
+  * physical execution: filters/pruning reach the parquet scans, small
+  * dimensions broadcast, partial aggregation runs map-side.
+  *
+  * Every query orders deterministically and renders aggregates through
+  * [[graft.Det]] so results are bit-identical across engines and
+  * partitionings.
+  */
+object Relational {
+
+  private def rev(l: DataFrame): Column =
+    l("l_extendedprice") * (lit(1) - l("l_discount"))
+
+  // -- q01: filter + groupBy + multi-aggregate (pricing summary) ------
+  def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // -- q02: 3-way join + group + top-k ---------------------------------
+  def q02(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val l = lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1999-01-01")))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey").as("l_orderkey"), o("o_orderdate").as("od"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("od"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // -- q03: 6-way star join + agg --------------------------------------
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val l = lineitem(s, d)
+    val su = supplier(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // -- q04: selective filter + arithmetic aggregate --------------------
+  def q04(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.05, 0.08) && col("l_quantity") < 25)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  // -- q05: explicit broadcast dim joins -------------------------------
+  def q05(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("r_name")
+
+  // -- q06: semi join (EXISTS) -----------------------------------------
+  def q06(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  // -- q07: anti join (NOT EXISTS) -------------------------------------
+  def q07(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy("c_mktsegment")
+
+  // -- q08: multi-column distinct --------------------------------------
+  def q08(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  // -- q09: union all + aggregate --------------------------------------
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.unionByName(su)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("nationkey")
+  }
+
+  // -- q10: window top-N per group -------------------------------------
+  def q10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // -- q11: running cumulative sum per key -----------------------------
+  def q11(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  // -- q12: ROLLUP -----------------------------------------------------
+  def q12(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  // -- q13: CUBE -------------------------------------------------------
+  def q13(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+
+  // -- q14: pivot via conditional aggregation --------------------------
+  def q14(s: SparkSession, d: String): DataFrame = {
+    def seg(name: String): Column =
+      coalesce(dsum(when(col("c_mktsegment") === name, col("c_acctbal"))), lit(0.0))
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(seg("AUTOMOBILE").as("automobile"), seg("BUILDING").as("building"),
+        seg("FURNITURE").as("furniture"), seg("HOUSEHOLD").as("household"),
+        seg("MACHINERY").as("machinery"))
+      .orderBy("n_name")
+  }
+
+  // -- q15: exact percentiles per group --------------------------------
+  def q15(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderpriority")
+
+  // -- q16: moment-sum statistics (variance/stddev/corr) ---------------
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsumWide(x).as("sx"), dsumWide(x * x).as("sxx"),
+        dsumWide(y).as("sy"), dsumWide(y * y).as("syy"),
+        dsumWide(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6).as("var_qty"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // -- q17: aggregate-threshold subquery -------------------------------
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val thr = l.groupBy(col("l_partkey").as("pk"))
+      .agg((davg(col("l_quantity")) * 0.2).as("thr"))
+    l.join(thr, l("l_partkey") === thr("pk"))
+      .filter(l("l_quantity") < col("thr"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  // -- q18: group + HAVING ---------------------------------------------
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("lok"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    orders(s, d)
+      .join(big, col("o_orderkey") === col("lok"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  // -- q19: CASE bucketing histogram -----------------------------------
+  def q19(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000, "a_0_100k")
+          .when(col("o_totalprice") < 200000, "b_100k_200k")
+          .when(col("o_totalprice") < 300000, "c_200k_300k")
+          .otherwise("d_300k_plus"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), davg(col("o_totalprice")).as("avg_price"))
+      .orderBy("bucket")
+
+  // -- q20: string function pipeline -----------------------------------
+  def q20(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_name").like("%e%"))
+      .withColumn("color", upper(split(col("p_name"), " ").getItem(0)))
+      .withColumn("name_len", length(col("p_name")))
+      .groupBy("color")
+      .agg(count(lit(1)).as("n"), davg(col("p_retailprice")).as("avg_price"),
+        max(col("name_len")).as("max_len"))
+      .orderBy("color")
+
+  // -- q21: time-series (monthly truncation) ---------------------------
+  def q21(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  // -- q22: conditional ratio aggregates -------------------------------
+  def q22(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(coalesce(dsum(when(col("c_mktsegment") === "BUILDING",
+        col("c_acctbal"))), lit(0.0)) / dsum(col("c_acctbal")), 6).as("building_ratio"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+
+  // -- q23: JSON extraction --------------------------------------------
+  def q23(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy("event_type")
+
+  // -- q24: full outer join + coalesce ---------------------------------
+  def q24(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val su = supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("s_cnt"))
+    c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+      .orderBy("nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_topk_shipping" -> (q02 _),
+    "q03_multijoin_revenue" -> (q03 _),
+    "q04_filter_agg" -> (q04 _),
+    "q05_broadcast_join" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_distinct" -> (q08 _),
+    "q09_union" -> (q09 _),
+    "q10_window_rank" -> (q10 _),
+    "q11_window_running" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_cube" -> (q13 _),
+    "q14_pivot_conditional" -> (q14 _),
+    "q15_percentiles" -> (q15 _),
+    "q16_stats" -> (q16 _),
+    "q17_scalar_subquery" -> (q17 _),
+    "q18_having" -> (q18 _),
+    "q19_histogram_bucket" -> (q19 _),
+    "q20_string_ops" -> (q20 _),
+    "q21_time_series" -> (q21 _),
+    "q22_ratio_agg" -> (q22 _),
+    "q23_json_extract" -> (q23 _),
+    "q24_outer_join_coalesce" -> (q24 _)
+  )
+
+  private val REV = "l_extendedprice * (1 - l_discount)"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sqlDsum("l_quantity")} AS sum_qty,
+         | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         | ${sqlDsum(REV)} AS sum_disc_price,
+         | ${sqlDsum(s"$REV * (1 + l_tax)")} AS sum_charge,
+         | ${sqlDavg("l_quantity")} AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_topk_shipping" ->
+      s"""SELECT l_orderkey, ${sqlDsum(REV)} AS revenue,
+         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '1999-01-01'
+         | AND l_shipdate > TIMESTAMP '1999-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q03_multijoin_revenue" ->
+      s"""SELECT n_name, ${sqlDsum(REV)} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01'
+         | AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q04_filter_agg" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         | AND l_shipdate < TIMESTAMP '1998-01-01'
+         | AND l_discount BETWEEN 0.05 AND 0.08 AND l_quantity < 25""".stripMargin,
+    "q05_broadcast_join" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         | ${sqlDsum("c_acctbal")} AS sum_acctbal,
+         | ${sqlDavg("c_acctbal")} AS avg_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_no_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY 1, 2""".stripMargin,
+    "q09_union" ->
+      """SELECT nationkey, COUNT(*) AS cnt FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q12_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         | COALESCE(l_linestatus, 'ALL') AS linestatus,
+         | COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+    "q13_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+         | COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+         | COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY 1, 2""".stripMargin,
+    "q14_pivot_conditional" -> {
+      def seg(nm: String, alias: String) =
+        s"COALESCE(${sqlDsum(s"CASE WHEN c_mktsegment = '$nm' THEN c_acctbal END")}, 0.0) AS $alias"
+      s"""SELECT n_name, ${seg("AUTOMOBILE", "automobile")},
+         | ${seg("BUILDING", "building")}, ${seg("FURNITURE", "furniture")},
+         | ${seg("HOUSEHOLD", "household")}, ${seg("MACHINERY", "machinery")}
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    "q15_percentiles" ->
+      """SELECT o_orderpriority,
+        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_stats" ->
+      s"""SELECT l_returnflag, n, ROUND(sx / n, 6) AS mean_qty,
+         | ROUND((sxx - sx * sx / n) / n, 6) AS var_qty,
+         | ROUND((sxy - sx * sy / n) /
+         |  SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+         |FROM (SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlDsumWide("l_quantity")} AS sx,
+         |  ${sqlDsumWide("l_quantity * l_quantity")} AS sxx,
+         |  ${sqlDsumWide("l_extendedprice")} AS sy,
+         |  ${sqlDsumWide("l_extendedprice * l_extendedprice")} AS syy,
+         |  ${sqlDsumWide("l_quantity * l_extendedprice")} AS sxy
+         | FROM lineitem GROUP BY 1)
+         |ORDER BY l_returnflag""".stripMargin,
+    "q17_scalar_subquery" ->
+      s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS n
+         |FROM lineitem l JOIN (
+         | SELECT l_partkey AS pk, ${sqlDavg("l_quantity")} * 0.2 AS thr
+         | FROM lineitem GROUP BY 1) a ON l.l_partkey = a.pk
+         |WHERE l.l_quantity < a.thr""".stripMargin,
+    "q18_having" ->
+      s"""SELECT o_orderkey, o_totalprice, sum_qty
+         |FROM orders JOIN (
+         | SELECT l_orderkey AS lok, ${sqlDsum("l_quantity")} AS sum_qty
+         | FROM lineitem GROUP BY 1 HAVING ${sqlDsum("l_quantity")} > 150
+         |) ON o_orderkey = lok
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    "q19_histogram_bucket" ->
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'a_0_100k'
+         |  WHEN o_totalprice < 200000 THEN 'b_100k_200k'
+         |  WHEN o_totalprice < 300000 THEN 'c_200k_300k'
+         |  ELSE 'd_300k_plus' END AS bucket,
+         | COUNT(*) AS n, ${sqlDavg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_string_ops" ->
+      s"""SELECT UPPER(string_split(p_name, ' ')[1]) AS color, COUNT(*) AS n,
+         | ${sqlDavg("p_retailprice")} AS avg_price,
+         | MAX(LENGTH(p_name)) AS max_len
+         |FROM part WHERE p_name LIKE '%e%'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_time_series" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+         | ${sqlDsum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_ratio_agg" ->
+      s"""SELECT n_name,
+         | ROUND(COALESCE(${sqlDsum("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END")}, 0.0)
+         |  / ${sqlDsum("c_acctbal")}, 6) AS building_ratio,
+         | COUNT(*) AS n
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+        | MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+        | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_outer_join_coalesce" ->
+      """SELECT COALESCE(nk_c, nk_s) AS nationkey,
+        | COALESCE(c_cnt, 0) AS c_cnt, COALESCE(s_cnt, 0) AS s_cnt
+        |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
+        | ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs and is non-degenerate") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      withClue(s"$name schema: ") { assert(df.columns.nonEmpty) }
+    }
+  }
+
+  test("q01 groups are the return-flag/status combinations") {
+    val rows = Relational.q01(spark, sfDir).collect()
+    assert(rows.length >= 3 && rows.length <= 6)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    assert(qty > 0)
+  }
+
+  test("q06 + q07 partition the customer table") {
+    val withOrders = Relational.q06(spark, sfDir).count()
+    val without = Relational.q07(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_no_orders")).sum
+    val total = Tables.customer(spark, sfDir).count()
+    assert(withOrders + without == total)
+  }
+
+  test("q10 emits at most 3 rows per customer, ranked") {
+    val rows = Relational.q10(spark, sfDir).collect()
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length <= 3))
+    perCust.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(ranked.sameElements(ranked.sortBy(-(_: Double))))
+    }
+  }
+
+  test("q12 rollup grand total equals row count") {
+    val rows = Relational.q12(spark, sfDir).collect()
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(grand.getAs[Long]("n") == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("q24 covers every nation that has customers or suppliers") {
+    val rows = Relational.q24(spark, sfDir).collect()
+    assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has a matching oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val rowsOnly = Set("d03_dedup_minhash_lsh", "d04_dedup_simhash", "s02_ann_lsh",
+      "t04_fingerprint", "m01_multimodal_meta", "src01_csv_roundtrip",
+      "src02_json_roundtrip")
+    assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
+  }
+}
