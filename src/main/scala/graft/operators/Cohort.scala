@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.Det._
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.B — cohort & clinical-report analytics.
+  *
+  * The reference's core capability is i2b2 CRC cohort querying over an
+  * EAV fact table plus the AKTIN emergency-department report queries
+  * (census by hour/weekday, length-of-stay percentiles, revisit rates;
+  * cf. the i2b2/AKTIN schema shipped in the reference's database image,
+  * src/docker/database/Dockerfile). Here `events` plays observation_fact
+  * (user_id≈patient_num, event_type≈concept_cd, ts≈start_date,
+  * value≈nval_num).
+  *
+  * Scale notes: panel queries are ONE pass over the fact table
+  * (conditional aggregates), never per-panel self-joins — at 100 TB a
+  * k-panel query still costs a single scan + one shuffle on patient id.
+  * Sequencing/sessionization use per-key windows, which shuffle once on
+  * the same key.
+  */
+object Cohort {
+
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+  private def nOf(t: String): Column =
+    count(when(col("event_type") === t, 1)).as(s"n_$t")
+
+  // -- c01: i2b2 panel query: (signup OR view) AND purchase>=2 AND NOT error
+  def c01(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(nOf("signup"), nOf("view"), nOf("purchase"), nOf("error"))
+      .filter((col("n_signup") >= 1 || col("n_view") >= 1) &&
+        col("n_purchase") >= 2 && col("n_error") === 0)
+      .orderBy("user_id")
+
+  // -- c02: temporal sequencing: first signup strictly before first purchase
+  def c02(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("fs"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .filter(col("fs").isNotNull && col("fp").isNotNull && col("fs") < col("fp"))
+      .select(col("user_id"),
+        date_format(col("fs"), TS_FMT).as("first_signup"),
+        date_format(col("fp"), TS_FMT).as("first_purchase"))
+      .orderBy("user_id")
+
+  // -- c03: EAV fact -> wide patient x concept matrix ------------------
+  def c03(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(nOf("click"), nOf("view"), nOf("purchase"), nOf("signup"), nOf("error"),
+        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0))
+          .as("purchase_value"))
+      .orderBy("user_id")
+
+  // -- c04: ED census by hour of day ------------------------------------
+  def c04(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_of_day")
+
+  // -- c05: weekday x concept profile ------------------------------------
+  def c05(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(col("ts"), "EEEE").as("weekday"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("weekday", "event_type")
+
+  // -- c06: length-of-stay percentiles (per-user span) -------------------
+  def c06(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
+        .as("span_sec"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(span_sec, 0.5)"), 4).as("p50"),
+        round(expr("percentile(span_sec, 0.9)"), 4).as("p90"),
+        round(expr("percentile(span_sec, 0.99)"), 4).as("p99"))
+
+  // -- c07: per-concept numeric value distribution ------------------------
+  def c07(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("event_type")
+
+  // -- c08: signup-week cohort retention matrix ---------------------------
+  def c08(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val cohorts = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("cu"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    e.join(cohorts, e("user_id") === col("cu"))
+      .filter(col("ts") >= col("cohort_week"))
+      .select(col("cohort_week"), col("user_id"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast("int").as("week_n"))
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  // -- c09: 30-minute-gap sessionization ----------------------------------
+  def c09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), TS_FMT).as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
+          .as("dur_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // -- c10: ordered funnel view -> click -> purchase ------------------------
+  def c10(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select("user_id", "event_type", "ts")
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("u1")).agg(min(col("ts")).as("first_view"))
+    val fc = e.join(fv, e("user_id") === col("u1"))
+      .filter(col("event_type") === "click" && col("ts") > col("first_view"))
+      .groupBy(col("u1").as("u2")).agg(min(col("ts")).as("first_click"))
+    val fp = e.join(fc, e("user_id") === col("u2"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("first_click"))
+      .groupBy(col("u2").as("u3")).agg(min(col("ts")).as("first_purchase"))
+    val n1 = fv.agg(count(lit(1)).as("n_view"))
+    val n2 = fc.agg(count(lit(1)).as("n_view_click"))
+    val n3 = fp.agg(count(lit(1)).as("n_view_click_purchase"))
+    n1.crossJoin(n2).crossJoin(n3)
+  }
+
+  // -- c11: concept x day patient counts (i2b2 breakdown) -------------------
+  def c11(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "day")
+
+  // -- c12: repeat visits within 7 days (revisit rate) -----------------------
+  def c12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        unix_micros(col("ts")) - col("prev_us") <= 7L * 24 * 3600 * 1000000)
+      .select(col("user_id")).distinct()
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_panel_cohort" -> (c01 _),
+    "c02_temporal_sequence" -> (c02 _),
+    "c03_eav_pivot" -> (c03 _),
+    "c04_hourly_census" -> (c04 _),
+    "c05_weekday_profile" -> (c05 _),
+    "c06_los_percentiles" -> (c06 _),
+    "c07_value_distribution" -> (c07 _),
+    "c08_retention_cohort" -> (c08 _),
+    "c09_sessionize" -> (c09 _),
+    "c10_funnel" -> (c10 _),
+    "c11_concept_daily" -> (c11 _),
+    "c12_repeat_visits" -> (c12 _)
+  )
+
+  private def nOfSql(t: String) =
+    s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
+
+  val oracle: Map[String, String] = Map(
+    "c01_panel_cohort" ->
+      s"""SELECT user_id, ${nOfSql("signup")}, ${nOfSql("view")},
+         | ${nOfSql("purchase")}, ${nOfSql("error")}
+         |FROM events GROUP BY user_id
+         |HAVING (n_signup >= 1 OR n_view >= 1) AND n_purchase >= 2 AND n_error = 0
+         |ORDER BY user_id""".stripMargin,
+    "c02_temporal_sequence" ->
+      s"""SELECT user_id, strftime(fs, '$TS_FMT_SQL') AS first_signup,
+         | strftime(fp, '$TS_FMT_SQL') AS first_purchase
+         |FROM (SELECT user_id,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+         |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+         | FROM events GROUP BY user_id)
+         |WHERE fs IS NOT NULL AND fp IS NOT NULL AND fs < fp
+         |ORDER BY user_id""".stripMargin,
+    "c03_eav_pivot" ->
+      s"""SELECT user_id, ${nOfSql("click")}, ${nOfSql("view")}, ${nOfSql("purchase")},
+         | ${nOfSql("signup")}, ${nOfSql("error")},
+         | COALESCE(${sqlDsum("CASE WHEN event_type = 'purchase' THEN value END")}, 0.0)
+         |  AS purchase_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "c04_hourly_census" ->
+      """SELECT EXTRACT(hour FROM ts) AS hour_of_day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c05_weekday_profile" ->
+      s"""SELECT dayname(ts) AS weekday, event_type, COUNT(*) AS n,
+         | ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c06_los_percentiles" ->
+      """SELECT COUNT(*) AS n_users,
+        | ROUND(quantile_cont(span_sec, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(span_sec, 0.9), 4) AS p90,
+        | ROUND(quantile_cont(span_sec, 0.99), 4) AS p99
+        |FROM (SELECT user_id,
+        |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS span_sec
+        | FROM events GROUP BY user_id)""".stripMargin,
+    "c07_value_distribution" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         | MIN(value) AS min_value, MAX(value) AS max_value,
+         | ${sqlDavg("value")} AS avg_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c08_retention_cohort" ->
+      """SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_n,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        | SELECT c.cohort_week, e.user_id,
+        |  CAST(datediff('day', c.cohort_week, date_trunc('week', e.ts)) / 7 AS INT)
+        |   AS week_n
+        | FROM events e JOIN (
+        |  SELECT user_id AS cu, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1) c
+        |  ON e.user_id = c.cu
+        | WHERE e.ts >= c.cohort_week)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c09_sessionize" ->
+      s"""SELECT user_id, session_id, COUNT(*) AS n_events,
+         | strftime(MIN(ts), '$TS_FMT_SQL') AS session_start,
+         | (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS dur_sec
+         |FROM (
+         | SELECT user_id, ts,
+         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         | FROM (
+         |  SELECT user_id, event_id, ts,
+         |   CASE WHEN prev_us IS NULL
+         |     OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM (SELECT user_id, event_id, ts,
+         |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |     ORDER BY ts, event_id) AS prev_us
+         |   FROM events)))
+         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "c10_funnel" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | fc AS (SELECT e.user_id, MIN(e.ts) AS first_click
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > fv.first_view GROUP BY 1),
+        | fp AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.first_click GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM fv) AS n_view,
+        | (SELECT COUNT(*) FROM fc) AS n_view_click,
+        | (SELECT COUNT(*) FROM fp) AS n_view_click_purchase""".stripMargin,
+    "c11_concept_daily" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c12_repeat_visits" ->
+      """SELECT DISTINCT user_id FROM (
+        | SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | FROM events WHERE event_type = 'purchase')
+        |WHERE gap_us IS NOT NULL AND gap_us <= 7 * 24 * 3600 * 1000000
+        |ORDER BY user_id""".stripMargin
+  )
+}
