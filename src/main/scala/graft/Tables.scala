@@ -28,9 +28,16 @@ object Tables {
     * division (ns-since-epoch exceeds 2^53, so double math would lose
     * precision); the generator only populates µs precision so the
     * conversion is lossless.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction (Verify/Bench/SparkSpec) — NOT mutated here, so loaders
+    * stay side-effect-free and the flag can't silently leak into reads
+    * that predate the first events() call.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build " +
+        "(events.parquet carries a TIMESTAMP(NANOS) column)")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -30,9 +30,14 @@ object Cohort {
   private def nOf(t: String): Column =
     count(when(col("event_type") === t, 1)).as(s"n_$t")
 
-  // -- c01: i2b2 panel query: (signup OR view) AND purchase>=2 AND NOT error
+  // -- c01: i2b2 panel query: (signup OR view) AND purchase>=2 AND NOT error,
+  // restricted to a one-week observation window (i2b2 panels carry date
+  // constraints; the window also makes the NOT-error panel non-vacuous:
+  // over the full month every user has errors).
   def c01(s: SparkSession, d: String): DataFrame =
     events(s, d)
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-08").cast("timestamp"))
       .groupBy(col("user_id"))
       .agg(nOf("signup"), nOf("view"), nOf("purchase"), nOf("error"))
       .filter((col("n_signup") >= 1 || col("n_view") >= 1) &&
@@ -190,7 +195,9 @@ object Cohort {
     "c01_panel_cohort" ->
       s"""SELECT user_id, ${nOfSql("signup")}, ${nOfSql("view")},
          | ${nOfSql("purchase")}, ${nOfSql("error")}
-         |FROM events GROUP BY user_id
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         |GROUP BY user_id
          |HAVING (n_signup >= 1 OR n_view >= 1) AND n_purchase >= 2 AND n_error = 0
          |ORDER BY user_id""".stripMargin,
     "c02_temporal_sequence" ->
@@ -248,8 +255,8 @@ object Cohort {
          | (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS dur_sec
          |FROM (
          | SELECT user_id, ts,
-         |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          | FROM (
          |  SELECT user_id, event_id, ts,
          |   CASE WHEN prev_us IS NULL
@@ -280,7 +287,7 @@ object Cohort {
         | SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         | FROM events WHERE event_type = 'purchase')
-        |WHERE gap_us IS NOT NULL AND gap_us <= 7 * 24 * 3600 * 1000000
+        |WHERE gap_us IS NOT NULL AND gap_us <= 604800000000
         |ORDER BY user_id""".stripMargin
   )
 }

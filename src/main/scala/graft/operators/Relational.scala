@@ -103,9 +103,14 @@ object Relational {
       .orderBy("c_custkey")
 
   // -- q07: anti join (NOT EXISTS) -------------------------------------
+  // Customers with no large order (> 400k). The filter is applied to the
+  // build side BEFORE the anti join so the join input shrinks at the scan
+  // (at sf0.01 every customer has *some* order, which would make an
+  // unfiltered anti join vacuously empty).
   def q07(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_no_orders"))
       .orderBy("c_mktsegment")
@@ -382,7 +387,8 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q07_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_no_orders FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_distinct" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
