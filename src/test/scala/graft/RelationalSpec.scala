@@ -20,12 +20,16 @@ class RelationalSpec extends SparkSpec {
     assert(qty > 0)
   }
 
-  test("q06 + q07 partition the customer table") {
-    val withOrders = Relational.q06(spark, sfDir).count()
+  test("q07 anti join complements the customers having a large order") {
+    import org.apache.spark.sql.functions.col
     val without = Relational.q07(spark, sfDir)
       .collect().map(_.getAs[Long]("n_no_orders")).sum
+    val withLarge = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
     val total = Tables.customer(spark, sfDir).count()
-    assert(withOrders + without == total)
+    assert(without > 0, "anti join must be non-vacuous")
+    assert(without + withLarge == total)
   }
 
   test("q10 emits at most 3 rows per customer, ranked") {
