@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Cohort.queries
+    Relational.queries ++ Cohort.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Cohort.oracle
+    Relational.oracle ++ Cohort.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C d01–d05 — deduplication over the `documents` corpus (and
+  * embedding near-dup over `embeddings`).
+  *
+  * The reference DWH deduplicates at import time (i2b2 CRC upserts facts
+  * by patient/encounter/concept key); a training-data pipeline needs the
+  * same capability content-wise: exact hash dedup plus near-duplicate
+  * detection that stays LINEAR at 100 TB. Candidate generation here is
+  * always index-shaped (inverted shingle index, MinHash band buckets,
+  * SimHash chunk buckets, quantization buckets) — never an all-pairs
+  * cross join; exact verification runs only inside candidate buckets.
+  */
+object Dedup {
+
+  private val JACCARD_T = 0.7
+  private val COSINE_T = 0.4
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index rows. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles3("w")).as("shingle"))
+
+  // -- d01: exact dedup by content hash ---------------------------------
+  // One shuffle on the 128-bit content hash; keeps the smallest doc_id of
+  // each identical-content group. At 100 TB this is the cheapest possible
+  // dedup: map-side partial agg collapses per-partition copies first.
+  def d01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  // -- d02: word-3-gram Jaccard near-dup pairs ---------------------------
+  // Inverted-index self-join: docs pair up only through a shared shingle,
+  // so cost is sum over shingles of df(shingle)^2, not n_docs^2. At
+  // 100 TB the standard refinement is dropping ultra-common shingles
+  // (df > cap) before the join — a pure filter on the index.
+  def d02(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    val shared = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("doc_a", "n_a"), "doc_a")
+      .join(cnt.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -- d03: MinHash + LSH banding near-dup (the 100 TB dedup path) -------
+  // 32 hashes, 8 bands × 4 rows: P(candidate | jaccard=0.98) ≈ 1-1e-9,
+  // P(candidate | jaccard=0.3) ≈ 6%. Candidate generation is
+  // explode(bands) + one shuffle on (band, bucket); exact Jaccard runs
+  // only on candidates via per-pair array intersection — linear in corpus
+  // size for bounded bucket sizes, never all-pairs.
+  def d03(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles3("w").as("sh"))
+      .withColumn("sig", minhashSig("sh", 32))
+    val bands = base.select(col("doc_id"),
+      posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
+    val cand = bands.toDF("doc_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -- d04: SimHash 64-bit near-dup -------------------------------------
+  // Candidates by pigeonhole: hamming(a,b) <= 7 implies at least one of 8
+  // 8-bit chunks is identical, so pairs meet through a chunk-bucket join
+  // (one shuffle on (chunk, value)); verification is bit_count(xor).
+  def d04(s: SparkSession, d: String): DataFrame = {
+    val hs = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("simhash", simhash64("w"))
+    val chunks = hs.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 7), c -> " +
+        "shiftright(simhash, 8 * c) & 255)")).as(Seq("chunk", "cval")))
+    chunks.toDF("doc_a", "sim_a", "chunk", "cval")
+      .join(chunks.toDF("doc_b", "sim_b", "chunk", "cval"), Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -- d05: embedding cosine near-dup pairs ------------------------------
+  // Bucketed self-join: `label` stands in for a coarse quantization cell
+  // (IVF/k-means assignment in a real pipeline), so the join is
+  // per-bucket, never all-pairs. Cosines use decimal-exact dots
+  // (VectorFunctions.cosineDet) so the 1000-executor answer is bit-equal
+  // to the oracle's.
+  def d05(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    e.toDF("vec_a", "label", "emb_a")
+      .join(e.toDF("vec_b", "label", "emb_b"), "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosineDet("emb_a", "emb_b").as("cos"))
+      .filter(col("cos") >= COSINE_T)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01 _),
+    "d02_dedup_ngram_jaccard" -> (d02 _),
+    "d03_dedup_minhash_lsh" -> (d03 _),
+    "d04_dedup_simhash" -> (d04 _),
+    "d05_dedup_embedding" -> (d05 _)
+  )
+
+  /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
+  private val SQL_SHINGLES =
+    """sh AS (
+      | SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d02_dedup_ngram_jaccard" ->
+      s"""WITH $SQL_SHINGLES,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM (
+         | SELECT doc_a, doc_b,
+         |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jac
+         | FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b)
+         |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    // d03/d04 are rows-only (hash-seeded candidate generation is not
+    // SQL-expressible in DuckDB); their exact-verification semantics are
+    // pinned by ScalaTests against d02's oracle-checked pairs instead.
+    "d05_dedup_embedding" ->
+      s"""WITH pe AS (
+         | SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         |  CAST(unnest(embedding) AS DOUBLE) AS x
+         | FROM embeddings),
+         |norms AS (SELECT vec_id, ${sqlDotDet("x * x")} AS nrm FROM pe GROUP BY 1),
+         |dots AS (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlDotDet("a.x * b.x")} AS dot
+         | FROM pe a JOIN pe b ON a.i = b.i AND a.label = b.label
+         |  AND a.vec_id < b.vec_id
+         | GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM (
+         | SELECT vec_a, vec_b, dot / sqrt(na.nrm * nb.nrm) AS cos
+         | FROM dots JOIN norms na ON na.vec_id = vec_a
+         |  JOIN norms nb ON nb.vec_id = vec_b)
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

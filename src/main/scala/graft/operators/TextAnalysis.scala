@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C t01–t03 — text analysis over the `documents` corpus: language-ID
+  * heuristic, quality scoring, token statistics. Pure builtin-function
+  * pipelines (split/filter/regexp — all codegen'd), one scan each, no
+  * shuffle except the final oracle-determinism sort.
+  */
+object TextAnalysis {
+
+  private val LANGS = Seq("en", "de", "fr", "es", "zh")
+
+  // -- t01: stopword-hit language ID -------------------------------------
+  // Score each language's stopword list against the token stream; predict
+  // the argmax with a fixed preference order for ties. One scan, no joins.
+  def t01(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .select(col("doc_id") +: tokens(col("text")).as("w") +: Nil: _*)
+      .select(col("doc_id") +:
+        LANGS.map(l => stopwordHits("w", stopwords(l)).as(s"score_$l")): _*)
+    val best: Column = greatest(LANGS.map(l => col(s"score_$l")): _*)
+    val pred = LANGS.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives en > de > fr > es > zh tie preference
+    scored.withColumn("lang_pred", pred).orderBy("doc_id")
+  }
+
+  // -- t02: document quality score ---------------------------------------
+  // Length, lexical diversity and stopword saturation combined into one
+  // bounded score — the standard cheap pre-training quality filter.
+  def t02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("distinct_ratio"),
+        (stopwordHits("w", stopwords("en")).cast("double") /
+          size(col("w")).cast("double")).as("stop_ratio"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(0.5) + lit(0.5) * col("distinct_ratio")) *
+          (lit(1.0) - lit(0.2) * col("stop_ratio")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  // -- t03: token statistics ---------------------------------------------
+  // Whitespace tokens plus a BPE-ish subword segmentation (consonant/vowel
+  // runs via regexp_extract_all) — the token-count accounting every
+  // training-data pipeline needs.
+  def t03(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        size(regexp_extract_all(col("text"),
+          lit("[bcdfghjklmnpqrstvwxyz]+|[aeiou]+"), lit(0))).as("n_subtokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_langid" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_token_stats" -> (t03 _)
+  )
+
+  private def sqlHits(list: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracle: Map[String, String] = Map(
+    "t01_langid" -> {
+      val scores = LANGS.map(l => s"${sqlHits(stopwords(l))} AS score_$l").mkString(",\n ")
+      val best = s"greatest(${LANGS.map(l => s"score_$l").mkString(", ")})"
+      val pred = LANGS.map(l => s"WHEN score_$l = $best AND $best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+         | $pred AS lang_pred
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens,
+         | ROUND(distinct_ratio, 6) AS distinct_ratio,
+         | ROUND(stop_ratio, 6) AS stop_ratio,
+         | ROUND(least(1.0, n_tokens / 100.0) * (0.5 + 0.5 * distinct_ratio)
+         |  * (1.0 - 0.2 * stop_ratio), 6) AS quality
+         |FROM (
+         | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         |  CAST(${sqlHits(stopwords("en"))} AS DOUBLE)
+         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t03_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+|[aeiou]+'))
+        |  AS n_subtokens,
+        | length(replace(text, ' ', '')) AS n_chars_nospace
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("t01 predicts a language for every document, deterministically") {
+    val rows = TextAnalysis.t01(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val langs = rows.map(_.getAs[String]("lang_pred")).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("t02 quality scores are bounded in (0, 1]") {
+    val rows = TextAnalysis.t02(spark, sfDir).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q > 0 && q <= 1.0, s"doc ${r.getAs[Long]("doc_id")} quality $q")
+      assert(r.getAs[Double]("distinct_ratio") <= 1.0)
+    }
+  }
+
+  test("t03 token accounting is internally consistent") {
+    val rows = TextAnalysis.t03(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_tokens"))
+      // subword runs can't exceed the non-space character count
+      assert(r.getAs[Int]("n_subtokens") <= r.getAs[Int]("n_chars_nospace"))
+    }
+  }
+}
