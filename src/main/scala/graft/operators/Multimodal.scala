@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C m01 — multimodal column plumbing.
+  *
+  * Media assets ride through the engine as opaque `binary` payload
+  * columns plus a typed metadata struct — the schema/partitioning shape a
+  * 100 TB image/audio corpus needs (payload stays columnar, metadata is
+  * filterable without touching bytes). The decode step is a clearly
+  * marked DETERMINISTIC STUB (this container ships no image/audio codecs)
+  * computing fake-but-stable dimensions from the payload hash; the
+  * surrounding plumbing — binary column, struct schema, per-batch
+  * processing shape — is real and tested.
+  */
+object Multimodal {
+
+  /** Payload synthesis + stubbed decode. In production `payload` IS the
+    * stored media bytes and decode is a real codec call (mapInPandas /
+    * mapInArrow batches on a cluster with codecs installed); everything
+    * downstream of `media_meta` is unchanged.
+    */
+  def m01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("media_meta", struct(
+        length(col("payload")).as("n_bytes"),
+        crc32(col("payload")).as("checksum"),
+        // ---- deterministic decode STUB below this line ----
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (pmod(xxhash64(col("payload")), lit(3)) + lit(1)).cast("int")).as("format"),
+        (lit(16) + pmod(xxhash64(col("payload"), lit(1)), lit(2033))).cast("int").as("width"),
+        (lit(16) + pmod(xxhash64(col("payload"), lit(2)), lit(2033))).cast("int").as("height")))
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        // frame-sample stub: first-KB slice of the payload, rehashed —
+        // the batch shape of a thumbnail/frame extraction
+        crc32(expr("substring(payload, 1, 1024)")).as("head_checksum"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_meta" -> (m01 _)
+  )
+
+  /** rows-only: xxhash64-derived stub fields are not DuckDB-expressible;
+    * schema/determinism are pinned by MultimodalSpec.
+    */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.RollingFingerprint
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,10 +66,21 @@ object TextAnalysis {
         length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"))
       .orderBy("doc_id")
 
+  // -- t04: rolling-hash document fingerprint ----------------------------
+  // Custom Catalyst Expression (graft.functions.RollingFingerprint) with
+  // full codegen: one generated-Java pass over the UTF-8 bytes per doc,
+  // inside the same WholeStageCodegen stage as the scan. Grouping by the
+  // fingerprint gives winnowing-style near-dup clusters.
+  def t04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), RollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
-    "t03_token_stats" -> (t03 _)
+    "t03_token_stats" -> (t03 _),
+    "t04_fingerprint" -> (t04 _)
   )
 
   private def sqlHits(list: Seq[String]) =

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.D src01–src02 — source/sink round-trips.
+  *
+  * The reference's ETL face is batch import into typed storage (the
+  * i2b2/AKTIN importer feeding the CRC schema); here that capability is
+  * the Spark sources API: write a typed table to a text format, read it
+  * back under an EXPLICIT schema (never inferSchema — schema inference
+  * is a full extra pass at 100 TB and type-unstable), and verify
+  * fidelity. Doubles survive because Spark prints round-trip-exact
+  * representations; the oracle can therefore compare against the
+  * original parquet directly.
+  */
+object RoundTrip {
+
+  private def scratch: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+
+  /** CSV round-trip of `customer`: header + quoted strings, schema-first
+    * read-back. Partitioned write/read — per-partition files, no
+    * single-node funnel.
+    */
+  def src01(s: SparkSession, d: String): DataFrame = {
+    val src = customer(s, d)
+    val path = s"$scratch/src01_csv"
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .orderBy("c_custkey")
+  }
+
+  /** JSON-lines round-trip of `part`. */
+  def src02(s: SparkSession, d: String): DataFrame = {
+    val src = part(s, d)
+    val path = s"$scratch/src02_json"
+    src.write.mode("overwrite").json(path)
+    s.read.schema(src.schema).json(path)
+      .orderBy("p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src01_csv_roundtrip" -> (src01 _),
+    "src02_json_roundtrip" -> (src02 _)
+  )
+
+  /** Round-trip fidelity means the oracle is simply the original table. */
+  val oracle: Map[String, String] = Map(
+    "src01_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "src02_json_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** §2.D st01–st02 — streaming analytics.
+  *
+  * The reference DWH is an incremental-feed system (continuous imports
+  * into the CRC); Structured Streaming is the Spark-native form of that
+  * capability. Each streaming job here shares its core transformation
+  * with a batch twin, so the oracle gate checks the exact semantics the
+  * stream computes.
+  */
+object EventStreams {
+
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val GAP_US = 30L * 60 * 1000000
+
+  // ---------------------------------------------------------------- st01
+  /** Shared tumbling-window transform: applied to a batch frame below and
+    * to a watermarked stream in `hourlyCountsStream`.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("window_start"),
+        col("n_events"), col("approx_users"))
+
+  /** Batch twin — the `queries` entry (SQL oracle). Exact countDistinct
+    * here; the streaming variant uses approx_count_distinct because exact
+    * per-window distincts require unbounded state on an infinite stream.
+    */
+  def st01(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("window_start"),
+        col("n_events"), col("n_users"))
+      .orderBy("window_start")
+
+  /** Streaming form: 2-hour watermark bounds state; late events beyond it
+    * are dropped, windows finalize and evict.
+    */
+  def hourlyCountsStream(stream: DataFrame): DataFrame =
+    hourlyCounts(stream.withWatermark("ts", "2 hours"))
+
+  // ---------------------------------------------------------------- st02
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+      session_start: String, dur_sec: Double)
+  /** Open-session state carried across micro-batches. */
+  case class OpenSession(sessionId: Long, nEvents: Long, startUs: Long, lastUs: Long)
+
+  private def fmtMicros(us: Long): String = {
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(TS_FMT))
+  }
+
+  private def close(u: Long, o: OpenSession): Session =
+    Session(u, o.sessionId, o.nEvents, fmtMicros(o.startUs),
+      (o.lastUs - o.startUs) / 1e6)
+
+  /** Fold sorted events into an open-session chain: emits each session
+    * the moment a later event proves it closed. Shared by the batch twin
+    * (flatMapGroups) and the streaming path (flatMapGroupsWithState) —
+    * identical semantics to Cohort.c09's window formulation.
+    */
+  def advance(user: Long, prior: Option[OpenSession], sorted: Seq[Ev])
+      : (Vector[Session], Option[OpenSession]) =
+    sorted.foldLeft((Vector.empty[Session], prior)) {
+      case ((closed, None), e) =>
+        (closed, Some(OpenSession(1L, 1L, e.ts_us, e.ts_us)))
+      case ((closed, Some(o)), e) =>
+        if (e.ts_us - o.lastUs > GAP_US)
+          (closed :+ close(user, o),
+            Some(OpenSession(o.sessionId + 1, 1L, e.ts_us, e.ts_us)))
+        else
+          (closed, Some(o.copy(nEvents = o.nEvents + 1, lastUs = e.ts_us)))
+    }
+
+  /** Batch twin — typed Dataset path, gate-checked against c09's SQL
+    * oracle. Per-user groups sort in memory (sessions are per-user local;
+    * at 100 TB the same logic runs after a repartition+sortWithinPartitions
+    * secondary sort instead of a per-group sortBy).
+    */
+  def st02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs: Dataset[Ev] = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroups { (u: Long, it: Iterator[Ev]) =>
+        val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+        val (closed, open) = advance(u, None, sorted)
+        (closed ++ open.map(close(u, _))).iterator
+      }
+      .toDF()
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Streaming sessionization: state = the one open session per user.
+    * Emits sessions as they close; the open tail stays in state until a
+    * later batch closes it. Bounded state (one OpenSession per active
+    * user), Update output mode.
+    */
+  def sessionizeState(user: Long, batch: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    val sorted = batch.toVector.sortBy(e => (e.ts_us, e.event_id))
+    val (closed, open) = advance(user, state.getOption, sorted)
+    open match {
+      case Some(o) => state.update(o)
+      case None => state.remove()
+    }
+    closed.iterator
+  }
+
+  def sessionizeStream(s: SparkSession, stream: Dataset[Ev]): Dataset[Session] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionizeState)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_window" -> (st01 _),
+    "st02_stream_dedup_sessions" -> (st02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+        |  AS window_start,
+        | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st02's typed path must reproduce c09's windowed-SQL semantics
+    // exactly, so it shares c09's oracle.
+    "st02_stream_dedup_sessions" ->
+      graft.operators.Cohort.oracle("c09_sessionize")
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming specs: each job's stream output must equal its batch twin,
+  * which in turn is gate-checked against the DuckDB oracle — so the
+  * stream semantics chain back to SQL ground truth.
+  */
+case class TsEv(ts: java.sql.Timestamp, user_id: Long)
+
+class StreamingSpec extends SparkSpec {
+
+  test("st01 streaming windowed counts equal the batch twin") {
+    import spark.implicits._
+    val batchDf = Tables.events(spark, sfDir).select("ts", "user_id")
+    val rows = batchDf.as[TsEv].collect().toSeq
+
+    val input = MemoryStream[TsEv](spark)
+    val q = EventStreams.hourlyCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("st01_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("st01_out")
+        .orderBy("window_start").collect().toSeq
+      val batch = EventStreams.hourlyCounts(batchDf)
+        .orderBy("window_start").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)} " +
+          s"extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("st02 streaming sessionization equals c09 across micro-batches") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev].collect().toSeq
+    // split into two micro-batches on event time (cross-batch open
+    // sessions must survive in state), then a sentinel batch far in the
+    // future that closes every user's tail session
+    val cut = evs.map(_.ts_us).sorted.apply(evs.size / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val sentinelTs = evs.map(_.ts_us).max + 365L * 24 * 3600 * 1000000
+    val sentinels = evs.map(_.user_id).distinct
+      .map(u => Ev(u, Long.MaxValue, sentinelTs))
+
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.sessionizeStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("st02_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(sentinels); q.processAllAvailable()
+      val streamed = spark.table("st02_out").as[Session].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.session_start, s.dur_sec))
+        .toSet
+      val batch = graft.operators.Cohort.c09(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("st02 batch twin equals c09 row-for-row") {
+    val twin = EventStreams.st02(spark, sfDir).collect().toSeq
+    val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
+    assert(twin.map(_.toSeq) == c09.map(_.toSeq))
+  }
+}
