@@ -1,0 +1,37 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit dump: `explain formatted` for every query, written to one
+  * file per query so scan pushdown (PushedFilters/ReadSchema), join
+  * strategies (BroadcastHashJoin vs SortMergeJoin) and codegen fusion can
+  * be reviewed and diffed round-over-round. Run with gateSort=false so
+  * the audited plans are the production ones.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "docs/plans"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.gateSort", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+      } catch { case e: Throwable =>
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), s"ERROR: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

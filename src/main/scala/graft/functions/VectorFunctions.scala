@@ -29,9 +29,43 @@ object VectorFunctions {
 
   /** Deterministic cosine similarity: dotDet / sqrt(normA * normB). All
     * three operands are engine-identical doubles, so the quotient is too.
+    *
+    * NOTE: recomputes both self-dots per row — fine for one-off use, but
+    * pairwise operators must precompute `dotDet(v, v)` as a per-vector
+    * column BEFORE the join (see cosineFromNorms): at n² pairs the
+    * recomputation is 2/3 of all decimal work.
     */
   def cosineDet(a: String, b: String): Column =
     dotDet(a, b) / sqrt(dotDet(a, a) * dotDet(b, b))
+
+  /** Cosine from a pairwise dot and two precomputed self-dot columns.
+    * Identical doubles to cosineDet (same operands, same IEEE ops).
+    */
+  def cosineFromNorms(a: String, b: String, normA: Column, normB: Column): Column =
+    dotDet(a, b) / sqrt(normA * normB)
+
+  /** Dot product for a KNOWN dimension, unrolled into a flat left-
+    * associated double expression — fully code-generated native math
+    * (the higher-order aggregate/zip_with form evaluates its lambdas
+    * interpreted per element, and decimal accumulation pays BigDecimal
+    * per add). Deterministic because the expression FIXES the summation
+    * order: IEEE double addition is exact-reproducible for a fixed
+    * order, on any engine and any partitioning. The DuckDB oracle
+    * mirrors the identical unrolled expression (sqlDotFixed), so values
+    * are bit-equal.
+    */
+  def dotFixed(a: String, b: String, dim: Int): Column = expr(
+    (0 until dim).map(i =>
+      s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + "))
+
+  /** The same unrolled dot as DuckDB SQL (1-based list indexing). */
+  def sqlDotFixed(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
+  def cosineFromNormsFixed(a: String, b: String, normA: Column, normB: Column,
+      dim: Int): Column =
+    dotFixed(a, b, dim) / sqrt(normA * normB)
 
   /** Matching DuckDB SQL for dotDet/cosineDet, for oracle queries that
     * unnest embeddings to (id, i, x) rows: exact decimal sum of products.
@@ -39,24 +73,18 @@ object VectorFunctions {
   def sqlDotDet(prod: String): String =
     s"CAST(SUM(CAST(($prod) AS DECIMAL(38,12))) AS DOUBLE)"
 
-  /** Sign-LSH bucket codes for a vector column: `tables` independent
-    * hash tables, each an `nbits`-bit code of random-hyperplane signs.
-    * Hyperplanes are seeded-deterministic (java.util.Random is a spec'd
-    * LCG) and baked in as literals — zero per-row hash overhead; the
-    * bucketing is a pure zip_with/aggregate pipeline.
+  /** Random-hyperplane rows for sign-LSH: (tbl, bit, dim, hval) — one row
+    * per hyperplane component, seeded-deterministic (java.util.Random is
+    * a spec'd LCG, identical on every JVM). Broadcast-joined against
+    * exploded vectors, bucketing becomes codegen'd multiply + sum
+    * aggregates. (Unrolling all planes into one literal projection was
+    * tried and rejected: a ~20k-node expression tree stalls Catalyst
+    * analysis/codegen for minutes.)
     */
-  def lshBuckets(vec: String, dim: Int, tables: Int, nbits: Int, seed: Long): Column = {
+  def hyperplaneRows(dim: Int, tables: Int, nbits: Int, seed: Long)
+      : Seq[(Int, Int, Int, Double)] = {
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(tables, nbits, dim)(rnd.nextGaussian())
-    val codes = (0 until tables).map { t =>
-      (0 until nbits).map { b =>
-        val arr = planes(t)(b)
-          .map(v => s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
-          .mkString(", ")
-        s"IF(aggregate(zip_with($vec, array($arr), (x, h) -> CAST(x AS DOUBLE) * h), " +
-          s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0, ${1L << b}L, 0L)"
-      }.mkString(" + ")
-    }.map(code => s"($code)").mkString(", ")
-    expr(s"array($codes)")
+    for { t <- 0 until tables; b <- 0 until nbits; i <- 0 until dim }
+      yield (t, b, i, rnd.nextGaussian())
   }
 }

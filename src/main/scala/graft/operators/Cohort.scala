@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Det._
+import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -42,7 +43,7 @@ object Cohort {
       .agg(nOf("signup"), nOf("view"), nOf("purchase"), nOf("error"))
       .filter((col("n_signup") >= 1 || col("n_view") >= 1) &&
         col("n_purchase") >= 2 && col("n_error") === 0)
-      .orderBy("user_id")
+      .transform(Gate.ordered("user_id"))
 
   // -- c02: temporal sequencing: first signup strictly before first purchase
   def c02(s: SparkSession, d: String): DataFrame =
@@ -54,7 +55,7 @@ object Cohort {
       .select(col("user_id"),
         date_format(col("fs"), TS_FMT).as("first_signup"),
         date_format(col("fp"), TS_FMT).as("first_purchase"))
-      .orderBy("user_id")
+      .transform(Gate.ordered("user_id"))
 
   // -- c03: EAV fact -> wide patient x concept matrix ------------------
   def c03(s: SparkSession, d: String): DataFrame =
@@ -63,7 +64,7 @@ object Cohort {
       .agg(nOf("click"), nOf("view"), nOf("purchase"), nOf("signup"), nOf("error"),
         coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0))
           .as("purchase_value"))
-      .orderBy("user_id")
+      .transform(Gate.ordered("user_id"))
 
   // -- c04: ED census by hour of day ------------------------------------
   def c04(s: SparkSession, d: String): DataFrame =
@@ -114,7 +115,7 @@ object Cohort {
       .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_n"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_week", "week_n")
+      .transform(Gate.ordered("cohort_week", "week_n"))
   }
 
   // -- c09: 30-minute-gap sessionization ----------------------------------
@@ -133,7 +134,7 @@ object Cohort {
         date_format(min(col("ts")), TS_FMT).as("session_start"),
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
           .as("dur_sec"))
-      .orderBy("user_id", "session_id")
+      .transform(Gate.ordered("user_id", "session_id"))
   }
 
   // -- c10: ordered funnel view -> click -> purchase ------------------------
@@ -159,7 +160,7 @@ object Cohort {
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
-      .orderBy("event_type", "day")
+      .transform(Gate.ordered("event_type", "day"))
 
   // -- c12: repeat visits within 7 days (revisit rate) -----------------------
   def c12(s: SparkSession, d: String): DataFrame = {
@@ -170,7 +171,7 @@ object Cohort {
       .filter(col("prev_us").isNotNull &&
         unix_micros(col("ts")) - col("prev_us") <= 7L * 24 * 3600 * 1000000)
       .select(col("user_id")).distinct()
-      .orderBy("user_id")
+      .transform(Gate.ordered("user_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

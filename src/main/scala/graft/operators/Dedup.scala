@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Gate
 import graft.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -36,7 +37,7 @@ object Dedup {
     documents(s, d)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
+      .transform(Gate.ordered("keep_id"))
 
   // -- d02: word-3-gram Jaccard near-dup pairs ---------------------------
   // Inverted-index self-join: docs pair up only through a shared shingle,
@@ -59,7 +60,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
   // -- d03: MinHash + LSH banding near-dup (the 100 TB dedup path) -------
@@ -69,12 +70,18 @@ object Dedup {
   // only on candidates via per-pair array intersection — linear in corpus
   // size for bounded bucket sizes, never all-pairs.
   def d03(s: SparkSession, d: String): DataFrame = {
+    // signatures via explode + 32 codegen'd min-aggs (map-side combined),
+    // one shuffle on doc_id; the string is hashed once per shingle
+    val sig = shingleIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs(col("h"), 32).head, minhashAggs(col("h"), 32).tail: _*)
+      .select(col("doc_id"), minhashSigCols(32).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
     val base = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shingles3("w").as("sh"))
-      .withColumn("sig", minhashSig("sh", 32))
-    val bands = base.select(col("doc_id"),
-      posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
     val cand = bands.toDF("doc_a", "band", "bucket")
       .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -88,7 +95,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
   // -- d04: SimHash 64-bit near-dup -------------------------------------
@@ -96,9 +103,14 @@ object Dedup {
   // 8-bit chunks is identical, so pairs meet through a chunk-bucket join
   // (one shuffle on (chunk, value)); verification is bit_count(xor).
   def d04(s: SparkSession, d: String): DataFrame = {
+    // per-bit counters via explode + 64 codegen'd sums, one shuffle on
+    // doc_id with map-side partial aggregation
     val hs = documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .withColumn("simhash", simhash64("w"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhashAggs(col("h")).head, simhashAggs(col("h")).tail: _*)
+      .select(col("doc_id"), simhashFromCounters.as("simhash"))
     val chunks = hs.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), c -> " +
         "shiftright(simhash, 8 * c) & 255)")).as(Seq("chunk", "cval")))
@@ -109,24 +121,30 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 7)
-      .orderBy("doc_a", "doc_b")
+      .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // (IVF/k-means assignment in a real pipeline), so the join is
-  // per-bucket, never all-pairs. Cosines use decimal-exact dots
-  // (VectorFunctions.cosineDet) so the 1000-executor answer is bit-equal
-  // to the oracle's.
+  // per-bucket, never all-pairs. Cosines use the unrolled fixed-order
+  // double dot (VectorFunctions.dotFixed) — deterministic on any
+  // partitioning, bit-equal to the oracle's identical expression.
   def d05(s: SparkSession, d: String): DataFrame = {
+    // self-dots computed once per VECTOR, before the join — at n² pairs
+    // recomputing them per pair would be 2/3 of all decimal work; the
+    // pairwise dot is the unrolled codegen'd form (embeddings are 64-dim)
     val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
-    e.toDF("vec_a", "label", "emb_a")
-      .join(e.toDF("vec_b", "label", "emb_b"), "label")
+      .withColumn("nrm", dotFixed("embedding", "embedding", 64))
+    e.toDF("vec_a", "label", "emb_a", "nrm_a")
+      .join(e.toDF("vec_b", "label", "emb_b", "nrm_b"), "label")
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosineDet("emb_a", "emb_b").as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineFromNormsFixed("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
+          .as("cos"))
       .filter(col("cos") >= COSINE_T)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
-      .orderBy("vec_a", "vec_b")
+      .transform(Gate.ordered("vec_a", "vec_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,21 +183,17 @@ object Dedup {
     // d03/d04 are rows-only (hash-seeded candidate generation is not
     // SQL-expressible in DuckDB); their exact-verification semantics are
     // pinned by ScalaTests against d02's oracle-checked pairs instead.
+    // the oracle computes the IDENTICAL unrolled fixed-order double dot
+    // (sqlDotFixed), so cosines are bit-equal, not merely close
     "d05_dedup_embedding" ->
-      s"""WITH pe AS (
-         | SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-         |  CAST(unnest(embedding) AS DOUBLE) AS x
-         | FROM embeddings),
-         |norms AS (SELECT vec_id, ${sqlDotDet("x * x")} AS nrm FROM pe GROUP BY 1),
-         |dots AS (
-         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlDotDet("a.x * b.x")} AS dot
-         | FROM pe a JOIN pe b ON a.i = b.i AND a.label = b.label
-         |  AND a.vec_id < b.vec_id
-         | GROUP BY 1, 2)
+      s"""WITH e AS (
+         | SELECT vec_id, label, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings)
          |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM (
-         | SELECT vec_a, vec_b, dot / sqrt(na.nrm * nb.nrm) AS cos
-         | FROM dots JOIN norms na ON na.vec_id = vec_a
-         |  JOIN norms nb ON nb.vec_id = vec_b)
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  (${sqlDotFixed("a.v", "b.v", 64)}) / sqrt(a.nrm * b.nrm) AS cos
+         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object Multimodal {
         // frame-sample stub: first-KB slice of the payload, rehashed —
         // the batch shape of a thumbnail/frame extraction
         crc32(expr("substring(payload, 1, 1024)")).as("head_checksum"))
-      .orderBy("doc_id")
+      .transform(Gate.ordered("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _)

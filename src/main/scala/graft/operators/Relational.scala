@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Det._
+import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -100,7 +101,7 @@ object Relational {
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy("c_custkey")
+      .transform(Gate.ordered("c_custkey"))
 
   // -- q07: anti join (NOT EXISTS) -------------------------------------
   // Customers with no large order (> 400k). The filter is applied to the
@@ -120,7 +121,7 @@ object Relational {
     customer(s, d)
       .select(col("c_mktsegment"), col("c_nationkey"))
       .distinct()
-      .orderBy("c_mktsegment", "c_nationkey")
+      .transform(Gate.ordered("c_mktsegment", "c_nationkey"))
 
   // -- q09: union all + aggregate --------------------------------------
   def q09(s: SparkSession, d: String): DataFrame = {
@@ -141,7 +142,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-      .orderBy("o_custkey", "rn")
+      .transform(Gate.ordered("o_custkey", "rn"))
   }
 
   // -- q11: running cumulative sum per key -----------------------------
@@ -156,7 +157,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("running_total"))
-      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .transform(Gate.ordered("o_custkey", "o_orderdate", "o_orderkey"))
   }
 
   // -- q12: ROLLUP -----------------------------------------------------
@@ -242,7 +243,7 @@ object Relational {
     orders(s, d)
       .join(big, col("o_orderkey") === col("lok"))
       .select(col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
-      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .transform(Gate.orderedBy(col("sum_qty").desc, col("o_orderkey")))
   }
 
   // -- q19: CASE bucketing histogram -----------------------------------

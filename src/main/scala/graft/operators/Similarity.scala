@@ -25,42 +25,75 @@ object Similarity {
   private val DIM = 64
   private val SEED = 42L
 
-  /** Query vector as a 1-row broadcast frame — no driver-side collect. */
+  /** Query vector (with precomputed self-dot) as a 1-row broadcast frame
+    * — no driver-side collect.
+    */
   private def queryVec(s: SparkSession, d: String): DataFrame =
     broadcast(embeddings(s, d).filter(col("vec_id") === QUERY_VEC)
-      .select(col("embedding").as("qv")))
+      .select(col("embedding").as("qv"),
+        dotFixed("embedding", "embedding", DIM).as("qnrm")))
 
   // -- s01: exact top-k cosine neighbours --------------------------------
   def s01(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .filter(col("vec_id") =!= QUERY_VEC)
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
-      .select(col("vec_id"), cosineDet("embedding", "qv").as("cos"))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
       .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
 
   // -- s02: LSH-bucketed approximate top-k -------------------------------
-  // Candidates = vectors sharing the query's bucket in >=1 of the hash
-  // tables (posexplode + semi join on (table, bucket) — one shuffle over
-  // the *exploded index*, and at scale the index is pre-built/bucketed so
-  // a query touches only its own buckets). Exact cosine re-ranks the
-  // candidate set.
+  // Bucket index: explode vectors to (vec, dim, x) rows, broadcast-join
+  // the 4096-row hyperplane table, and reduce with codegen'd aggregates —
+  // dot per (vec, tbl, bit), then sign bits packed per (vec, tbl). Plane
+  // dots accumulate in compact decimal(18,12) (long-backed fast path) so
+  // bucket codes are partitioning-independent — a near-zero double dot
+  // could flip sign with summation order. Candidates = vectors sharing
+  // the query's bucket in >=1 table; exact cosine re-ranks them. At
+  // scale the index is pre-built, so a query touches only its own
+  // buckets.
   def s02(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .withColumn("buckets", lshBuckets("embedding", DIM, TABLES, NBITS, SEED))
-    val idx = e.select(col("vec_id"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val qIdx = broadcast(e.filter(col("vec_id") === QUERY_VEC)
-      .select(posexplode(col("buckets")).as(Seq("tbl", "bucket"))))
+    import s.implicits._
+    val planes = broadcast(
+      hyperplaneRows(DIM, TABLES, NBITS, SEED).toDF("tbl", "bit", "dim", "hval"))
+    // embeddings.parquet is a single file -> a single input partition;
+    // without an explicit repartition the whole x64 explode + plane-dot
+    // aggregation would run in ONE task (measured: the entire query's
+    // cost). The partition count is pinned because AQE would coalesce
+    // the small pre-explode shuffle back to one partition — it sizes by
+    // shuffle bytes and cannot see the 64x explode amplification behind
+    // it. Bucket values are unaffected (order-independent sums).
+    def buckets(vecs: DataFrame): DataFrame = vecs
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(planes, "dim")
+      .groupBy(col("vec_id"), col("tbl"), col("bit"))
+      .agg(sum((col("x").cast("double") * col("hval"))
+        .cast("decimal(18,12)")).as("dot"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("bucket"))
+    val idx = buckets(embeddings(s, d))
+    // filter BEFORE bucketing: the query's buckets come from a 1-row
+    // pipeline instead of re-deriving (and re-shuffling) the whole index
+    val qIdx = broadcast(
+      buckets(embeddings(s, d).filter(col("vec_id") === QUERY_VEC))
+        .select("tbl", "bucket"))
     val candidates = idx
       .join(qIdx, Seq("tbl", "bucket"), "left_semi")
       .filter(col("vec_id") =!= QUERY_VEC)
       .select("vec_id").distinct()
     embeddings(s, d)
       .join(candidates, Seq("vec_id"), "left_semi")
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
-      .select(col("vec_id"), cosineDet("embedding", "qv").as("cos"))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
       .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
@@ -74,20 +107,18 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // s02 is rows-only: its recall contract vs s01 is pinned in
     // SimilaritySpec (hash-seeded bucketing is not DuckDB-expressible).
+    // oracle mirrors the identical unrolled fixed-order double dot
+    // (sqlDotFixed) -> bit-equal cosines
     "s01_ann_bruteforce" ->
-      s"""WITH pe AS (
-         | SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |  CAST(unnest(embedding) AS DOUBLE) AS x
-         | FROM embeddings),
-         |norms AS (SELECT vec_id, ${sqlDotDet("x * x")} AS nrm FROM pe GROUP BY 1),
-         |dots AS (
-         | SELECT a.vec_id, ${sqlDotDet("a.x * q.x")} AS dot
-         | FROM pe a JOIN pe q ON a.i = q.i AND q.vec_id = $QUERY_VEC
-         | WHERE a.vec_id <> $QUERY_VEC GROUP BY 1)
+      s"""WITH e AS (
+         | SELECT vec_id, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings)
          |SELECT vec_id, ROUND(cos, 6) AS cosine FROM (
-         | SELECT d.vec_id, d.dot / sqrt(n.nrm * nq.nrm) AS cos
-         | FROM dots d JOIN norms n ON n.vec_id = d.vec_id
-         |  JOIN norms nq ON nq.vec_id = $QUERY_VEC)
+         | SELECT a.vec_id,
+         |  (${sqlDotFixed("a.v", "q.v", 64)}) / sqrt(a.nrm * q.nrm) AS cos
+         | FROM e a JOIN e q ON q.vec_id = $QUERY_VEC
+         | WHERE a.vec_id <> $QUERY_VEC)
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
   )
 }

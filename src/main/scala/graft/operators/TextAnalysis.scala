@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Gate
 import graft.Tables._
 import graft.functions.RollingFingerprint
 import graft.functions.TextFunctions._
@@ -28,7 +29,7 @@ object TextAnalysis {
       when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
     }
     // foldRight gives en > de > fr > es > zh tie preference
-    scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    scored.withColumn("lang_pred", pred).transform(Gate.ordered("doc_id"))
   }
 
   // -- t02: document quality score ---------------------------------------
@@ -49,7 +50,7 @@ object TextAnalysis {
         round(least(lit(1.0), col("n_tokens") / 100.0) *
           (lit(0.5) + lit(0.5) * col("distinct_ratio")) *
           (lit(1.0) - lit(0.2) * col("stop_ratio")), 6).as("quality"))
-      .orderBy("doc_id")
+      .transform(Gate.ordered("doc_id"))
 
   // -- t03: token statistics ---------------------------------------------
   // Whitespace tokens plus a BPE-ish subword segmentation (consonant/vowel
@@ -64,7 +65,7 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"),
           lit("[bcdfghjklmnpqrstvwxyz]+|[aeiou]+"), lit(0))).as("n_subtokens"),
         length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"))
-      .orderBy("doc_id")
+      .transform(Gate.ordered("doc_id"))
 
   // -- t04: rolling-hash document fingerprint ----------------------------
   // Custom Catalyst Expression (graft.functions.RollingFingerprint) with
@@ -74,7 +75,7 @@ object TextAnalysis {
   def t04(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), RollingFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+      .transform(Gate.ordered("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),

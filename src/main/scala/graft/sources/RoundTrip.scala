@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object RoundTrip {
     val path = s"$scratch/src01_csv"
     src.write.mode("overwrite").option("header", "true").csv(path)
     s.read.schema(src.schema).option("header", "true").csv(path)
-      .orderBy("c_custkey")
+      .transform(Gate.ordered("c_custkey"))
   }
 
   /** JSON-lines round-trip of `part`. */
@@ -38,7 +39,7 @@ object RoundTrip {
     val path = s"$scratch/src02_json"
     src.write.mode("overwrite").json(path)
     s.read.schema(src.schema).json(path)
-      .orderBy("p_partkey")
+      .transform(Gate.ordered("p_partkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

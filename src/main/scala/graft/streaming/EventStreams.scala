@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +42,7 @@ object EventStreams {
         countDistinct(col("user_id")).as("n_users"))
       .select(date_format(col("window.start"), TS_FMT).as("window_start"),
         col("n_events"), col("n_users"))
-      .orderBy("window_start")
+      .transform(Gate.ordered("window_start"))
 
   /** Streaming form: 2-hour watermark bounds state; late events beyond it
     * are dropped, windows finalize and evict.
@@ -102,7 +103,7 @@ object EventStreams {
         (closed ++ open.map(close(u, _))).iterator
       }
       .toDF()
-      .orderBy("user_id", "session_id")
+      .transform(Gate.ordered("user_id", "session_id"))
   }
 
   /** Streaming sessionization: state = the one open session per user.
