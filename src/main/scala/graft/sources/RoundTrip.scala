@@ -42,9 +42,36 @@ object RoundTrip {
       .transform(Gate.ordered("p_partkey"))
   }
 
+  /** Bucketed-write + co-located join: both sides written bucketBy the
+    * join key, so the join needs NO shuffle at read time — each task
+    * reads matching buckets from both tables. THE technique for repeated
+    * large-fact joins at 100 TB: the shuffle is paid once at write time,
+    * then every downstream join of the bucketed tables is exchange-free
+    * (asserted in RoundTripSpec on this very plan).
+    */
+  def src03(s: SparkSession, d: String): DataFrame = {
+    val path = s"$scratch/src03_bucketed"
+    customer(s, d).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$path/customer").saveAsTable("graft_customer_b")
+    orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$path/orders").saveAsTable("graft_orders_b")
+    // hint("merge"): at test SF the customer side is broadcast-sized, but
+    // the capability being demonstrated is the large-large case, where a
+    // sort-merge join over co-bucketed tables runs with NO exchange
+    s.table("graft_customer_b").hint("merge")
+      .join(s.table("graft_orders_b"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
-    "src02_json_roundtrip" -> (src02 _)
+    "src02_json_roundtrip" -> (src02 _),
+    "src03_bucketed_join" -> (src03 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -54,6 +81,11 @@ object RoundTrip {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "src02_json_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "src03_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         | ${graft.Det.sqlDsum("o_totalprice")} AS sum_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -19,4 +19,19 @@ class RoundTripSpec extends SparkSpec {
     assert(back.length == orig.length)
     orig.zip(back).foreach { case (o, b) => assert(o == b) }
   }
+
+  test("src03 bucketed join reads both sides without a shuffle") {
+    val df = RoundTrip.src03(spark, sfDir)
+    df.collect()
+    // AQE prints final + initial plans; assert on the FINAL one only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val joinSection = plan.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a bucket-able join:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-shuffle its inputs:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
