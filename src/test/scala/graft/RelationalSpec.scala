@@ -59,9 +59,8 @@ class RelationalSpec extends SparkSpec {
 
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("d03_dedup_minhash_lsh", "d04_dedup_simhash", "s02_ann_lsh",
-      "t04_fingerprint", "m01_multimodal_meta", "src01_csv_roundtrip",
-      "src02_json_roundtrip")
+    val rowsOnly = Set("d03_dedup_minhash_lsh", "d04_dedup_simhash",
+      "s02_ann_lsh", "t04_fingerprint", "m01_multimodal_meta")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
