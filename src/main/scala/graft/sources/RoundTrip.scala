@@ -68,10 +68,31 @@ object RoundTrip {
       .orderBy("c_mktsegment")
   }
 
+  /** Partitioned write + partition pruning: events land partitioned by
+    * day; a day-ranged read then touches only matching directories
+    * (PartitionFilters on the scan — asserted in RoundTripSpec). At
+    * 100 TB this is the difference between scanning a week and scanning
+    * three years.
+    */
+  def src04(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val path = s"$scratch/src04_partitioned"
+    Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .filter(col("day") <= "2024-01-07")
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
-    "src03_bucketed_join" -> (src03 _)
+    "src03_bucketed_join" -> (src03 _),
+    "src04_partitioned_prune" -> (src04 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -86,6 +107,11 @@ object RoundTrip {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          | ${graft.Det.sqlDsum("o_totalprice")} AS sum_price
          |FROM customer JOIN orders ON c_custkey = o_custkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src04_partitioned_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') <= '2024-01-07'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -34,4 +34,14 @@ class RoundTripSpec extends SparkSpec {
       s"bucketed join must not re-shuffle its inputs:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("src04 partition-ranged read prunes partitions at the scan") {
+    val df = RoundTrip.src04(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scan.contains("day"), s"day filter must prune partitions:\n$scan")
+    assert(df.count() == 7, "one row per day in the first week")
+  }
 }

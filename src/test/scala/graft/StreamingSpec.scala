@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st01 file-source stream (incremental feed files) equals batch twin") {
+    import spark.implicits._
+    // the reference's feed shape: import files arriving in a directory;
+    // stream them with the FILE source under an explicit schema
+    val dir = "/root/repo/target/roundtrip/st01_feed"
+    val batchDf = Tables.events(spark, sfDir).select("ts", "user_id")
+    val rows = batchDf.as[TsEv].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    spark.createDataset(h1).write.mode("overwrite").parquet(dir)
+    spark.createDataset(h2).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = EventStreams.hourlyCountsStream(stream)
+      .writeStream.format("memory").queryName("st01_file_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st01_file_out")
+        .orderBy("window_start").collect().toSeq
+      val batch = EventStreams.hourlyCounts(batchDf)
+        .orderBy("window_start").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
