@@ -11,14 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Cohort.queries ++ Dedup.queries ++
+    Relational.queries ++ Cohort.queries ++ Panels.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       graft.sources.RoundTrip.queries ++ graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Cohort.oracle ++ Dedup.oracle ++
+    Relational.oracle ++ Cohort.oracle ++ Panels.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
       graft.sources.RoundTrip.oracle ++ graft.streaming.EventStreams.oracle
 }
