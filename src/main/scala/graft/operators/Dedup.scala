@@ -40,16 +40,32 @@ object Dedup {
       .transform(Gate.ordered("keep_id"))
 
   // -- d02: word-3-gram Jaccard near-dup pairs ---------------------------
-  // Inverted-index self-join: docs pair up only through a shared shingle,
-  // so cost is sum over shingles of df(shingle)^2, not n_docs^2. At
-  // 100 TB the standard refinement is dropping ultra-common shingles
-  // (df > cap) before the join — a pure filter on the index.
+  // Inverted-index join with a DOCUMENT-FREQUENCY CAP on candidate
+  // generation: a stop-shingle appearing in k docs creates a k² join
+  // bucket, so shingles with df > DF_CAP are dropped from the index
+  // BEFORE the self-join (a broadcast anti-join — the common shingles
+  // are few by construction). Verification stays EXACT: shared/union
+  // counts come from the full uncapped index, so any pair that shares
+  // at least one sub-cap shingle gets its true Jaccard. Bounded bucket
+  // size makes the join cost linear in corpus size at 100 TB.
+  private val DF_CAP = 50
+
   def d02(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
+    val common = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
+      .select("shingle")
+    val ci = sh.join(broadcast(common), Seq("shingle"), "left_anti")
+    val cand = ci.toDF("sh_c", "doc_a")
+      .join(ci.toDF("sh_c", "doc_b"), "sh_c")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("doc_a", "sh_a")
-    val b = sh.toDF("doc_b", "sh_b")
-    val shared = a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+    // two-key equi-join (doc_b, shingle): only the SHARED shingles of
+    // each candidate pair survive, one row each
+    val shared = cand
+      .join(sh.toDF("doc_a", "shng"), "doc_a")
+      .join(sh.toDF("doc_b", "shng"), Seq("doc_b", "shng"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -167,12 +183,20 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // candidate generation df-capped exactly like the Spark side;
+    // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" ->
       s"""WITH $SQL_SHINGLES,
+         |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
+         | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |pairs AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | SELECT cand.doc_a, cand.doc_b, COUNT(*) AS shared
+         | FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
          | GROUP BY 1, 2)
          |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM (
          | SELECT doc_a, doc_b,

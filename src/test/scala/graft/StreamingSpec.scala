@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the 2-hour bound") {
+    import spark.implicits._
+    def ev(hour: Int, u: Long) =
+      TsEv(java.sql.Timestamp.valueOf(f"2024-06-01 $hour%02d:30:00"), u)
+    val input = MemoryStream[TsEv](spark)
+    // Append mode: a window only emits once its end passes the watermark,
+    // and events older than the watermark are dropped on arrival
+    val q = EventStreams.hourlyCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(ev(0, 1), ev(0, 2)))   // window 00:00
+      q.processAllAvailable()
+      input.addData(Seq(ev(6, 3)))             // watermark -> 04:30
+      q.processAllAvailable()
+      input.addData(Seq(ev(0, 4)))             // LATE: before watermark
+      q.processAllAvailable()
+      input.addData(Seq(ev(12, 5)))            // flush window 06:00
+      q.processAllAvailable()
+      val counts = spark.table("wm_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("2024-06-01 00:00:00.000000") == 2,
+        s"late event must be dropped, got $counts")
+      assert(counts("2024-06-01 06:00:00.000000") == 1)
+    } finally q.stop()
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
