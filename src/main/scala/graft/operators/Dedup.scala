@@ -23,9 +23,18 @@ object Dedup {
   private val JACCARD_T = 0.7
   private val COSINE_T = 0.4
 
+  /** documents.parquet is one file -> ONE input partition; every explode
+    * downstream would otherwise run single-task (same trap as s02's
+    * bucket index — pinned count because AQE sizes by bytes and cannot
+    * see the ~90x shingle amplification).
+    */
+  private def docsRepart(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Distinct (doc_id, shingle) pairs — the inverted-index rows. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsRepart(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles3("w")).as("shingle"))
 
@@ -51,29 +60,33 @@ object Dedup {
   private val DF_CAP = 50
 
   def d02(s: SparkSession, d: String): DataFrame = {
+    // the index joins/aggregates on the 8-byte shingle hash, not the
+    // ~30-byte string — cheaper shuffle and group comparisons; a 64-bit
+    // collision can only ADD a candidate, which the exact verify rejects
     val sh = shingleIndex(s, d)
-    val common = sh.groupBy(col("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val common = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
-      .select("shingle")
-    val ci = sh.join(broadcast(common), Seq("shingle"), "left_anti")
-    val cand = ci.toDF("sh_c", "doc_a")
-      .join(ci.toDF("sh_c", "doc_b"), "sh_c")
+      .select("h")
+    val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
+    // groupBy doubles as dedup of candidate pairs and partial-aggregates
+    // map-side (cheaper than distinct + re-join)
+    val cand = ci.toDF("h", "doc_a")
+      .join(ci.toDF("h", "doc_b"), "h")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // two-key equi-join (doc_b, shingle): only the SHARED shingles of
-    // each candidate pair survive, one row each
-    val shared = cand
-      .join(sh.toDF("doc_a", "shng"), "doc_a")
-      .join(sh.toDF("doc_b", "shng"), Seq("doc_b", "shng"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(cnt.toDF("doc_a", "n_a"), "doc_a")
-      .join(cnt.toDF("doc_b", "n_b"), "doc_b")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+      .select("doc_a", "doc_b")
+    // exact verify per candidate pair on the FULL shingle sets (array
+    // intersection/union — same shape as d03's verify)
+    val sets = docsRepart(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles3("w").as("sh"))
+    cand
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .transform(Gate.ordered("doc_a", "doc_b"))
@@ -95,7 +108,7 @@ object Dedup {
       .select(col("doc_id"), minhashSigCols(32).as("sig"))
     val bands = sig.select(col("doc_id"),
       posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
-    val base = documents(s, d)
+    val base = docsRepart(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shingles3("w").as("sh"))
     val cand = bands.toDF("doc_a", "band", "bucket")
@@ -121,7 +134,7 @@ object Dedup {
   def d04(s: SparkSession, d: String): DataFrame = {
     // per-bit counters via explode + 64 codegen'd sums, one shuffle on
     // doc_id with map-side partial aggregation
-    val hs = documents(s, d)
+    val hs = docsRepart(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy(col("doc_id"))
