@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Gate
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.C m01 — multimodal column plumbing.
@@ -44,6 +44,47 @@ object Multimodal {
         // the batch shape of a thumbnail/frame extraction
         crc32(expr("substring(payload, 1, 1024)")).as("head_checksum"))
       .transform(Gate.ordered("doc_id"))
+
+  /** Typed batch-decode shape: media rows flow through a per-partition
+    * iterator — the Scala analogue of a Pandas-UDF/mapInArrow decode
+    * stage, and the ONE place `mapPartitions` is the right tool (a codec
+    * call is opaque per-row compute no Catalyst expression can express).
+    * Real deployments put the actual image/audio codec inside
+    * `decodeOne`; here it is the same deterministic stub as m01's SQL
+    * path (asserted equal in MultimodalSpec). Partition-iterator
+    * processing keeps per-batch state (codec contexts, buffers)
+    * allocatable once per partition, not per row.
+    */
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int)
+
+  def decodeStubTyped(s: SparkSession, d: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    val in: Dataset[MediaIn] = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    in.mapPartitions { it =>
+      // per-partition setup would open the codec ONCE here
+      it.map(decodeOne)
+    }
+  }
+
+  /** Deterministic fake decode — mirrors m01's SQL-expression stub
+    * bit-for-bit: Spark's `xxhash64(payload)` is
+    * hashUnsafeBytes(payload, seed=42), and `xxhash64(payload, lit(i))`
+    * chains hashInt(i, <previous hash>).
+    */
+  private def decodeOne(m: MediaIn): MediaMeta = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h0 = XXH64.hashUnsafeBytes(m.payload,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, m.payload.length, 42L)
+    val h1 = XXH64.hashInt(1, h0)
+    val h2 = XXH64.hashInt(2, h0)
+    val fmt = Seq("jpeg", "png", "webp")(Math.floorMod(h0, 3L).toInt)
+    MediaMeta(m.doc_id, m.payload.length, fmt,
+      16 + Math.floorMod(h1, 2033L).toInt, 16 + Math.floorMod(h2, 2033L).toInt)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _)

@@ -204,6 +204,21 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderpriority")
 
+  // -- q15b: the 100 TB percentile path --------------------------------
+  // Exact percentile buffers EVERY group value; approx_percentile keeps
+  // a bounded mergeable sketch (Greenwald-Khanna) per group — constant
+  // memory per group at any scale. Rows-only gate (sketch results are
+  // engine-specific); RelationalSpec bounds its error against q15.
+  def q15b(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
+      .orderBy("o_orderpriority")
+
   // -- q16: moment-sum statistics (variance/stddev/corr) ---------------
   def q16(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity")
@@ -324,6 +339,7 @@ object Relational {
     "q13_cube" -> (q13 _),
     "q14_pivot_conditional" -> (q14 _),
     "q15_percentiles" -> (q15 _),
+    "q15b_percentiles_approx" -> (q15b _),
     "q16_stats" -> (q16 _),
     "q17_scalar_subquery" -> (q17 _),
     "q18_having" -> (q18 _),

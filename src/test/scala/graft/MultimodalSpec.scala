@@ -24,6 +24,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("typed mapPartitions decode matches the SQL-expression stub") {
+    val sqlSide = Multimodal.m01(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_bytes"),
+        r.getAs[String]("format"), r.getAs[Int]("width"), r.getAs[Int]("height")))
+      .toSet
+    val typedSide = Multimodal.decodeStubTyped(spark, sfDir).collect()
+      .map(m => (m.doc_id, m.n_bytes, m.format, m.width, m.height)).toSet
+    assert(typedSide == sqlSide)
+  }
+
   test("head slice checksum equals full checksum for sub-1KB payloads") {
     Multimodal.m01(spark, sfDir).collect()
       .filter(_.getAs[Int]("n_bytes") <= 1024)

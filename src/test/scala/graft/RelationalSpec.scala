@@ -42,6 +42,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q15b approx percentiles stay within 2.5% of exact") {
+    // exact percentile() INTERPOLATES between values; approx_percentile
+    // returns an actual data value — on sf0.001's ~300-value groups the
+    // neighbour gap alone is >1%, so the bound covers value spacing,
+    // not sketch error (which is ~0 at accuracy 10000 here)
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> Seq("p25", "p50", "p75", "p90")
+        .map(c => r.getAs[Double](c))).toMap
+    val exact = grab(Relational.q15(spark, sfDir))
+    val approx = grab(Relational.q15b(spark, sfDir))
+    exact.foreach { case (k, es) =>
+      es.zip(approx(k)).foreach { case (e, a) =>
+        assert(math.abs(e - a) / e < 0.025, s"$k: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("q12 rollup grand total equals row count") {
     val rows = Relational.q12(spark, sfDir).collect()
     val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
@@ -60,7 +77,8 @@ class RelationalSpec extends SparkSpec {
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d04_dedup_simhash",
-      "s02_ann_lsh", "t04_fingerprint", "m01_multimodal_meta")
+      "s02_ann_lsh", "t04_fingerprint", "m01_multimodal_meta",
+      "q15b_percentiles_approx")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
