@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.RollingFingerprint
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Pure-logic property tests (no SparkSession): the session fold that
+  * batch and streaming share, and the fingerprint reference.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val GAP = 30L * 60 * 1000000
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val evsGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 60)
+    ts <- Gen.listOfN(n, Gen.choose(0L, 6L * 3600 * 1000000))
+  } yield ts.zipWithIndex.map { case (t, i) => Ev(1L, i.toLong, t) }
+    .sortBy(e => (e.ts_us, e.event_id))
+
+  test("session fold is micro-batch-split invariant (batch == stream)") {
+    check(Prop.forAll(evsGen, Gen.choose(0, 60)) { (evs, rawCut) =>
+      val (closedAll, openAll) = EventStreams.advance(1L, None, evs)
+      val cut = math.min(rawCut, evs.size)
+      val (b1, b2) = evs.splitAt(cut)
+      val (c1, o1) = EventStreams.advance(1L, None, b1)
+      val (c2, o2) = EventStreams.advance(1L, o1, b2)
+      c1 ++ c2 == closedAll && o2 == openAll
+    })
+  }
+
+  test("sessions partition the events and split exactly at >30min gaps") {
+    check(Prop.forAll(evsGen) { evs =>
+      val (closed, open) = EventStreams.advance(1L, None, evs)
+      val all = closed ++ open.map(o =>
+        EventStreams.Session(1L, o.sessionId, o.nEvents, "", 0.0))
+      val counts = all.map(_.n_events).sum == evs.size
+      val ids = all.map(_.session_id) == (1L to all.size.toLong)
+      val boundary = evs.isEmpty || {
+        val gaps = evs.map(_.ts_us).sliding(2).count {
+          case Seq(a, b) => b - a > GAP
+          case _ => false
+        }
+        all.size == gaps + 1
+      }
+      counts && ids && boundary
+    })
+  }
+
+  test("fingerprint equals the naive min-over-windows polynomial hash") {
+    val strGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    check(Prop.forAll(strGen) { s =>
+      val w = RollingFingerprint.DefaultWindow
+      val b = RollingFingerprint.DefaultBase
+      val bytes = s.getBytes("UTF-8")
+      def polyHash(chunk: Array[Byte]): Long =
+        chunk.foldLeft(0L)((h, x) => h * b + (x & 0xff))
+      val naive =
+        if (bytes.length <= w) polyHash(bytes)
+        else bytes.sliding(w, 1).map(polyHash)
+          .reduce((a, c) => if (java.lang.Long.compareUnsigned(c, a) < 0) c else a)
+      RollingFingerprint.fingerprint(bytes, w, b) == naive
+    })
+  }
+}
