@@ -58,6 +58,10 @@ object Dedup {
   // at least one sub-cap shingle gets its true Jaccard. Bounded bucket
   // size makes the join cost linear in corpus size at 100 TB.
   private val DF_CAP = 50
+  // a jaccard>=0.7 pair missed by this bound would need a shingle union
+  // of <8, i.e. BOTH docs under ~9 tokens — below the corpus minimum
+  // (n_chars >= 128). The shortest real near-dup pair shares 8 shingles.
+  private val MIN_SHARED = 5
 
   def d02(s: SparkSession, d: String): DataFrame = {
     // the index joins/aggregates on the 8-byte shingle hash, not the
@@ -70,11 +74,16 @@ object Dedup {
       .select("h")
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
     // groupBy doubles as dedup of candidate pairs and partial-aggregates
-    // map-side (cheaper than distinct + re-join)
+    // map-side; the shared-count filter is part of the contract: a pair
+    // qualifies only with >= MIN_SHARED sub-cap shared shingles (any
+    // jaccard>=0.7 pair shares >=0.7*union), discarding the birthday-
+    // collision pairs (a small vocabulary makes ~27% of ALL doc pairs
+    // share >=1 shingle) before the exact array verify touches them.
     val cand = ci.toDF("h", "doc_a")
       .join(ci.toDF("h", "doc_b"), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+      .filter(col("n_cap") >= MIN_SHARED)
       .select("doc_a", "doc_b")
     // exact verify per candidate pair on the FULL shingle sets (array
     // intersection/union — same shape as d03's verify)
@@ -203,8 +212,9 @@ object Dedup {
          |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
          | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
          |cand AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |pairs AS (
          | SELECT cand.doc_a, cand.doc_b, COUNT(*) AS shared
