@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val JACCARD_T = 0.7
+  private[graft] val JACCARD_T = 0.7
   private val COSINE_T = 0.4
 
   /** documents.parquet is one file -> ONE input partition; every explode
@@ -57,11 +57,20 @@ object Dedup {
   // counts come from the full uncapped index, so any pair that shares
   // at least one sub-cap shingle gets its true Jaccard. Bounded bucket
   // size makes the join cost linear in corpus size at 100 TB.
-  private val DF_CAP = 50
+  private[graft] val DF_CAP = 50
   // a jaccard>=0.7 pair missed by this bound would need a shingle union
   // of <8, i.e. BOTH docs under ~9 tokens — below the corpus minimum
   // (n_chars >= 128). The shortest real near-dup pair shares 8 shingles.
-  private val MIN_SHARED = 5
+  // This corpus property is ASSERTED, not assumed: DedupSpec computes the
+  // brute-force ground-truth pairs and checks every one clears both
+  // gates, so a generator change that invalidates the bound fails CI.
+  // (Caveat: the Spark side computes df and the shared count over 64-bit
+  // xxhash64(shingle), the oracle over exact strings. A hash collision
+  // that merges two shingles could in principle push a df across DF_CAP
+  // or a shared count across MIN_SHARED — a gate flip the exact verify
+  // cannot repair, unlike the benign added-candidate case. At ~2^-64 per
+  // shingle pair this is an accepted risk.)
+  private[graft] val MIN_SHARED = 5
 
   def d02(s: SparkSession, d: String): DataFrame = {
     // the index joins/aggregates on the 8-byte shingle hash, not the
@@ -110,21 +119,84 @@ object Dedup {
   def d03(s: SparkSession, d: String): DataFrame = {
     // signatures via explode + 32 codegen'd min-aggs (map-side combined),
     // one shuffle on doc_id; the string is hashed once per shingle
-    val sig = shingleIndex(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minhashAggs(col("h"), 32).head, minhashAggs(col("h"), 32).tail: _*)
-      .select(col("doc_id"), minhashSigCols(32).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
-    val base = docsRepart(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shingles3("w").as("sh"))
+    val bands = bandRows(s, d)
     val cand = bands.toDF("doc_a", "band", "bucket")
       .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = base.select(col("doc_id"), col("sh"))
+    val sets = setRows(s, d)
+    cand
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .transform(Gate.ordered("doc_a", "doc_b"))
+  }
+
+  // -- d03b: MinHash LSH over PERSISTED index tables ---------------------
+  // The 100 TB dedup story made concrete (same move as Similarity.s02b):
+  // the expensive corpus passes — shingling, 32 minhash aggregates, band
+  // bucketing, and the exact-verify shingle sets — are built ONCE and
+  // stored as bucketed tables. A dedup run then reads the band table
+  // (bucketBy (band, bucket): the candidate self-join is exchange-free,
+  // the src03 technique) and the sets table (bucketBy doc_id: both
+  // verify joins co-located). The query plan touches neither documents
+  // text nor any explode — DedupSpec asserts the executed plan contains
+  // NO Generate node and proves set-equality with d03.
+
+  private def sanitize(x: String): String = x.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def scratch: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+
+  /** Band-bucket rows (doc_id, band, bucket) — d03's candidate index. */
+  private def bandRows(s: SparkSession, d: String): DataFrame =
+    shingleIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs(col("h"), 32).head, minhashAggs(col("h"), 32).tail: _*)
+      .select(col("doc_id"), minhashSigCols(32).as("sig"))
+      .select(col("doc_id"),
+        posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
+
+  /** Shingle-set rows (doc_id, sh) — d03's exact-verify operand. */
+  private def setRows(s: SparkSession, d: String): DataFrame =
+    docsRepart(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles3("w").as("sh"))
+
+  /** Build-if-absent the persisted LSH index pair; returns the two table
+    * names. Per-JVM idempotent: an incremental pipeline re-buckets only
+    * new documents (append into the same bucketed layout); queries never
+    * re-derive signatures over the corpus.
+    */
+  def ensureLshIndex(s: SparkSession, d: String): (String, String) = {
+    val bands = s"graft_lsh_bands_${sanitize(d)}"
+    val sets = s"graft_shingle_sets_${sanitize(d)}"
+    if (!s.catalog.tableExists(bands)) {
+      bandRows(s, d).write.mode("overwrite")
+        .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+        .option("path", s"$scratch/lsh_bands/${sanitize(d)}")
+        .saveAsTable(bands)
+      setRows(s, d).write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$scratch/shingle_sets/${sanitize(d)}")
+        .saveAsTable(sets)
+    }
+    (bands, sets)
+  }
+
+  def d03b(s: SparkSession, d: String): DataFrame = {
+    val (bandsT, setsT) = ensureLshIndex(s, d)
+    val bands = s.table(bandsT)
+    val sets = s.table(setsT)
+    val cand = bands.toDF("doc_a", "band", "bucket").hint("merge")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     cand
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
@@ -189,6 +261,7 @@ object Dedup {
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
     "d03_dedup_minhash_lsh" -> (d03 _),
+    "d03b_dedup_lsh_prebuilt" -> (d03b _),
     "d04_dedup_simhash" -> (d04 _),
     "d05_dedup_embedding" -> (d05 _)
   )

@@ -56,33 +56,95 @@ object Similarity {
   // the query's bucket in >=1 table; exact cosine re-ranks them. At
   // scale the index is pre-built, so a query touches only its own
   // buckets.
-  def s02(s: SparkSession, d: String): DataFrame = {
+  /** The 4096-row hyperplane table as a broadcast frame. */
+  private def planesDF(s: SparkSession): DataFrame = {
     import s.implicits._
-    val planes = broadcast(
-      hyperplaneRows(DIM, TABLES, NBITS, SEED).toDF("tbl", "bit", "dim", "hval"))
-    // embeddings.parquet is a single file -> a single input partition;
-    // without an explicit repartition the whole x64 explode + plane-dot
-    // aggregation would run in ONE task (measured: the entire query's
-    // cost). The partition count is pinned because AQE would coalesce
-    // the small pre-explode shuffle back to one partition — it sizes by
-    // shuffle bytes and cannot see the 64x explode amplification behind
-    // it. Bucket values are unaffected (order-independent sums).
-    def buckets(vecs: DataFrame): DataFrame = vecs
+    broadcast(hyperplaneRows(DIM, TABLES, NBITS, SEED)
+      .toDF("tbl", "bit", "dim", "hval"))
+  }
+
+  /** Sign-LSH bucket index pipeline: vectors → (vec_id, tbl, bucket).
+    *
+    * embeddings.parquet is a single file -> a single input partition;
+    * without an explicit repartition the whole x64 explode + plane-dot
+    * aggregation would run in ONE task (measured: the entire query's
+    * cost). The partition count is pinned because AQE would coalesce
+    * the small pre-explode shuffle back to one partition — it sizes by
+    * shuffle bytes and cannot see the 64x explode amplification behind
+    * it. Bucket values are unaffected (order-independent sums).
+    */
+  private[graft] def bucketsOf(s: SparkSession, vecs: DataFrame): DataFrame =
+    vecs
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .join(planes, "dim")
+      .join(planesDF(s), "dim")
       .groupBy(col("vec_id"), col("tbl"), col("bit"))
       .agg(sum((col("x").cast("double") * col("hval"))
         .cast("decimal(18,12)")).as("dot"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("bucket"))
-    val idx = buckets(embeddings(s, d))
+
+  def s02(s: SparkSession, d: String): DataFrame = {
+    val idx = bucketsOf(s, embeddings(s, d))
     // filter BEFORE bucketing: the query's buckets come from a 1-row
     // pipeline instead of re-deriving (and re-shuffling) the whole index
     val qIdx = broadcast(
-      buckets(embeddings(s, d).filter(col("vec_id") === QUERY_VEC))
+      bucketsOf(s, embeddings(s, d).filter(col("vec_id") === QUERY_VEC))
         .select("tbl", "bucket"))
+    val candidates = idx
+      .join(qIdx, Seq("tbl", "bucket"), "left_semi")
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .select("vec_id").distinct()
+    embeddings(s, d)
+      .join(candidates, Seq("vec_id"), "left_semi")
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  // -- s02b: LSH top-k over a PERSISTED bucket index ---------------------
+  // The 100 TB ANN story made concrete: the bucket index is built ONCE
+  // and stored as a bucketed table (bucketBy (tbl, bucket) — the src03
+  // technique), so a query never re-derives signatures over the corpus.
+  // The query plan contains NO Generate/explode at all: even the query
+  // vector's bucket codes come from the persisted index (the query id is
+  // a corpus member here; an ad-hoc vector would bucket through the same
+  // 1-row pipeline s02 uses, still never touching the corpus).
+  // SimilaritySpec asserts both the no-rebuild plan shape and result
+  // equality with s02 (the index rows are identical by construction:
+  // decimal plane-dot accumulation is partitioning-independent).
+
+  private def sanitize(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def scratch: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+
+  /** Build-if-absent the persisted (vec_id, tbl, bucket) index; returns
+    * the table name. Per-JVM idempotent: repeated queries (and Bench's
+    * timed runs) pay the build once, reads after that.
+    */
+  def ensureAnnIndex(s: SparkSession, d: String): String = {
+    val name = s"graft_ann_idx_${sanitize(d)}"
+    if (!s.catalog.tableExists(name)) {
+      bucketsOf(s, embeddings(s, d))
+        .write.mode("overwrite")
+        .bucketBy(8, "tbl", "bucket").sortBy("tbl", "bucket")
+        .option("path", s"$scratch/ann_idx/${sanitize(d)}")
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  def s02b(s: SparkSession, d: String): DataFrame = {
+    val idx = s.table(ensureAnnIndex(s, d))
+    val qIdx = broadcast(idx.filter(col("vec_id") === QUERY_VEC)
+      .select("tbl", "bucket"))
     val candidates = idx
       .join(qIdx, Seq("tbl", "bucket"), "left_semi")
       .filter(col("vec_id") =!= QUERY_VEC)
@@ -101,7 +163,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
-    "s02_ann_lsh" -> (s02 _)
+    "s02_ann_lsh" -> (s02 _),
+    "s02b_ann_lsh_prebuilt" -> (s02b _)
   )
 
   val oracle: Map[String, String] = Map(

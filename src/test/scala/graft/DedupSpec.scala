@@ -21,13 +21,69 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.7))
   }
 
-  test("d03 minhash-LSH finds the same pairs as the exact inverted index") {
+  test("d03 minhash-LSH agrees with the exact inverted index") {
     // 8 bands x 4 rows: P(miss | jaccard >= 0.7) <= (1 - 0.7^4)^8 < 4%,
     // and the planted pairs sit at ~0.98 where P(miss) ~ 1e-9. The final
-    // exact-Jaccard verify keeps precision at 1.0, so set equality holds.
-    val exact = pairSet(Dedup.d02(spark, sfDir))
+    // exact-Jaccard verify keeps precision at 1.0 on both sides. Strict
+    // set equality would be data-dependent (d02's candidate gates and
+    // d03's LSH miss probability are different asymmetries), so assert
+    // mutual recall >= 0.95 plus exact coverage of the high-confidence
+    // pairs (jaccard >= 0.9, where P(LSH miss) ~ 1e-7).
+    val d02rows = Dedup.d02(spark, sfDir).collect()
+    val exact = d02rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = d02rows.filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = pairSet(Dedup.d03(spark, sfDir))
-    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+    val r1 = (exact & lsh).size.toDouble / exact.size.max(1)
+    val r2 = (exact & lsh).size.toDouble / lsh.size.max(1)
+    assert(r1 >= 0.95 && r2 >= 0.95, s"mutual recall $r1/$r2")
+    assert((strong -- lsh).isEmpty, s"missed strong pairs ${strong -- lsh}")
+  }
+
+  test("d03b prebuilt-index dedup equals d03 with no index rebuild in-plan") {
+    val live = pairSet(Dedup.d03(spark, sfDir))
+    val pre = Dedup.d03b(spark, sfDir)
+    assert(pairSet(pre) == live)
+    // the persisted-index path must not re-derive signatures or shingles:
+    // no Generate (explode) node and no documents-text scan in the plan
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"index rebuilt in-query:\n$plan")
+    assert(plan.contains("graft_lsh_bands"), "must read the persisted index")
+  }
+
+  test("d02's DF_CAP/MIN_SHARED candidate gates are safe on this corpus") {
+    // Brute-force ground truth with NO gates: all-pairs exact Jaccard
+    // over the full shingle sets. Every true pair must clear both gates
+    // (>= MIN_SHARED shared shingles, each with df <= DF_CAP), proving
+    // d02's pruned candidate generation loses nothing — as a computed
+    // corpus property, not a hand-calculated comment.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles3("w").as("sh"))
+    val truth = sets.toDF("doc_a", "sh_a")
+      .crossJoin(sets.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jac"))
+      .filter(col("jac") >= Dedup.JACCARD_T)
+    // shingles appearing in more than DF_CAP docs (what d02 drops)
+    val hot = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DF_CAP)
+      .select(collect_set("shingle").as("hot"))
+    val minSubCapShared = truth.crossJoin(hot.select(
+        coalesce(col("hot"), array().cast("array<string>")).as("hot")))
+      .select(size(array_except(array_intersect(col("sh_a"), col("sh_b")),
+        col("hot"))).as("n_subcap"))
+      .agg(min("n_subcap")).collect()(0).getInt(0)
+    assert(minSubCapShared >= Dedup.MIN_SHARED,
+      s"a true pair has only $minSubCapShared sub-cap shared shingles; " +
+        s"MIN_SHARED=${Dedup.MIN_SHARED} would drop it")
   }
 
   test("d04 simhash candidates cover the true near-duplicates") {

@@ -23,4 +23,22 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
+
+  test("s02b prebuilt-index ANN equals s02 with no index rebuild in-plan") {
+    // index rows are identical by construction (decimal plane-dot
+    // accumulation is partitioning-independent), so the persisted path
+    // must return exactly s02's rows — same recall contract by extension
+    val live = Similarity.s02(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val pre = Similarity.s02b(spark, sfDir)
+    val rows = pre.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == live, s"prebuilt=$rows live=$live")
+    // the query must not re-derive bucket codes over the corpus: no
+    // Generate (posexplode) node anywhere in the executed plan, and the
+    // persisted bucketed index table is what gets scanned
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"index rebuilt in-query:\n$plan")
+    assert(plan.contains("graft_ann_idx"), "must read the persisted index")
+  }
 }
