@@ -92,6 +92,21 @@ object Cohort {
         round(expr("percentile(span_sec, 0.9)"), 4).as("p90"),
         round(expr("percentile(span_sec, 0.99)"), 4).as("p99"))
 
+  // -- c06b: bounded-memory LOS percentiles (the 100 TB path) ------------
+  // Same per-user spans, but approx_percentile: a mergeable GK sketch
+  // with constant memory per group, vs c06's exact percentile() which
+  // buffers every span. CohortSpec bounds its error against c06; the
+  // production plan at scale is this one.
+  def c06b(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
+        .as("span_sec"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("approx_percentile(span_sec, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(span_sec, 0.9, 10000)"), 4).as("p90"),
+        round(expr("approx_percentile(span_sec, 0.99, 10000)"), 4).as("p99"))
+
   // -- c07: per-concept numeric value distribution ------------------------
   def c07(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -181,6 +196,7 @@ object Cohort {
     "c04_hourly_census" -> (c04 _),
     "c05_weekday_profile" -> (c05 _),
     "c06_los_percentiles" -> (c06 _),
+    "c06b_los_percentiles_approx" -> (c06b _),
     "c07_value_distribution" -> (c07 _),
     "c08_retention_cohort" -> (c08 _),
     "c09_sessionize" -> (c09 _),

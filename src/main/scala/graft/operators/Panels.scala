@@ -3,6 +3,7 @@ package graft.operators
 import graft.Gate
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** i2b2-style panel-query COMPILER — the reference's headline capability
@@ -13,17 +14,31 @@ import org.apache.spark.sql.functions._
   * a disjunction of concept predicates with an occurrence bound
   * ("at least N times"), optional negation ("patients WITHOUT ..."),
   * optional value constraints, inside an optional observation window.
+  * Value constraints cover i2b2's NUMBER (range on nval_num ≈ `value`)
+  * and TEXT (equality/IN on a coded value ≈ the `props.k` code) forms.
+  *
+  * Scoping mirrors i2b2's query timing: `PatientScope` ("occurs ever",
+  * the default) vs `EncounterScope` ("same financial encounter" — every
+  * panel must be satisfied within ONE shared visit). A patient with
+  * a diagnosis in one ED visit and the triage code in another matches at
+  * patient scope but NOT at encounter scope.
   *
   * Compilation strategy (the §5 scale rule): ONE conditional-aggregate
   * pass over the fact table — per panel one `count(when(...))` column —
   * then a HAVING-style conjunction. A k-panel query costs a single scan
   * + one shuffle on patient id regardless of k; never per-panel
-  * self-joins.
+  * self-joins. Encounter scope adds only a per-user re-aggregation of
+  * the already-collapsed (user, encounter) rows — the second shuffle
+  * moves one row per encounter, not per event.
   */
 object Panels {
 
-  /** One concept predicate: event type + optional numeric value bound. */
-  case class Concept(eventType: String, minValue: Option[Double] = None)
+  /** One concept predicate: event type + optional value constraints
+    * (numeric range [minValue, maxValue) on `value`; categorical
+    * code-equality against the `props.k` coded value).
+    */
+  case class Concept(eventType: String, minValue: Option[Double] = None,
+      maxValue: Option[Double] = None, codeIn: Option[Seq[String]] = None)
 
   /** OR of concepts with an occurrence bound, or a NOT-panel (zero
     * matching events).
@@ -31,18 +46,50 @@ object Panels {
   case class Panel(concepts: Seq[Concept], minOccurrences: Long = 1,
       negated: Boolean = false)
 
+  /** Panel conjunction scope: per patient (ever) or per encounter (all
+    * panels inside one shared visit).
+    */
+  sealed trait Scope
+  case object PatientScope extends Scope
+  case object EncounterScope extends Scope
+
   /** AND of panels over an optional [from, until) event-time window. */
   case class CohortDef(panels: Seq[Panel], from: Option[String] = None,
-      until: Option[String] = None)
+      until: Option[String] = None, scope: Scope = PatientScope)
 
-  private def conceptMatch(c: Concept): Column = {
-    val base = col("event_type") === c.eventType
-    c.minValue.fold(base)(v => base && col("value") >= v)
+  private def conceptMatch(c: Concept): Column = Seq(
+    Some(col("event_type") === c.eventType),
+    c.minValue.map(col("value") >= _),
+    c.maxValue.map(col("value") < _),
+    c.codeIn.map(vs =>
+      get_json_object(col("props"), "$.k").isin(vs: _*)))
+    .flatten.reduce(_ && _)
+
+  /** Derive a visit (encounter) id by 30-minute-gap sessionization — the
+    * ED-visit proxy over a fact table with no explicit visit dimension
+    * (same rule as Cohort.c09). A fact table that already carries an
+    * `encounter_id` column skips this and feeds `cohort` directly.
+    */
+  def withEncounters(eventsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsDf
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("encounter_id", sum(col("is_new")).over(wCum))
+      .drop("prev_us", "is_new")
   }
 
   /** Compile a cohort definition against an `events`-shaped frame.
-    * Output: user_id + one `p<i>` occurrence count per panel, filtered
-    * to qualifying users.
+    *
+    * PatientScope output: user_id + one `p<i>` occurrence count per
+    * panel, filtered to qualifying users. EncounterScope (requires an
+    * `encounter_id` column, cf. withEncounters): user_id +
+    * n_encounters (qualifying visits) + per-panel counts summed over
+    * the qualifying visits.
     */
   def cohort(eventsDf: DataFrame, cd: CohortDef): DataFrame = {
     val windowed = Seq(
@@ -55,10 +102,22 @@ object Panels {
     val qualifies = cd.panels.zipWithIndex.map { case (p, i) =>
       if (p.negated) col(s"p$i") === 0 else col(s"p$i") >= p.minOccurrences
     }.reduce(_ && _)
-    windowed
-      .groupBy(col("user_id"))
-      .agg(panelCols.head, panelCols.tail: _*)
-      .filter(qualifies)
+    cd.scope match {
+      case PatientScope =>
+        windowed
+          .groupBy(col("user_id"))
+          .agg(panelCols.head, panelCols.tail: _*)
+          .filter(qualifies)
+      case EncounterScope =>
+        val rollup = count(lit(1)).as("n_encounters") +:
+          cd.panels.indices.map(i => sum(col(s"p$i")).as(s"p$i"))
+        windowed
+          .groupBy(col("user_id"), col("encounter_id"))
+          .agg(panelCols.head, panelCols.tail: _*)
+          .filter(qualifies)
+          .groupBy(col("user_id"))
+          .agg(rollup.head, rollup.tail: _*)
+    }
   }
 
   // -- c13: the API exercised through the oracle gate --------------------
@@ -76,8 +135,41 @@ object Panels {
   def c13(s: SparkSession, d: String): DataFrame =
     cohort(events(s, d), c13Def).transform(Gate.ordered("user_id"))
 
+  // -- c13b: value-constraint breadth (numeric range + categorical code) --
+  // Panel 1: at least 2 purchases with value in [50, 150); panel 2: at
+  // least one click whose coded value (props.k, i2b2 tval_char-style) is
+  // in a 10-code set — over the first two weeks.
+  val c13bDef: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(50.0),
+        maxValue = Some(150.0))), minOccurrences = 2),
+      Panel(Seq(Concept("click",
+        codeIn = Some((1 to 10).map(_.toString)))))),
+    from = Some("2024-01-01"), until = Some("2024-01-15"))
+
+  def c13b(s: SparkSession, d: String): DataFrame =
+    cohort(events(s, d), c13bDef).transform(Gate.ordered("user_id"))
+
+  // -- c14: same-encounter scoping ---------------------------------------
+  // "High-value purchase AND click in the SAME visit" — the i2b2
+  // same-encounter timing an ED analyst hits constantly ("diagnosis X
+  // AND triage Y in the same ED visit"). Patients whose purchase and
+  // click occur only in different visits are excluded (PanelsSpec proves
+  // the exclusion on a hand-built frame).
+  val c14Def: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(100.0)))),
+      Panel(Seq(Concept("click")))),
+    scope = EncounterScope)
+
+  def c14(s: SparkSession, d: String): DataFrame =
+    cohort(withEncounters(events(s, d)), c14Def)
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c13_panel_cohort_api" -> (c13 _)
+    "c13_panel_cohort_api" -> (c13 _),
+    "c13b_panel_value_constraints" -> (c13b _),
+    "c14_panel_same_encounter" -> (c14 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +182,46 @@ object Panels {
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
         |GROUP BY user_id
         |HAVING p0 >= 3 AND p1 = 0
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "c13b_panel_value_constraints" -> {
+      val codes = (1 to 10).map(c => s"'$c'").mkString(", ")
+      s"""SELECT user_id,
+         | COUNT(CASE WHEN event_type = 'purchase'
+         |   AND value >= 50.0 AND value < 150.0 THEN 1 END) AS p0,
+         | COUNT(CASE WHEN event_type = 'click'
+         |   AND (props->>'$$.k') IN ($codes) THEN 1 END) AS p1
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+         |GROUP BY user_id
+         |HAVING p0 >= 2 AND p1 >= 1
+         |ORDER BY user_id""".stripMargin
+    },
+    // same 30-min sessionization as c09, then the panel conjunction per
+    // (user, encounter) and a per-user roll-up of qualifying visits
+    "c14_panel_same_encounter" ->
+      """WITH se AS (
+        | SELECT user_id, event_type, value,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS encounter_id
+        | FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |   CASE WHEN prev_us IS NULL
+        |     OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM (SELECT user_id, event_id, ts, event_type, value,
+        |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev_us
+        |   FROM events))),
+        |enc AS (
+        | SELECT user_id, encounter_id,
+        |  COUNT(CASE WHEN event_type = 'purchase' AND value >= 100.0
+        |   THEN 1 END) AS p0,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS p1
+        | FROM se GROUP BY 1, 2
+        | HAVING p0 >= 1 AND p1 >= 1)
+        |SELECT user_id, COUNT(*) AS n_encounters,
+        | CAST(SUM(p0) AS BIGINT) AS p0, CAST(SUM(p1) AS BIGINT) AS p1
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,23 @@
+package graft
+
+import graft.operators.Cohort
+
+class CohortSpec extends SparkSpec {
+
+  test("c06b approx LOS percentiles stay within 2.5% of exact") {
+    // exact percentile() interpolates; approx_percentile returns an
+    // actual span value — the bound covers value spacing in the ~150
+    // per-user spans at sf0.001, not sketch error (~0 at accuracy 10000)
+    def grab(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getAs[Long]("n_users"),
+        Seq("p50", "p90", "p99").map(c => r.getAs[Double](c)))
+    }
+    val (nExact, exact) = grab(Cohort.c06(spark, sfDir))
+    val (nApprox, approx) = grab(Cohort.c06b(spark, sfDir))
+    assert(nExact == nApprox)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) / e < 0.025, s"exact $e vs approx $a")
+    }
+  }
+}

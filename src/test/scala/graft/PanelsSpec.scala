@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Panels
-import graft.operators.Panels.{Concept, CohortDef, Panel}
+import graft.operators.Panels.{Concept, CohortDef, EncounterScope, Panel}
 import java.sql.Timestamp
 
 case class PanelEv(user_id: Long, event_id: Long, ts: Timestamp,
@@ -46,6 +46,55 @@ class PanelsSpec extends SparkSpec {
       Panel(Seq(Concept("purchase", minValue = Some(100.0))), minOccurrences = 2)))
     val users = Panels.cohort(frame, cd).collect().map(_.getLong(0)).toSet
     assert(users == Set(4L))
+  }
+
+  test("categorical code and numeric-range constraints filter matches") {
+    import spark.implicits._
+    val f = Seq(
+      // user 1: purchase in [50,150) + click with code "7" -> qualifies
+      (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 99.0, """{"k": 3}"""),
+      (1L, 2L, Timestamp.valueOf("2024-01-02 12:00:00"), "click", 1.0, """{"k": 7}"""),
+      // user 2: purchase out of range (>= 150)
+      (2L, 3L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 150.0, """{"k": 3}"""),
+      (2L, 4L, Timestamp.valueOf("2024-01-02 12:00:00"), "click", 1.0, """{"k": 7}"""),
+      // user 3: click code not in the allowed set
+      (3L, 5L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 99.0, """{"k": 3}"""),
+      (3L, 6L, Timestamp.valueOf("2024-01-02 12:00:00"), "click", 1.0, """{"k": 99}""")
+    ).toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val cd = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(50.0), maxValue = Some(150.0)))),
+      Panel(Seq(Concept("click", codeIn = Some(Seq("7", "8")))))))
+    val users = Panels.cohort(f, cd).collect().map(_.getLong(0)).toSet
+    assert(users == Set(1L))
+  }
+
+  test("encounter scope excludes concepts split across visits") {
+    import spark.implicits._
+    val f = Seq(
+      // user 1: purchase + click inside ONE visit -> qualifies
+      (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, 1L),
+      (1L, 2L, Timestamp.valueOf("2024-01-01 12:05:00"), "click", 1.0, 1L),
+      // user 2: purchase in visit 1, click in visit 2 -> patient-scope
+      // only; the same-encounter conjunction must exclude it
+      (2L, 3L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, 1L),
+      (2L, 4L, Timestamp.valueOf("2024-01-03 12:00:00"), "click", 1.0, 2L)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value", "encounter_id")
+    val panels = Seq(
+      Panel(Seq(Concept("purchase"))), Panel(Seq(Concept("click"))))
+    val patient = Panels.cohort(f, CohortDef(panels))
+      .collect().map(_.getLong(0)).toSet
+    val encounter = Panels.cohort(f, CohortDef(panels, scope = EncounterScope))
+      .collect().map(_.getLong(0)).toSet
+    assert(patient == Set(1L, 2L))
+    assert(encounter == Set(1L), "cross-visit user 2 must be excluded")
+  }
+
+  test("c14 encounter-scope cohort is a subset of its patient-scope twin") {
+    val enc = Panels.c14(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val pat = Panels.cohort(Tables.events(spark, sfDir),
+        Panels.c14Def.copy(scope = Panels.PatientScope))
+      .collect().map(_.getLong(0)).toSet
+    assert(enc.nonEmpty && enc.subsetOf(pat))
   }
 
   test("the API reproduces c01 when given c01's definition") {

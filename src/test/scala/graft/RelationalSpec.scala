@@ -76,9 +76,10 @@ class RelationalSpec extends SparkSpec {
 
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("d03_dedup_minhash_lsh", "d04_dedup_simhash",
-      "s02_ann_lsh", "t04_fingerprint", "m01_multimodal_meta",
-      "q15b_percentiles_approx")
+    val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
+      "d04_dedup_simhash", "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
+      "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
+      "c06b_los_percentiles_approx")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
