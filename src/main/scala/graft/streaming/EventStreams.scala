@@ -87,20 +87,42 @@ object EventStreams {
     }
 
   /** Batch twin — typed Dataset path, gate-checked against c09's SQL
-    * oracle. Per-user groups sort in memory (sessions are per-user local;
-    * at 100 TB the same logic runs after a repartition+sortWithinPartitions
-    * secondary sort instead of a per-group sortBy).
+    * oracle, via a SECONDARY SORT: one shuffle on user_id, a
+    * per-partition sort on (user, ts, event_id) — Spark's external sort,
+    * spillable — then a single streaming fold over each partition. No
+    * per-group materialization anywhere: a pathological user with 10M
+    * events flows through in constant memory (one OpenSession of state),
+    * where a per-group `toVector.sortBy` would OOM the task.
     */
   def st02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val evs: Dataset[Ev] = events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
-    evs.groupByKey(_.user_id)
-      .flatMapGroups { (u: Long, it: Iterator[Ev]) =>
-        val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-        val (closed, open) = advance(u, None, sorted)
-        (closed ++ open.map(close(u, _))).iterator
+    evs
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[Ev]
+      .mapPartitions { it =>
+        // lazy fold over the sorted run: `advance` (the shared session
+        // fold) one event at a time; user boundaries close the previous
+        // user's open tail. The trailing `++` iterator flushes the last
+        // open session only after the partition is exhausted.
+        var curUser = Long.MinValue
+        var open: Option[OpenSession] = None
+        val closedRuns = it.flatMap { e =>
+          val boundary = if (open.isDefined && e.user_id != curUser) {
+            val c = close(curUser, open.get); open = None; Seq(c)
+          } else Nil
+          curUser = e.user_id
+          val (closed, stillOpen) = advance(e.user_id, open, Seq(e))
+          open = stillOpen
+          boundary ++ closed
+        }
+        closedRuns ++ new Iterator[Session] {
+          def hasNext: Boolean = open.isDefined
+          def next(): Session = { val c = close(curUser, open.get); open = None; c }
+        }
       }
       .toDF()
       .transform(Gate.ordered("user_id", "session_id"))
@@ -129,6 +151,39 @@ object EventStreams {
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionizeState)
   }
+
+  // ------------------------------------------------- exactly-once sink
+  /** Idempotent per-batch writer: the micro-batch lands as an overwrite
+    * of its own `batch_id=<n>` partition (dynamic partition overwrite),
+    * so a replayed batch — the crash-between-write-and-commit window —
+    * rewrites the identical partition instead of duplicating rows.
+    * Exposed separately from the sink so the spec can replay a batch id
+    * directly and assert idempotence.
+    */
+  def writeSessionBatch(batch: Dataset[Session], batchId: Long,
+      outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Exactly-once incremental session feed — the reference's
+    * transactional-import face (continuous feeds into the CRC schema,
+    * imported once each): checkpointed source offsets + stateful
+    * sessionization + the idempotent foreachBatch sink above. Restarting
+    * after a kill resumes from the checkpoint: committed batches are not
+    * re-read, an uncommitted batch is replayed onto its own partition.
+    */
+  def sessionSink(s: SparkSession, stream: Dataset[Ev], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sessionizeStream(s, stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Session], batchId: Long) =>
+        writeSessionBatch(batch, batchId, outDir))
+      .start()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),

@@ -121,6 +121,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink survives kill + checkpoint restart and batch replay") {
+    import spark.implicits._
+    import org.apache.commons.io.FileUtils
+    val base = "/root/repo/target/roundtrip/st03"
+    val (feed, out, ckpt) = (s"$base/feed", s"$base/out", s"$base/ckpt")
+    FileUtils.deleteQuietly(new java.io.File(base))
+
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev].collect().toSeq
+    val cut = evs.map(_.ts_us).sorted.apply(evs.size / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val sentinelTs = evs.map(_.ts_us).max + 365L * 24 * 3600 * 1000000
+    val sentinels = evs.map(_.user_id).distinct
+      .map(u => Ev(u, Long.MaxValue, sentinelTs))
+
+    def mkQuery() = EventStreams.sessionSink(spark,
+      spark.readStream.schema(spark.createDataset(b1).schema).parquet(feed)
+        .as[Ev], out, ckpt)
+
+    // incremental feed: first file arrives, query processes it, then the
+    // query is KILLED; more files land while it is down; a new query
+    // instance resumes from the checkpoint
+    spark.createDataset(b1).write.mode("overwrite").parquet(feed)
+    val q1 = mkQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.createDataset(b2).write.mode("append").parquet(feed)
+    spark.createDataset(sentinels).write.mode("append").parquet(feed)
+    val q2 = mkQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def sunk(): Seq[(Long, Long, Long, String, Double)] =
+      spark.read.parquet(out)
+        .select("user_id", "session_id", "n_events", "session_start", "dur_sec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSeq.sorted
+    val expected = graft.operators.Cohort.c09(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(sunk() == expected, "kill + restart must lose and duplicate nothing")
+
+    // crash-window replay: re-running a committed batch id must rewrite
+    // its partition, not append — the sink is idempotent per batch
+    // partition discovery infers batch_id=N dirs as int — normalize
+    val lastBatch = spark.read.parquet(out)
+      .agg(org.apache.spark.sql.functions.max(col("batch_id").cast("long")))
+      .collect()(0).getLong(0)
+    val replay = spark.read.parquet(s"$out/batch_id=$lastBatch").as[Session]
+    EventStreams.writeSessionBatch(replay, lastBatch, out)
+    assert(sunk() == expected, "replaying a batch must be a no-op")
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
