@@ -41,4 +41,16 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"index rebuilt in-query:\n$plan")
     assert(plan.contains("graft_ann_idx"), "must read the persisted index")
   }
+
+  test("s03 IVF top-k reaches recall@10 >= 0.7 against brute force") {
+    // random data is IVF's worst case too (no cluster structure, so
+    // k-means cells are arbitrary Voronoi regions); 2-way multi-
+    // assignment + 3-of-8 probes keeps recall at the s02 bar
+    val exact = Similarity.s01(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Similarity.s03(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
 }
