@@ -8,10 +8,23 @@ import org.apache.spark.sql.SparkSession
   * skipped, exactly as a cluster deployment would run (see Gate).
   * Failures are never silently timed: a failing query reports -1 and its
   * name lands in `failed`.
+  *
+  * Two-SF scaling curve: each query also runs at a 10x-smaller SF
+  * (`SPARK_GRAFT_SF2_DIR`, default sf0.01; set empty to skip) and the
+  * per-query ratio is reported. A ratio well beyond the 10x data ratio
+  * on a non-trivial baseline flags super-linear scaling. `loadavg`
+  * before/after makes contended runs self-identifying: if the 1-min
+  * load rivals the core count before the run starts, the numbers are
+  * measuring the sandbox's neighbours, not this engine.
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf2Dir = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,27 +35,52 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadavg()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+
+    def timeAll(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
         }
+        once() // warm-up: JIT + codegen + file-index caches (+ any
+               // build-once persisted indexes, which queries then READ)
+        val runs = Seq.fill(3)(once()).flatten
+        val med = if (runs.size == 3) runs.sorted.apply(1)
+          else { failed ::= name; -1.0 }
+        name -> med
       }
-      once() // warm-up: JIT + codegen + file-index caches
-      val runs = Seq.fill(3)(once()).flatten
-      val med = if (runs.size == 3) runs.sorted.apply(1)
-        else { failed ::= name; -1.0 }
-      name -> med
+
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+
+    val results = timeAll(sfDir)
+    val results2 = if (sf2Dir.nonEmpty) timeAll(sf2Dir) else Seq.empty
+    val r2map = results2.toMap
+    // ratio between the two SFs (data is 10x apart); super-linear =
+    // ratio > 15 on a baseline big enough (>= 0.3 s) to clear per-query
+    // fixed overhead noise
+    val ratios = results.flatMap { case (k, v) =>
+      r2map.get(k).filter(t2 => t2 > 0 && v >= 0).map(t2 => k -> v / t2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val superlinear = ratios.collect {
+      case (k, r) if r > 15.0 && r2map(k) >= 0.3 => k
+    }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val slJson = superlinear.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ratiosJson = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val sf2Json = if (results2.nonEmpty)
+      s""","queries_sf2":${json(results2)},"sf2":"$sf2Dir","scale_ratio":$ratiosJson,"superlinear":$slJson"""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir"$sf2Json,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }
