@@ -20,14 +20,24 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** @param uniqueCol a column of `big` whose per-row hash spreads rows
-    *                  of the same key uniformly (e.g. a row id).
+    *                  of the same key uniformly (e.g. a row id). A null
+    *                  value salts to 0 (the row lands in one bucket but
+    *                  is never dropped — the result is exactly the plain
+    *                  join's).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       uniqueCol: String, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(col(uniqueCol)), lit(salts)).cast("int"))
-    val expandedSmall = small.withColumn("__salt",
+    // collision-proof temp column: refuse inputs that already carry it
+    // rather than silently joining on a pre-existing column
+    val saltCol = "__graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs must not already have a $saltCol column")
+    // null-safe: xxhash64(null) is null, and a null salt would make the
+    // inner join DROP the row — coalesce to bucket 0 instead
+    val saltedBig = big.withColumn(saltCol,
+      pmod(coalesce(xxhash64(col(uniqueCol)), lit(0L)), lit(salts)).cast("int"))
+    val expandedSmall = small.withColumn(saltCol,
       explode(expr(s"sequence(0, ${salts - 1})")))
-    saltedBig.join(expandedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(expandedSmall, Seq(key, saltCol)).drop(saltCol)
   }
 }

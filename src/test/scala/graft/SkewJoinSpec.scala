@@ -20,6 +20,24 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("null unique-column rows survive the salted join") {
+    import spark.implicits._
+    val big = Seq((1L, Option(10L)), (1L, None), (2L, Option(20L)))
+      .toDF("k", "uid")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = SkewJoin.saltedJoin(big, small, "k", "uid", 4)
+    assert(out.count() == 3, "the null-uid row must not be dropped")
+  }
+
+  test("pre-existing salt column name is rejected, not silently joined") {
+    import spark.implicits._
+    val big = Seq((1L, 1L, 0)).toDF("k", "uid", "__graft_salt")
+    val small = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", "uid", 4)
+    }
+  }
+
   test("salt spreads a hot key across multiple partitions' sub-keys") {
     val e = Tables.events(spark, sfDir)
     val salts = e.select(col("user_id"),
