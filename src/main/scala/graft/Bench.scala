@@ -38,8 +38,13 @@ object Bench {
     val loadBefore = loadavg()
     var failed = List.empty[String]
 
+    // optional name filter (regex) for focused iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+
     def timeAll(dir: String): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+        .map { case (name, fn) =>
         def once(): Option[Double] = {
           val t0 = System.nanoTime()
           try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }

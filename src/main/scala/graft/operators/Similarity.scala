@@ -33,6 +33,23 @@ object Similarity {
       .select(col("embedding").as("qv"),
         dotFixed("embedding", "embedding", DIM).as("qnrm")))
 
+  /** Exact cosine re-rank of a candidate id set against the query: one
+    * semi-join into the fact, unrolled fixed-order dots, top-k via
+    * TakeOrderedAndProject (no full sort). Shared tail of every ANN
+    * variant.
+    */
+  private def rerank(s: SparkSession, d: String, candidates: DataFrame): DataFrame =
+    embeddings(s, d)
+      .join(candidates, Seq("vec_id"), "left_semi")
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+
   // -- s01: exact top-k cosine neighbours --------------------------------
   def s01(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -96,16 +113,7 @@ object Similarity {
       .join(qIdx, Seq("tbl", "bucket"), "left_semi")
       .filter(col("vec_id") =!= QUERY_VEC)
       .select("vec_id").distinct()
-    embeddings(s, d)
-      .join(candidates, Seq("vec_id"), "left_semi")
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
-      .crossJoin(queryVec(s, d))
-      .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
-          .as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(K)
-      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    rerank(s, d, candidates)
   }
 
   // -- s02b: LSH top-k over a PERSISTED bucket index ---------------------
@@ -149,16 +157,7 @@ object Similarity {
       .join(qIdx, Seq("tbl", "bucket"), "left_semi")
       .filter(col("vec_id") =!= QUERY_VEC)
       .select("vec_id").distinct()
-    embeddings(s, d)
-      .join(candidates, Seq("vec_id"), "left_semi")
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
-      .crossJoin(queryVec(s, d))
-      .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
-          .as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(K)
-      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    rerank(s, d, candidates)
   }
 
   // -- s03: IVF (inverted-file) ANN --------------------------------------
@@ -239,23 +238,63 @@ object Similarity {
       .join(probed, Seq("cid"), "left_semi")
       .filter(col("vec_id") =!= QUERY_VEC)
       .select("vec_id").distinct()
-    embeddings(s, d)
-      .join(candidates, Seq("vec_id"), "left_semi")
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+    rerank(s, d, candidates)
+  }
+
+  // -- s03b: IVF over a PERSISTED cell index -----------------------------
+  // Same amortization as s02b: the Lloyd build and the multi-assignment
+  // are paid once, the (vec_id, cid) cells and the K-row centroid table
+  // persisted; a query probes the centroid table, semi-joins the
+  // bucketed cell table, re-ranks. No Generate, no Lloyd in the plan.
+
+  /** Build-if-absent the persisted IVF index; returns (cells, centroids)
+    * table names.
+    */
+  def ensureIvfIndex(s: SparkSession, d: String): (String, String) = {
+    val cellsT = s"graft_ivf_cells_${sanitize(d)}"
+    val centT = s"graft_ivf_cent_${sanitize(d)}"
+    if (!s.catalog.tableExists(cellsT)) {
+      ivfCentroids(s, d).write.mode("overwrite")
+        .option("path", s"$scratch/ivf_cent/${sanitize(d)}")
+        .saveAsTable(centT)
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
+      cellScores(e, s.table(centT))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= IVF_ASSIGN)
+        .select("vec_id", "cid")
+        .write.mode("overwrite")
+        .bucketBy(8, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivf_cells/${sanitize(d)}")
+        .saveAsTable(cellsT)
+    }
+    (cellsT, centT)
+  }
+
+  def s03b(s: SparkSession, d: String): DataFrame = {
+    val (cellsT, centT) = ensureIvfIndex(s, d)
+    val probed = broadcast(s.table(centT)
       .crossJoin(queryVec(s, d))
-      .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
-          .as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(K)
-      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .select(col("cid"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(IVF_NPROBE).select("cid"))
+    val candidates = s.table(cellsT)
+      .join(probed, Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .select("vec_id").distinct()
+    rerank(s, d, candidates)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s02b_ann_lsh_prebuilt" -> (s02b _),
-    "s03_ann_ivf" -> (s03 _)
+    "s03_ann_ivf" -> (s03 _),
+    "s03b_ann_ivf_prebuilt" -> (s03b _)
   )
 
   val oracle: Map[String, String] = Map(

@@ -53,4 +53,18 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
+
+  test("s03b prebuilt IVF equals s03 with no index rebuild in-plan") {
+    // centroids are deterministic (decimal means, fixed seeding, tie-
+    // broken argmax), so the persisted cells equal the live assignment
+    val live = Similarity.s03(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val pre = Similarity.s03b(spark, sfDir)
+    val rows = pre.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == live, s"prebuilt=$rows live=$live")
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"index rebuilt in-query:\n$plan")
+    assert(plan.contains("graft_ivf_cells"), "must read the persisted index")
+  }
 }
