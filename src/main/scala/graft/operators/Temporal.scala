@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Gate
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — the clinical "what was active at the time
+  * of this observation" family (i2b2 temporal queries relate facts to
+  * the encounter/medication/state current at their timestamp).
+  *
+  * Spark has no ASOF or range join operator; the naive formulations
+  * (inequality join conditions) degenerate to BroadcastNestedLoopJoin —
+  * quadratic work, the classic 100 TB trap. Both operators here are
+  * re-expressed as ONE equi-shuffle plus local work:
+  *
+  *  - asofJoin: union both sides, one window pass per key ordered by
+  *    time — each left row picks up the latest right row at-or-before
+  *    it via last(ignoreNulls). One shuffle + one sort, zero joins.
+  *  - q26 binned range join: quantize time into bins sized to the range
+  *    width; a range predicate then only spans 2 adjacent bins, so an
+  *    equi-join on (key, bin) + exact residual filter replaces the
+  *    nested loop. Amplification is bounded (2 bins per probe row).
+  */
+object Temporal {
+
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** As-of join: each `left` row gains the payload of the latest `right`
+    * row with the same keys and `rightTs` <= `leftTs` (nulls if none).
+    * Payload = right's non-key, non-ts columns; their names must not
+    * collide with left's.
+    *
+    * One shuffle on `keys`, one per-partition sort on (__ts, side) —
+    * right rows sort before left rows at equal timestamps, so "<=" holds
+    * inclusively. Ties among right rows at the same (keys, ts) are
+    * resolved arbitrarily (sub-microsecond collisions; supply a
+    * tie-breaking payload column if the source can produce them).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val pick = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val collisions = pick.toSet & left.columns.toSet
+    require(collisions.isEmpty, s"right payload collides with left: $collisions")
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__r", lit(0))
+    val r = right.withColumn("__ts", col(rightTs)).drop(rightTs)
+      .withColumn("__r", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pick.foldLeft(u)((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__r") === 0)
+      .drop("__r", "__ts")
+  }
+
+  // -- q25: as-of join (purchase -> most recent prior view) --------------
+  // DuckDB's native ASOF LEFT JOIN is the oracle, so the union+window
+  // re-expression is value-checked against a reference implementation
+  // of the real operator semantics.
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), TS_FMT).as("purchase_ts"),
+        date_format(col("view_ts"), TS_FMT).as("last_view_ts"))
+      .transform(Gate.ordered("user_id", "event_id"))
+  }
+
+  // -- q26: binned range join (views in the hour before each purchase) ---
+  private val HOUR_US = 3600L * 1000000
+
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("p_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("v_bin", expr(s"v_us div $HOUR_US"))
+    // each purchase probes its own bin and the previous one — the 1-hour
+    // range spans at most 2 hour-bins; integer div keeps binning exact
+    val probes = purchases.withColumn("bin",
+      explode(expr(s"sequence((p_us - $HOUR_US) div $HOUR_US, p_us div $HOUR_US)")))
+    probes
+      .join(views,
+        probes("user_id") === views("v_user") && col("bin") === col("v_bin"),
+        "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(when(col("v_us") >= col("p_us") - HOUR_US &&
+        col("v_us") < col("p_us"), 1)).as("n_prior_views"))
+      .transform(Gate.ordered("user_id", "event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_asof_join" -> (q25 _),
+    "q26_range_join_binned" -> (q26 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_asof_join" ->
+      s"""SELECT p.user_id, p.event_id,
+         | strftime(p.ts, '$TS_FMT_SQL') AS purchase_ts,
+         | strftime(v.view_ts, '$TS_FMT_SQL') AS last_view_ts
+         |FROM (SELECT user_id, event_id, ts FROM events
+         |      WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT user_id AS v_user, ts AS view_ts FROM events
+         |      WHERE event_type = 'view') v
+         | ON p.user_id = v.v_user AND p.ts >= v.view_ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q26_range_join_binned" ->
+      s"""SELECT p.user_id, p.event_id, COUNT(v.v_us) AS n_prior_views
+         |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+         |      WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT user_id AS v_user, epoch_us(ts) AS v_us FROM events
+         |      WHERE event_type = 'view') v
+         | ON v.v_user = p.user_id AND v.v_us >= p.p_us - $HOUR_US
+         |  AND v.v_us < p.p_us
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
