@@ -96,17 +96,7 @@ object Dedup {
       .select("doc_a", "doc_b")
     // exact verify per candidate pair on the FULL shingle sets (array
     // intersection/union — same shape as d03's verify)
-    val sets = docsRepart(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shingles3("w").as("sh"))
-    cand
-      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= JACCARD_T)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    exactJaccard(cand, setRows(s, d))
       .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
@@ -124,15 +114,7 @@ object Dedup {
       .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = setRows(s, d)
-    cand
-      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= JACCARD_T)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    exactJaccard(cand, setRows(s, d))
       .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
@@ -152,9 +134,13 @@ object Dedup {
   private def scratch: String =
     sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
 
-  /** Band-bucket rows (doc_id, band, bucket) — d03's candidate index. */
-  private def bandRows(s: SparkSession, d: String): DataFrame =
-    shingleIndex(s, d)
+  /** Band-bucket rows (doc_id, band, bucket) for an arbitrary documents
+    * frame — d03's candidate index.
+    */
+  private def bandRowsOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles3("w")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(minhashAggs(col("h"), 32).head, minhashAggs(col("h"), 32).tail: _*)
@@ -162,41 +148,22 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(lshBands("sig", 8, 4)).as(Seq("band", "bucket")))
 
-  /** Shingle-set rows (doc_id, sh) — d03's exact-verify operand. */
-  private def setRows(s: SparkSession, d: String): DataFrame =
-    docsRepart(s, d)
+  private def bandRows(s: SparkSession, d: String): DataFrame =
+    bandRowsOf(s, documents(s, d))
+
+  /** Shingle-set rows (doc_id, sh) — the exact-verify operand. */
+  private def setRowsOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shingles3("w").as("sh"))
 
-  /** Build-if-absent the persisted LSH index pair; returns the two table
-    * names. Per-JVM idempotent: an incremental pipeline re-buckets only
-    * new documents (append into the same bucketed layout); queries never
-    * re-derive signatures over the corpus.
-    */
-  def ensureLshIndex(s: SparkSession, d: String): (String, String) = {
-    val bands = s"graft_lsh_bands_${sanitize(d)}"
-    val sets = s"graft_shingle_sets_${sanitize(d)}"
-    if (!s.catalog.tableExists(bands)) {
-      bandRows(s, d).write.mode("overwrite")
-        .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
-        .option("path", s"$scratch/lsh_bands/${sanitize(d)}")
-        .saveAsTable(bands)
-      setRows(s, d).write.mode("overwrite")
-        .bucketBy(8, "doc_id").sortBy("doc_id")
-        .option("path", s"$scratch/shingle_sets/${sanitize(d)}")
-        .saveAsTable(sets)
-    }
-    (bands, sets)
-  }
+  private def setRows(s: SparkSession, d: String): DataFrame =
+    setRowsOf(s, documents(s, d))
 
-  def d03b(s: SparkSession, d: String): DataFrame = {
-    val (bandsT, setsT) = ensureLshIndex(s, d)
-    val bands = s.table(bandsT)
-    val sets = s.table(setsT)
-    val cand = bands.toDF("doc_a", "band", "bucket").hint("merge")
-      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets — the shared tail of every MinHash variant.
+    */
+  private def exactJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
@@ -205,7 +172,84 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_T)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Build (overwrite) the persisted LSH index pair for a documents
+    * frame under the given tag; returns (bands, sets) table names.
+    */
+  def buildLshIndex(s: SparkSession, docs: DataFrame, tag: String)
+      : (String, String) = {
+    val bands = s"graft_lsh_bands_$tag"
+    val sets = s"graft_shingle_sets_$tag"
+    bandRowsOf(s, docs).write.mode("overwrite")
+      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .option("path", s"$scratch/lsh_bands/$tag")
+      .saveAsTable(bands)
+    setRowsOf(s, docs).write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$scratch/shingle_sets/$tag")
+      .saveAsTable(sets)
+    (bands, sets)
+  }
+
+  /** CDC-style incremental import: signatures and shingle sets are
+    * computed for the NEWLY ARRIVED docs only and appended into the
+    * bucketed layout — the corpus is never re-shingled. At 100 TB this
+    * turns dedup of a growing corpus from a full rebuild into work
+    * linear in the day's delta (pair discovery for the delta probes only
+    * the buckets the new docs land in, cf. lshPairsTouching).
+    */
+  def appendLshIndex(s: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    bandRowsOf(s, newDocs).write.mode("append")
+      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"graft_lsh_bands_$tag")
+    setRowsOf(s, newDocs).write.mode("append")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"graft_shingle_sets_$tag")
+  }
+
+  /** Build-if-absent the persisted LSH index for a test-SF dir. */
+  def ensureLshIndex(s: SparkSession, d: String): (String, String) = {
+    val tag = sanitize(d)
+    if (!s.catalog.tableExists(s"graft_lsh_bands_$tag"))
+      buildLshIndex(s, documents(s, d), tag)
+    (s"graft_lsh_bands_$tag", s"graft_shingle_sets_$tag")
+  }
+
+  /** All near-dup pairs from a persisted index (d03's semantics, zero
+    * signature derivation in-plan).
+    */
+  def lshPairsFromIndex(s: SparkSession, bandsT: String, setsT: String)
+      : DataFrame = {
+    val bands = s.table(bandsT)
+    val cand = bands.toDF("doc_a", "band", "bucket").hint("merge")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    exactJaccard(cand, s.table(setsT))
       .transform(Gate.ordered("doc_a", "doc_b"))
+  }
+
+  /** Near-dup pairs INVOLVING a given id set (e.g. today's delta): probe
+    * only the buckets those docs occupy — cost is proportional to the
+    * delta, not the corpus.
+    */
+  def lshPairsTouching(s: SparkSession, bandsT: String, setsT: String,
+      ids: DataFrame): DataFrame = {
+    val bands = s.table(bandsT)
+    val nb = bands.join(ids, Seq("doc_id"), "left_semi")
+    val cand = nb.toDF("doc_a", "band", "bucket")
+      .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    exactJaccard(cand, s.table(setsT))
+      .transform(Gate.ordered("doc_a", "doc_b"))
+  }
+
+  def d03b(s: SparkSession, d: String): DataFrame = {
+    val (bandsT, setsT) = ensureLshIndex(s, d)
+    lshPairsFromIndex(s, bandsT, setsT)
   }
 
   // -- d04: SimHash 64-bit near-dup -------------------------------------

@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_lsh_bands"), "must read the persisted index")
   }
 
+  test("incremental LSH index append equals a full rebuild, probing only the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val half = 250L
+    // day 1: index the old corpus; day 2: APPEND the delta — no re-
+    // shingling of day 1
+    Dedup.buildLshIndex(spark, docs.filter(col("doc_id") < half), "inc_test")
+    Dedup.appendLshIndex(spark, docs.filter(col("doc_id") >= half), "inc_test")
+    val full = pairSet(Dedup.d03(spark, sfDir))
+    // the appended index answers the full-corpus query identically
+    val viaIndex = pairSet(Dedup.lshPairsFromIndex(spark,
+      "graft_lsh_bands_inc_test", "graft_shingle_sets_inc_test"))
+    assert(viaIndex == full, s"missed=${full -- viaIndex} extra=${viaIndex -- full}")
+    // delta-only pair discovery: probe just the new docs' buckets and
+    // recover exactly the pairs involving a new doc
+    val touching = pairSet(Dedup.lshPairsTouching(spark,
+      "graft_lsh_bands_inc_test", "graft_shingle_sets_inc_test",
+      docs.filter(col("doc_id") >= half).select("doc_id")))
+    val expected = full.filter { case (a, b) => a >= half || b >= half }
+    assert(touching == expected,
+      s"missed=${expected -- touching} extra=${touching -- expected}")
+  }
+
   test("d02's DF_CAP/MIN_SHARED candidate gates are safe on this corpus") {
     // Brute-force ground truth with NO gates: all-pairs exact Jaccard
     // over the full shingle sets. Every true pair must clear both gates
