@@ -41,10 +41,13 @@ object Panels {
       maxValue: Option[Double] = None, codeIn: Option[Seq[String]] = None)
 
   /** OR of concepts with an occurrence bound, or a NOT-panel (zero
-    * matching events).
+    * matching events). `perEncounter` counts occurrences as DISTINCT
+    * visits containing a match (i2b2's "in at least N separate
+    * encounters") instead of raw fact count — requires an encounter_id
+    * column (cf. withEncounters).
     */
   case class Panel(concepts: Seq[Concept], minOccurrences: Long = 1,
-      negated: Boolean = false)
+      negated: Boolean = false, perEncounter: Boolean = false)
 
   /** Panel conjunction scope: per patient (ever) or per encounter (all
     * panels inside one shared visit).
@@ -97,7 +100,11 @@ object Panels {
       cd.until.map(u => col("ts") < lit(u).cast("timestamp")))
       .flatten.foldLeft(eventsDf)(_ filter _)
     val panelCols = cd.panels.zipWithIndex.map { case (p, i) =>
-      count(when(p.concepts.map(conceptMatch).reduce(_ || _), 1)).as(s"p$i")
+      val matches = p.concepts.map(conceptMatch).reduce(_ || _)
+      val c =
+        if (p.perEncounter) countDistinct(when(matches, col("encounter_id")))
+        else count(when(matches, 1))
+      c.as(s"p$i")
     }
     val qualifies = cd.panels.zipWithIndex.map { case (p, i) =>
       if (p.negated) col(s"p$i") === 0 else col(s"p$i") >= p.minOccurrences
@@ -166,10 +173,25 @@ object Panels {
     cohort(withEncounters(events(s, d)), c14Def)
       .transform(Gate.ordered("user_id"))
 
+  // -- c14b: occurrence over distinct encounters -------------------------
+  // "Purchases in at least 3 SEPARATE visits, and no errors" over the
+  // first week — i2b2's per-encounter occurrence constraint (3 purchases
+  // inside one visit do not qualify; the spec proves the distinction).
+  val c14bDef: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("purchase")), minOccurrences = 3, perEncounter = true),
+      Panel(Seq(Concept("error")), negated = true)),
+    from = Some("2024-01-01"), until = Some("2024-01-08"))
+
+  def c14b(s: SparkSession, d: String): DataFrame =
+    cohort(withEncounters(events(s, d)), c14bDef)
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
-    "c14_panel_same_encounter" -> (c14 _)
+    "c14_panel_same_encounter" -> (c14 _),
+    "c14b_panel_distinct_encounters" -> (c14b _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,6 +244,32 @@ object Panels {
         | HAVING p0 >= 1 AND p1 >= 1)
         |SELECT user_id, COUNT(*) AS n_encounters,
         | CAST(SUM(p0) AS BIGINT) AS p0, CAST(SUM(p1) AS BIGINT) AS p1
-        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same sessionization, then per-user: distinct purchase-visits vs
+    // raw error count over the windowed week
+    "c14b_panel_distinct_encounters" ->
+      """WITH se AS (
+        | SELECT user_id, event_type, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS encounter_id
+        | FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |   CASE WHEN prev_us IS NULL
+        |     OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM (SELECT user_id, event_id, ts, event_type,
+        |    LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev_us
+        |   FROM events)))
+        |SELECT user_id,
+        | COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |   THEN encounter_id END) AS p0,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
+        |FROM se
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY user_id
+        |HAVING p0 >= 3 AND p1 = 0
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -33,22 +33,38 @@ object Similarity {
       .select(col("embedding").as("qv"),
         dotFixed("embedding", "embedding", DIM).as("qnrm")))
 
-  /** Exact cosine re-rank of a candidate id set against the query: one
-    * semi-join into the fact, unrolled fixed-order dots, top-k via
-    * TakeOrderedAndProject (no full sort). Shared tail of every ANN
-    * variant.
+  /** Exact cosine re-rank of a candidate id set against a 1-row (qv,
+    * qnrm) query frame: one semi-join into the fact, unrolled
+    * fixed-order dots, top-k via TakeOrderedAndProject (no full sort).
+    * Shared tail of every ANN variant.
     */
-  private def rerank(s: SparkSession, d: String, candidates: DataFrame): DataFrame =
+  private def rerankAgainst(s: SparkSession, d: String, candidates: DataFrame,
+      q: DataFrame, k: Int = K): DataFrame =
     embeddings(s, d)
       .join(candidates, Seq("vec_id"), "left_semi")
       .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
-      .crossJoin(queryVec(s, d))
+      .crossJoin(q)
       .select(col("vec_id"),
         cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(K)
+      .limit(k)
       .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+
+  private def rerank(s: SparkSession, d: String, candidates: DataFrame): DataFrame =
+    rerankAgainst(s, d, candidates, queryVec(s, d))
+
+  /** An ad-hoc query vector as the 1-row (vec_id=-1, embedding) frame
+    * the bucketing/probing pipelines expect — no corpus membership
+    * required, no driver-side collect.
+    */
+  private def adhocVec(s: SparkSession, vec: Seq[Float]): DataFrame =
+    s.range(1).select(lit(-1L).as("vec_id"),
+      array(vec.map(v => lit(v)): _*).as("embedding"))
+
+  private def adhocQ(s: SparkSession, vec: Seq[Float]): DataFrame =
+    broadcast(adhocVec(s, vec).select(col("embedding").as("qv"),
+      dotFixed("embedding", "embedding", DIM).as("qnrm")))
 
   // -- s01: exact top-k cosine neighbours --------------------------------
   def s01(s: SparkSession, d: String): DataFrame =
@@ -287,6 +303,39 @@ object Similarity {
       .filter(col("vec_id") =!= QUERY_VEC)
       .select("vec_id").distinct()
     rerank(s, d, candidates)
+  }
+
+  // -- ad-hoc query API ---------------------------------------------------
+  // The serving face of the persisted indexes: an ARBITRARY vector (not a
+  // corpus member) is bucketed through the same 1-row pipeline and probed
+  // against the prebuilt tables. The corpus is touched only through the
+  // index and the final candidate re-rank — per-query cost is independent
+  // of corpus size up to the candidate set.
+
+  /** Top-k neighbours of an ad-hoc vector via the persisted LSH index. */
+  def annQueryLsh(s: SparkSession, d: String, vec: Seq[Float], k: Int = K)
+      : DataFrame = {
+    val idx = s.table(ensureAnnIndex(s, d))
+    val qIdx = broadcast(bucketsOf(s, adhocVec(s, vec)).select("tbl", "bucket"))
+    val candidates = idx.join(qIdx, Seq("tbl", "bucket"), "left_semi")
+      .select("vec_id").distinct()
+    rerankAgainst(s, d, candidates, adhocQ(s, vec), k)
+  }
+
+  /** Top-k neighbours of an ad-hoc vector via the persisted IVF index. */
+  def annQueryIvf(s: SparkSession, d: String, vec: Seq[Float], k: Int = K)
+      : DataFrame = {
+    val (cellsT, centT) = ensureIvfIndex(s, d)
+    val probed = broadcast(s.table(centT)
+      .crossJoin(adhocQ(s, vec))
+      .select(col("cid"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(IVF_NPROBE).select("cid"))
+    val candidates = s.table(cellsT)
+      .join(probed, Seq("cid"), "left_semi")
+      .select("vec_id").distinct()
+    rerankAgainst(s, d, candidates, adhocQ(s, vec), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -89,6 +89,25 @@ class PanelsSpec extends SparkSpec {
     assert(encounter == Set(1L), "cross-visit user 2 must be excluded")
   }
 
+  test("perEncounter occurrence counts distinct visits, not raw events") {
+    import spark.implicits._
+    val f = Seq(
+      // user 1: 3 purchases but all inside ONE visit -> fails >= 2 visits
+      (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, 1L),
+      (1L, 2L, Timestamp.valueOf("2024-01-01 12:05:00"), "purchase", 10.0, 1L),
+      (1L, 3L, Timestamp.valueOf("2024-01-01 12:10:00"), "purchase", 10.0, 1L),
+      // user 2: 2 purchases in 2 separate visits -> qualifies
+      (2L, 4L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, 1L),
+      (2L, 5L, Timestamp.valueOf("2024-01-03 12:00:00"), "purchase", 10.0, 2L)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value", "encounter_id")
+    val perVisit = CohortDef(Seq(
+      Panel(Seq(Concept("purchase")), minOccurrences = 2, perEncounter = true)))
+    val raw = CohortDef(Seq(
+      Panel(Seq(Concept("purchase")), minOccurrences = 2)))
+    assert(Panels.cohort(f, perVisit).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Panels.cohort(f, raw).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("c14 encounter-scope cohort is a subset of its patient-scope twin") {
     val enc = Panels.c14(spark, sfDir).collect().map(_.getLong(0)).toSet
     val pat = Panels.cohort(Tables.events(spark, sfDir),

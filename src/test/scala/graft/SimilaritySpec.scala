@@ -67,4 +67,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"index rebuilt in-query:\n$plan")
     assert(plan.contains("graft_ivf_cells"), "must read the persisted index")
   }
+
+  test("ad-hoc vector queries against the persisted indexes serve correctly") {
+    // feed vec 0's own embedding as an ad-hoc (non-member) query: the
+    // deterministic bucketing must land it in identical buckets/cells,
+    // so the top hit is vec 0 at cosine 1.0 and the tail reproduces the
+    // member-query results
+    val vec0 = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+
+    val lsh = Similarity.annQueryLsh(spark, sfDir, vec0, k = 11)
+    assert(ids(lsh).head == 0L)
+    assert(lsh.collect()(0).getDouble(1) == 1.0)
+    assert(ids(lsh).tail == ids(Similarity.s02(spark, sfDir)))
+
+    val ivf = Similarity.annQueryIvf(spark, sfDir, vec0, k = 11)
+    assert(ids(ivf).head == 0L)
+    assert(ids(ivf).tail == ids(Similarity.s03(spark, sfDir)))
+  }
 }
