@@ -60,7 +60,7 @@ object Panels {
   case class CohortDef(panels: Seq[Panel], from: Option[String] = None,
       until: Option[String] = None, scope: Scope = PatientScope)
 
-  private def conceptMatch(c: Concept): Column = Seq(
+  private[graft] def conceptMatch(c: Concept): Column = Seq(
     Some(col("event_type") === c.eventType),
     c.minValue.map(col("value") >= _),
     c.maxValue.map(col("value") < _),
