@@ -323,6 +323,22 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  // -- q27: INTERSECT / EXCEPT set operators ------------------------------
+  // The remaining ANSI set operators (q09 covers UNION): customers in
+  // the BUILDING segment split by whether they placed a >200k order.
+  // Both compile to aggregate-style dedup + a single shuffle each.
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigOrder = orders(s, d)
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigOrder).withColumn("tag", lit("both"))
+      .unionByName(building.except(bigOrder)
+        .withColumn("tag", lit("building_only")))
+      .select("tag", "c_custkey")
+      .transform(Gate.ordered("tag", "c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -348,7 +364,8 @@ object Relational {
     "q21_time_series" -> (q21 _),
     "q22_ratio_agg" -> (q22 _),
     "q23_json_extract" -> (q23 _),
-    "q24_outer_join_coalesce" -> (q24 _)
+    "q24_outer_join_coalesce" -> (q24 _),
+    "q27_intersect_except" -> (q27 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
@@ -520,6 +537,17 @@ object Relational {
         |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
         |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
         | ON nk_c = nk_s
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+    "q27_intersect_except" ->
+      """SELECT 'both' AS tag, c_custkey FROM (
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |UNION ALL
+        |SELECT 'building_only' AS tag, c_custkey FROM (
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY tag, c_custkey""".stripMargin
   )
 }

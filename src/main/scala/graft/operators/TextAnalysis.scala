@@ -77,11 +77,34 @@ object TextAnalysis {
       .select(col("doc_id"), RollingFingerprint(col("text")).as("fingerprint"))
       .transform(Gate.ordered("doc_id"))
 
+  // -- t05: deterministic train/val/test split ---------------------------
+  // Dataset splitting for training pipelines done CONTENT-ADDRESSABLY:
+  // the split is a pure function of the doc id's md5 (first hex byte
+  // thresholded at cd/e6 → ~80/10/10), so it is identical on every
+  // engine, every partitioning, and every rerun — no sampling seed to
+  // drift between the 100 TB run and the validation extract. (Spark's
+  // sample()/sampleBy are seed+partitioning dependent: unusable for a
+  // reproducible split contract.)
+  private def splitOf(idCol: Column): Column = {
+    val h = substring(md5(idCol.cast("string").cast("binary")), 1, 2)
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def t05(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("split", splitOf(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_stats" -> (t03 _),
-    "t04_fingerprint" -> (t04 _)
+    "t04_fingerprint" -> (t04 _),
+    "t05_train_split" -> (t05 _)
   )
 
   private def sqlHits(list: Seq[String]) =
@@ -119,6 +142,19 @@ object TextAnalysis {
         | len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]+|[aeiou]+'))
         |  AS n_subtokens,
         | length(replace(text, ' ', '')) AS n_chars_nospace
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical md5-hex thresholding in DuckDB -> identical split
+    "t05_train_split" ->
+      """SELECT split, COUNT(*) AS n_docs,
+        | CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        | COUNT(DISTINCT lang) AS n_langs
+        |FROM (SELECT *,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |    THEN 'train'
+        |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |    THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
