@@ -88,11 +88,41 @@ object RoundTrip {
       .orderBy("day")
   }
 
+  /** Small-file compaction: incremental feeds write one (small) file per
+    * micro-batch per partition; a year of hourly imports leaves tens of
+    * thousands of files whose per-file open/footer cost comes to
+    * dominate scans. src05 simulates the fragmented layout (40 writers
+    * per day), compacts with ONE shuffle clustering by partition key +
+    * maxRecordsPerFile as the size bound, and re-aggregates from the
+    * compacted copy. RoundTripSpec asserts the per-day file count
+    * collapses (~40 -> 1) with content unchanged; the oracle checks the
+    * aggregate against the original table.
+    */
+  def src05(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val frag = s"$scratch/src05_fragmented"
+    val compact = s"$scratch/src05_compacted"
+    Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(40)
+      .write.mode("overwrite").partitionBy("day").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(col("day"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .partitionBy("day").parquet(compact)
+    s.read.parquet(compact)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
     "src03_bucketed_join" -> (src03 _),
-    "src04_partitioned_prune" -> (src04 _)
+    "src04_partitioned_prune" -> (src04 _),
+    "src05_compaction" -> (src05 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -112,6 +142,10 @@ object RoundTrip {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE strftime(ts, '%Y-%m-%d') <= '2024-01-07'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src05_compaction" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -35,6 +35,24 @@ class RoundTripSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("src05 compaction collapses per-day file counts without losing rows") {
+    val total = Tables.events(spark, sfDir).count()
+    val out = RoundTrip.src05(spark, sfDir)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0) == total)
+    def filesPerDay(dir: String): Seq[Int] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    }
+    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+    val before = filesPerDay(s"$scratch/src05_fragmented")
+    val after = filesPerDay(s"$scratch/src05_compacted")
+    assert(before.nonEmpty && before.max >= 10,
+      s"fragmented layout should have many files/day, got ${before.max}")
+    assert(after.max <= 2, s"compacted layout still fragmented: ${after.max}")
+  }
+
   test("src04 partition-ranged read prunes partitions at the scan") {
     val df = RoundTrip.src04(spark, sfDir)
     df.collect()

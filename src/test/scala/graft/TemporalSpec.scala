@@ -31,6 +31,29 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin matches a brute-force reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, i.toLong,
+      new Timestamp(rnd.nextInt(100000) * 1000L)))
+    // distinct (key, ts) on the right so the expected pick is unique
+    val right = (1 to 300).map(i => (rnd.nextInt(10).toLong,
+        new Timestamp(rnd.nextInt(100000) * 1000L), s"p$i"))
+      .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+    val ldf = left.toDF("user_id", "event_id", "ts")
+    val rdf = right.toDF("user_id", "rts", "tag")
+    val got = Temporal.asofJoin(ldf, rdf, Seq("user_id"), "ts", "rts")
+      .select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, id, lts) =>
+      val expected = byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(lts))
+        .sortBy(_._2.getTime).lastOption.map(_._3).orNull
+      assert(got(id) == expected, s"left row $id (key $k, ts $lts)")
+    }
+  }
+
   test("q25/q26 compile to shuffles, never nested-loop joins") {
     // the naive inequality-join formulation of ASOF/range joins becomes
     // BroadcastNestedLoopJoin — the quadratic 100 TB trap these
