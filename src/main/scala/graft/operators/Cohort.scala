@@ -189,6 +189,27 @@ object Cohort {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- c15: obfuscated patient counts (i2b2/AKTIN privacy face) ----------
+  // The CRC never reports exact patient counts to federated queries: it
+  // jitters them and suppresses low counts. Here the jitter is
+  // DETERMINISTIC (derived from the group key's md5, ±3) rather than
+  // RNG-based, so the obfuscation is reproducible across engines and
+  // reruns — auditable privacy, and the one formulation an oracle can
+  // check. Low true counts clamp to the floor (suppression: "<10").
+  private val OBF_FLOOR = 10L
+
+  def c15(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_true"))
+      .withColumn("noise",
+        (ascii(substring(md5(col("event_type").cast("binary")), 1, 1)) % 7 - 3)
+          .cast("long"))
+      .select(col("event_type"),
+        greatest(col("n_true") + col("noise"), lit(OBF_FLOOR))
+          .as("n_patients_obf"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -202,7 +223,8 @@ object Cohort {
     "c09_sessionize" -> (c09 _),
     "c10_funnel" -> (c10 _),
     "c11_concept_daily" -> (c11 _),
-    "c12_repeat_visits" -> (c12 _)
+    "c12_repeat_visits" -> (c12 _),
+    "c15_obfuscated_counts" -> (c15 _)
   )
 
   private def nOfSql(t: String) =
@@ -305,6 +327,13 @@ object Cohort {
         |  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         | FROM events WHERE event_type = 'purchase')
         |WHERE gap_us IS NOT NULL AND gap_us <= 604800000000
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // identical md5-derived deterministic jitter on the oracle side
+    "c15_obfuscated_counts" ->
+      """SELECT event_type,
+        | GREATEST(COUNT(DISTINCT user_id)
+        |   + (ascii(substring(md5(event_type), 1, 1)) % 7 - 3), 10)
+        |  AS n_patients_obf
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

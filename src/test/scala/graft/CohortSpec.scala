@@ -20,4 +20,20 @@ class CohortSpec extends SparkSpec {
       assert(math.abs(e - a) / e < 0.025, s"exact $e vs approx $a")
     }
   }
+
+  test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
+    import org.apache.spark.sql.functions._
+    val truth = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val obf = Cohort.c15(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(obf.keySet == truth.keySet)
+    obf.foreach { case (k, o) =>
+      assert(o >= 10, s"$k below suppression floor")
+      assert(o == 10 || math.abs(o - truth(k)) <= 3,
+        s"$k: obf $o vs true ${truth(k)}")
+    }
+  }
 }
