@@ -86,12 +86,49 @@ object Multimodal {
       16 + Math.floorMod(h1, 2033L).toInt, 16 + Math.floorMod(h2, 2033L).toInt)
   }
 
+  // -- m02: frame sampling ------------------------------------------------
+  // The video-ingest batch shape: each asset explodes into strided
+  // fixed-width frame rows (video_id, frame_no, frame) which downstream
+  // stages feature-extract per-frame — the explode IS the real plumbing
+  // (a frames table partitionable independently of its source videos).
+  // Frames here are 64-char text slices every 256 chars (a codec-free
+  // deterministic stand-in for "decode every 4th 64-byte frame"); every
+  // asset yields at least its head frame. Value-checked by the oracle:
+  // the per-frame digest is md5 over the identical slice in DuckDB.
+  private val FRAME = 64
+  private val STRIDE_CHARS = 256
+
+  def m02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0L, greatest(length(text) div $STRIDE_CHARS, 1) - 1)"))
+          .as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        expr(s"substring(text, frame_no * $STRIDE_CHARS + 1, $FRAME)").as("frame"))
+      .select(col("doc_id"), col("frame_no"),
+        md5(col("frame").cast("binary")).as("frame_md5"),
+        length(col("frame")).as("frame_chars"))
+      .transform(Gate.ordered("doc_id", "frame_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal_meta" -> (m01 _)
+    "m01_multimodal_meta" -> (m01 _),
+    "m02_frame_sample" -> (m02 _)
   )
 
-  /** rows-only: xxhash64-derived stub fields are not DuckDB-expressible;
-    * schema/determinism are pinned by MultimodalSpec.
+  /** m01 is rows-only: xxhash64-derived stub fields are not
+    * DuckDB-expressible; schema/determinism are pinned by MultimodalSpec.
     */
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "m02_frame_sample" ->
+      s"""SELECT doc_id, i AS frame_no,
+         | md5(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))
+         |  AS frame_md5,
+         | length(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))
+         |  AS frame_chars
+         |FROM documents,
+         | LATERAL (SELECT unnest(range(0,
+         |   greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r
+         |ORDER BY doc_id, frame_no""".stripMargin
+  )
 }
