@@ -339,6 +339,26 @@ object Relational {
       .transform(Gate.ordered("tag", "c_custkey"))
   }
 
+  // -- q28: salted join under the oracle gate -----------------------------
+  // functions.SkewJoin as a first-class query: revenue by supplier
+  // nation through a SALTED lineitem⋈supplier join (each supplier key
+  // spread over 8 sub-keys by the per-row l_orderkey hash, supplier side
+  // replicated 8x). The oracle is the PLAIN join — proving salting is a
+  // pure execution-strategy change with identical semantics, the
+  // property that matters when a hot key at 100 TB forces it.
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val small = supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.functions.SkewJoin.saltedJoin(big, small, "suppkey", "l_orderkey", 8)
+      .groupBy(col("s_nationkey"))
+      .agg(graft.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -365,7 +385,8 @@ object Relational {
     "q22_ratio_agg" -> (q22 _),
     "q23_json_extract" -> (q23 _),
     "q24_outer_join_coalesce" -> (q24 _),
-    "q27_intersect_except" -> (q27 _)
+    "q27_intersect_except" -> (q27 _),
+    "q28_salted_skew_join" -> (q28 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
@@ -548,6 +569,11 @@ object Relational {
         | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         | EXCEPT
         | SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
-        |ORDER BY tag, c_custkey""".stripMargin
+        |ORDER BY tag, c_custkey""".stripMargin,
+    // the PLAIN join: salting must not change semantics
+    "q28_salted_skew_join" ->
+      s"""SELECT s_nationkey, ${sqlDsum(REV)} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

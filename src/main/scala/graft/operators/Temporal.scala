@@ -40,7 +40,8 @@ object Temporal {
     * tie-breaking payload column if the source can produce them).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val pick = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
     val collisions = pick.toSet & left.columns.toSet
     require(collisions.isEmpty, s"right payload collides with left: $collisions")
@@ -51,10 +52,20 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pick.foldLeft(u)((df, c) =>
+    val filled = pick.foldLeft(u)((df, c) =>
         df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-      .filter(col("__r") === 0)
-      .drop("__r", "__ts")
+      .withColumn("__rts",
+        last(when(col("__r") === 1, col("__ts")), ignoreNulls = true).over(w))
+    // tolerance: the picked row must also be no STALER than toleranceUs
+    // (pandas merge_asof's tolerance) — same single window pass, the
+    // staleness check just nulls the payload back out
+    val bounded = toleranceUs.fold(filled) { t =>
+      val fresh = col("__rts").isNotNull &&
+        unix_micros(col("__ts")) - unix_micros(col("__rts")) <= t
+      pick.foldLeft(filled)((df, c) =>
+        df.withColumn(c, when(fresh, col(c))))
+    }
+    bounded.filter(col("__r") === 0).drop("__r", "__ts", "__rts")
   }
 
   // -- q25: as-of join (purchase -> most recent prior view) --------------
@@ -71,6 +82,22 @@ object Temporal {
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), TS_FMT).as("purchase_ts"),
         date_format(col("view_ts"), TS_FMT).as("last_view_ts"))
+      .transform(Gate.ordered("user_id", "event_id"))
+  }
+
+  // -- q25b: as-of join with tolerance (view no staler than 1 hour) ------
+  // DuckDB's ASOF has no tolerance clause, so the oracle is the exact
+  // aggregate formulation (max view ts within the window per purchase).
+  def q25b(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        toleranceUs = Some(HOUR_US))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("view_ts"), TS_FMT).as("recent_view_ts"))
       .transform(Gate.ordered("user_id", "event_id"))
   }
 
@@ -100,6 +127,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join" -> (q25 _),
+    "q25b_asof_tolerance" -> (q25b _),
     "q26_range_join_binned" -> (q26 _)
   )
 
@@ -114,6 +142,16 @@ object Temporal {
          |      WHERE event_type = 'view') v
          | ON p.user_id = v.v_user AND p.ts >= v.view_ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q25b_asof_tolerance" ->
+      s"""SELECT p.user_id, p.event_id,
+         | strftime(MAX(v.vts), '$TS_FMT_SQL') AS recent_view_ts
+         |FROM (SELECT user_id, event_id, ts FROM events
+         |      WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT user_id AS v_user, ts AS vts FROM events
+         |      WHERE event_type = 'view') v
+         | ON v.v_user = p.user_id AND v.vts <= p.ts
+         |  AND epoch_us(p.ts) - epoch_us(v.vts) <= $HOUR_US
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q26_range_join_binned" ->
       s"""SELECT p.user_id, p.event_id, COUNT(v.v_us) AS n_prior_views
          |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events

@@ -46,8 +46,9 @@ class RoundTripSpec extends SparkSpec {
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
     }
     val scratch = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
-    val before = filesPerDay(s"$scratch/src05_fragmented")
-    val after = filesPerDay(s"$scratch/src05_compacted")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val before = filesPerDay(s"$scratch/src05_fragmented/$tag")
+    val after = filesPerDay(s"$scratch/src05_compacted/$tag")
     assert(before.nonEmpty && before.max >= 10,
       s"fragmented layout should have many files/day, got ${before.max}")
     assert(after.max <= 2, s"compacted layout still fragmented: ${after.max}")

@@ -45,12 +45,22 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.asofJoin(ldf, rdf, Seq("user_id"), "ts", "rts")
       .select("event_id", "tag").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tolUs = 30000L * 1000000
+    val gotTol = Temporal.asofJoin(ldf, rdf, Seq("user_id"), "ts", "rts",
+        toleranceUs = Some(tolUs))
+      .select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val byKey = right.groupBy(_._1)
     left.foreach { case (k, id, lts) =>
-      val expected = byKey.getOrElse(k, Seq.empty)
+      val latest = byKey.getOrElse(k, Seq.empty)
         .filter(!_._2.after(lts))
-        .sortBy(_._2.getTime).lastOption.map(_._3).orNull
+        .sortBy(_._2.getTime).lastOption
+      val expected = latest.map(_._3).orNull
+      val expectedTol = latest
+        .filter(r => (lts.getTime - r._2.getTime) * 1000L <= tolUs)
+        .map(_._3).orNull
       assert(got(id) == expected, s"left row $id (key $k, ts $lts)")
+      assert(gotTol(id) == expectedTol, s"tolerance: left row $id")
     }
   }
 
