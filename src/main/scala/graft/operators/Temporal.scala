@@ -125,10 +125,40 @@ object Temporal {
       .transform(Gate.ordered("user_id", "event_id"))
   }
 
+  // -- c16: bounded temporal sequencing ----------------------------------
+  /** i2b2 temporal-builder sequence: users whose FIRST `first` event is
+    * followed by a `second` event within `withinUs` — (user, ts of the
+    * first A, ts of the first qualifying B). One aggregate + one
+    * equi-join on user, exact-bounded by the residual time filter
+    * (c02's unbounded "A before B" with the gap constraint the real
+    * query builder has).
+    */
+  def followedBy(events: DataFrame, first: String, second: String,
+      withinUs: Long): DataFrame = {
+    val fa = events.filter(col("event_type") === first)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_a"))
+    events.filter(col("event_type") === second)
+      .join(fa, "user_id")
+      .filter(col("ts") > col("ts_a") &&
+        unix_micros(col("ts")) - unix_micros(col("ts_a")) <= withinUs)
+      .groupBy(col("user_id"), col("ts_a"))
+      .agg(min(col("ts")).as("ts_b"))
+  }
+
+  private val WEEK_US = 7L * 24 * 3600 * 1000000
+
+  def c16(s: SparkSession, d: String): DataFrame =
+    followedBy(events(s, d), "signup", "purchase", WEEK_US)
+      .select(col("user_id"),
+        date_format(col("ts_a"), TS_FMT).as("first_signup"),
+        date_format(col("ts_b"), TS_FMT).as("first_purchase_within_7d"))
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join" -> (q25 _),
     "q25b_asof_tolerance" -> (q25b _),
-    "q26_range_join_binned" -> (q26 _)
+    "q26_range_join_binned" -> (q26 _),
+    "c16_sequence_within" -> (c16 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +190,17 @@ object Temporal {
          |      WHERE event_type = 'view') v
          | ON v.v_user = p.user_id AND v.v_us >= p.p_us - $HOUR_US
          |  AND v.v_us < p.p_us
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "c16_sequence_within" ->
+      s"""SELECT e.user_id,
+         | strftime(a.ts_a, '$TS_FMT_SQL') AS first_signup,
+         | strftime(MIN(e.ts), '$TS_FMT_SQL') AS first_purchase_within_7d
+         |FROM events e JOIN (
+         | SELECT user_id, MIN(ts) AS ts_a FROM events
+         | WHERE event_type = 'signup' GROUP BY 1) a
+         | ON e.user_id = a.user_id
+         |WHERE e.event_type = 'purchase' AND e.ts > a.ts_a
+         | AND epoch_us(e.ts) - epoch_us(a.ts_a) <= $WEEK_US
+         |GROUP BY 1, a.ts_a ORDER BY 1""".stripMargin
   )
 }
