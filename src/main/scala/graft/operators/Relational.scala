@@ -359,6 +359,31 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  // -- q29: column profiling (import-validation face) --------------------
+  // The DWH loader's data-quality pass: per-column null counts, distinct
+  // cardinality, range and checksum-style sum — ONE scan computing every
+  // column's stats as parallel aggregates, then stack() unpivots to the
+  // (column, stats) report shape. At 100 TB swap countDistinct for
+  // approx_count_distinct (HLL, mergeable) — the scan count stays one.
+  private val PROFILE_COLS = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: PROFILE_COLS.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"),
+      dsum(col(c)).as(s"sum_$c")))
+    val stackArgs = PROFILE_COLS.map(c =>
+      s"'$c', n_rows - n_$c, nd_$c, min_$c, max_$c, sum_$c").mkString(", ")
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${PROFILE_COLS.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -386,7 +411,8 @@ object Relational {
     "q23_json_extract" -> (q23 _),
     "q24_outer_join_coalesce" -> (q24 _),
     "q27_intersect_except" -> (q27 _),
-    "q28_salted_skew_join" -> (q28 _)
+    "q28_salted_skew_join" -> (q28 _),
+    "q29_column_profile" -> (q29 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
@@ -574,6 +600,13 @@ object Relational {
     "q28_salted_skew_join" ->
       s"""SELECT s_nationkey, ${sqlDsum(REV)} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_column_profile" -> {
+      val sections = PROFILE_COLS.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS min_v,
+           | MAX($c) AS max_v, ${sqlDsum(c)} AS sum_v FROM lineitem""".stripMargin)
+      sections.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }
