@@ -36,12 +36,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavg()
+    // per-SF failure lists: a query failing at both SFs must not appear
+    // twice, and an sf2-only failure must not discredit the primary run
     var failed = List.empty[String]
+    var failedSf2 = List.empty[String]
 
     // optional name filter (regex) for focused iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
 
-    def timeAll(dir: String): Seq[(String, Double)] =
+    def timeAll(dir: String, recordFailure: String => Unit): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
         .map { case (name, fn) =>
@@ -57,16 +60,22 @@ object Bench {
                // build-once persisted indexes, which queries then READ)
         val runs = Seq.fill(3)(once()).flatten
         val med = if (runs.size == 3) runs.sorted.apply(1)
-          else { failed ::= name; -1.0 }
+          else { recordFailure(name); -1.0 }
         name -> med
       }
 
+    // Locale.ROOT: the default locale may render a comma decimal
+    // separator, which would break the JSON line
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
     def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
         .mkString("{", ",", "}")
 
-    val results = timeAll(sfDir)
-    val results2 = if (sf2Dir.nonEmpty) timeAll(sf2Dir) else Seq.empty
+    val results = timeAll(sfDir, n => failed ::= n)
+    val results2 =
+      if (sf2Dir.nonEmpty) timeAll(sf2Dir, n => failedSf2 ::= n) else Seq.empty
     val r2map = results2.toMap
     // ratio between the two SFs (data is 10x apart); super-linear =
     // ratio > 15 on a baseline big enough (>= 0.3 s) to clear per-query
@@ -79,11 +88,12 @@ object Bench {
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed2Json = failedSf2.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slJson = superlinear.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ratiosJson = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+    val ratiosJson = ratios.map { case (k, r) => "\"" + k + "\":" + num(r, 2) }
       .mkString("{", ",", "}")
     val sf2Json = if (results2.nonEmpty)
-      s""","queries_sf2":${json(results2)},"sf2":"$sf2Dir","scale_ratio":$ratiosJson,"superlinear":$slJson"""
+      s""","queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"superlinear":$slJson"""
       else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir"$sf2Json,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()

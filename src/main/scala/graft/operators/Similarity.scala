@@ -206,9 +206,11 @@ object Similarity {
     val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    // deterministic seeding: the K lowest vec_ids
-    var cent: DataFrame = e.filter(col("vec_id") < IVF_K)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c"))
+    // deterministic seeding: the K lowest vec_ids (TakeOrdered — no
+    // assumption that the id domain is dense or zero-based)
+    var cent: DataFrame = e.orderBy("vec_id").limit(IVF_K)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("vec_id")) - 1).as("cid"), col("embedding").as("c"))
     for (_ <- 1 to IVF_ITERS) {
       // hard assignment: max_by with a (score, -cid) struct — partial-
       // aggregatable (no window sort) and deterministically tie-broken
@@ -234,7 +236,10 @@ object Similarity {
     val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    val cent = ivfCentroids(s, d)
+    // cache the K-row centroid table: BOTH consumers below (cell
+    // assignment and query probe) reference it, and uncached each would
+    // re-run the full Lloyd chain over the corpus
+    val cent = ivfCentroids(s, d).cache()
     // multi-assign each vector to its IVF_ASSIGN nearest cells
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))

@@ -43,29 +43,39 @@ object Temporal {
       leftTs: String, rightTs: String,
       toleranceUs: Option[Long] = None): DataFrame = {
     val pick = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
-    val collisions = pick.toSet & left.columns.toSet
-    require(collisions.isEmpty, s"right payload collides with left: $collisions")
+    val internal = Seq("__ts", "__r", "__p")
+    val collisions = (pick.toSet & left.columns.toSet) ++
+      internal.filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(collisions.isEmpty,
+      s"column collision (right payload vs left, or reserved __ts/__r/__p): $collisions")
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__r", lit(0))
-    val r = right.withColumn("__ts", col(rightTs)).drop(rightTs)
+    // equality-join semantics: null keys never match, so null-key right
+    // rows contribute nothing (null-key left rows pass through with a
+    // null payload — they partition alone)
+    val r = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__ts", col(rightTs)).drop(rightTs)
       .withColumn("__r", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = pick.foldLeft(u)((df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-      .withColumn("__rts",
-        last(when(col("__r") === 1, col("__ts")), ignoreNulls = true).over(w))
-    // tolerance: the picked row must also be no STALER than toleranceUs
-    // (pandas merge_asof's tolerance) — same single window pass, the
-    // staleness check just nulls the payload back out
-    val bounded = toleranceUs.fold(filled) { t =>
-      val fresh = col("__rts").isNotNull &&
-        unix_micros(col("__ts")) - unix_micros(col("__rts")) <= t
-      pick.foldLeft(filled)((df, c) =>
-        df.withColumn(c, when(fresh, col(c))))
+    // the payload is carried as ONE struct per right row (its ts
+    // included), so the left row picks up the latest right ROW
+    // atomically — per-column last() would tear multi-column payloads
+    // across rows and resurrect older values under nulls
+    val payload = struct(pick.map(col) :+ col("__ts").as("__rts"): _*)
+    val filled = u.withColumn("__p",
+      last(when(col("__r") === 1, payload), ignoreNulls = true).over(w))
+    // tolerance: the picked ROW must be no staler than toleranceUs
+    // (pandas merge_asof's tolerance) — same single window pass
+    val fresh = toleranceUs.fold(col("__p").isNotNull) { t =>
+      col("__p").isNotNull &&
+        unix_micros(col("__ts")) - unix_micros(col("__p.__rts")) <= t
     }
-    bounded.filter(col("__r") === 0).drop("__r", "__ts", "__rts")
+    pick.foldLeft(filled)((df, c) =>
+        df.withColumn(c, when(fresh, col(s"__p.$c"))))
+      .filter(col("__r") === 0)
+      .drop("__r", "__ts", "__p")
   }
 
   // -- q25: as-of join (purchase -> most recent prior view) --------------

@@ -48,6 +48,11 @@ object CohortStreams {
   def cohortStream(s: SparkSession, stream: DataFrame, cd: CohortDef)
       : Dataset[CohortUpdate] = {
     import s.implicits._
+    // encounter-aware definitions need per-visit state the flag-vector
+    // fold does not carry — refuse them rather than silently evaluating
+    // at patient scope
+    require(cd.scope == Panels.PatientScope && cd.panels.forall(!_.perEncounter),
+      "cohortStream supports PatientScope definitions without perEncounter")
     val flagged = panelFlags(stream, cd).as[PanelFlags]
     flagged.groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], CohortUpdate](

@@ -23,6 +23,32 @@ class TemporalSpec extends SparkSpec {
     assert(out(12L) == null, "no right rows for the key -> null payload")
   }
 
+  test("asofJoin picks whole rows: nulls in the latest row do not resurrect older values") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("12:10")), (2L, 11L, ts("12:10")))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (Option(1L), ts("11:00"), Option("a"), Option("x1")),
+      (Option(1L), ts("12:00"), Option.empty[String], Option("x2")),
+      // null-key right row: must match nothing (equality-join semantics)
+      (Option.empty[Long], ts("12:05"), Option("z"), Option("zz")))
+      .toDF("user_id", "rts", "tag", "extra")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "rts")
+      .select("event_id", "tag", "extra").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // user 1's latest row is (null, x2): tag stays null — per-column
+    // fill would tear the payload and resurrect "a" from 11:00
+    assert(out(10L) == (null, "x2"))
+    assert(out(11L) == (null, null), "user 2 has no (non-null-key) right rows")
+    // tolerance measures the picked ROW's staleness: 5 min excludes
+    // nothing for user 1 (12:00 is 10 min back? no — 10 > 5, excluded)
+    val tol = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "rts",
+        toleranceUs = Some(5L * 60 * 1000000))
+      .select("event_id", "extra").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tol(10L) == null, "latest row is 10 min stale > 5 min tolerance")
+  }
+
   test("asofJoin rejects payload columns that collide with the left side") {
     import spark.implicits._
     val f = Seq((1L, ts("12:00"), "x")).toDF("user_id", "ts", "event_id")
