@@ -157,6 +157,36 @@ object Panels {
   def c13b(s: SparkSession, d: String): DataFrame =
     cohort(events(s, d), c13bDef).transform(Gate.ordered("user_id"))
 
+  // -- c13c: panels over a patient-bucketed fact table -------------------
+  // The deployment layout for the i2b2 face at 100 TB: observation_fact
+  // stored bucketBy(patient). Every panel query groups by patient, so
+  // the ONE shuffle a panel query normally pays disappears — the
+  // conditional-aggregate pass runs entirely shuffle-free on co-located
+  // buckets. Same src03 technique, applied to the engine's most-used
+  // query family. PanelsSpec asserts the aggregation plan contains NO
+  // Exchange; the oracle (shared with c13) proves identical results.
+
+  private def sanitizeTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def scratch: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+
+  /** Build-if-absent the patient-bucketed events table. */
+  def ensureBucketedEvents(s: SparkSession, d: String): String = {
+    val name = s"graft_events_by_user_${sanitizeTag(d)}"
+    if (!s.catalog.tableExists(name)) {
+      events(s, d).write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$scratch/events_by_user/${sanitizeTag(d)}")
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  def c13c(s: SparkSession, d: String): DataFrame =
+    cohort(s.table(ensureBucketedEvents(s, d)), c13Def)
+      .transform(Gate.ordered("user_id"))
+
   // -- c14: same-encounter scoping ---------------------------------------
   // "High-value purchase AND click in the SAME visit" — the i2b2
   // same-encounter timing an ED analyst hits constantly ("diagnosis X
@@ -190,21 +220,27 @@ object Panels {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
+    "c13c_panel_prebucketed" -> (c13c _),
     "c14_panel_same_encounter" -> (c14 _),
     "c14b_panel_distinct_encounters" -> (c14b _)
   )
 
+  private val C13_SQL =
+    """SELECT user_id,
+      | COUNT(CASE WHEN (event_type = 'purchase' AND value >= 100.0)
+      |   OR event_type = 'click' THEN 1 END) AS p0,
+      | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |GROUP BY user_id
+      |HAVING p0 >= 3 AND p1 = 0
+      |ORDER BY user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "c13_panel_cohort_api" ->
-      """SELECT user_id,
-        | COUNT(CASE WHEN (event_type = 'purchase' AND value >= 100.0)
-        |   OR event_type = 'click' THEN 1 END) AS p0,
-        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
-        |GROUP BY user_id
-        |HAVING p0 >= 3 AND p1 = 0
-        |ORDER BY user_id""".stripMargin,
+    "c13_panel_cohort_api" -> C13_SQL,
+    // identical definition, identical results — only the storage layout
+    // (and the resulting shuffle-free plan) differs
+    "c13c_panel_prebucketed" -> C13_SQL,
     "c13b_panel_value_constraints" -> {
       val codes = (1 to 10).map(c => s"'$c'").mkString(", ")
       s"""SELECT user_id,
