@@ -259,6 +259,11 @@ object Dedup {
   // Candidates by pigeonhole: hamming(a,b) <= 7 implies at least one of 8
   // 8-bit chunks is identical, so pairs meet through a chunk-bucket join
   // (one shuffle on (chunk, value)); verification is bit_count(xor).
+  // Scale honesty: 8-bit chunks give only 256 buckets per position, so
+  // bucket sizes grow as corpus/2048 — fine to ~10M docs, but at
+  // billions the standard moves are a tighter radius with wider chunks
+  // (hamming <= 3 over 4x16-bit chunks = 65536 buckets/position) or a
+  // second chunk as in-bucket prefilter before the exact xor.
   def d04(s: SparkSession, d: String): DataFrame = {
     // per-bit counters via explode + 64 codegen'd sums, one shuffle on
     // doc_id with map-side partial aggregation

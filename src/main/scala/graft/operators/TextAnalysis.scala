@@ -99,12 +99,40 @@ object TextAnalysis {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  // -- t06: deterministic mixture sampling -------------------------------
+  // Training-mixture construction: downsample each language stratum at
+  // its own rate (upweight scarce languages, downweight English) with
+  // the same content-addressed mechanism as t05 — keep a doc iff its
+  // md5-hex prefix falls under the stratum's threshold. The mixture is
+  // a pure function of (doc_id, lang): identical on every engine,
+  // partitioning and rerun, and REFINABLE (raising a rate strictly
+  // grows the sample — thresholds are nested).
+  private val MIX_RATES = Seq(
+    "en" -> 0.25, "de" -> 1.0, "es" -> 0.75, "fr" -> 1.0, "zh" -> 0.5)
+
+  private def hex4(rate: Double): String =
+    "%04x".formatLocal(java.util.Locale.ROOT, (rate * 65536).toLong)
+
+  def t06(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val keep = MIX_RATES.map { case (l, r) =>
+      if (r >= 1.0) col("lang") === l
+      else col("lang") === l && h < hex4(r)
+    }.reduce(_ || _)
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_stats" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
-    "t05_train_split" -> (t05 _)
+    "t05_train_split" -> (t05 _),
+    "t06_mixture_sample" -> (t06 _)
   )
 
   private def sqlHits(list: Seq[String]) =
@@ -143,6 +171,16 @@ object TextAnalysis {
         |  AS n_subtokens,
         | length(replace(text, ' ', '')) AS n_chars_nospace
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t06_mixture_sample" -> {
+      val conds = MIX_RATES.map { case (l, r) =>
+        if (r >= 1.0) s"lang = '$l'"
+        else s"(lang = '$l' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)" +
+          s" < '${hex4(r)}')"
+      }.mkString("\n   OR ")
+      s"""SELECT lang, COUNT(*) AS n_total,
+         | COUNT(CASE WHEN $conds THEN 1 END) AS n_sampled
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // identical md5-hex thresholding in DuckDB -> identical split
     "t05_train_split" ->
       """SELECT split, COUNT(*) AS n_docs,
