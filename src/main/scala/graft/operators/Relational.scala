@@ -384,6 +384,26 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** q29b: the 100 TB profile — approx_count_distinct (HLL, mergeable,
+    * constant memory) replaces the exact distinct's expand+shuffle;
+    * everything else identical. RelationalSpec bounds its error vs q29.
+    */
+  def q29b(s: SparkSession, d: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: PROFILE_COLS.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      approx_count_distinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"),
+      dsum(col(c)).as(s"sum_$c")))
+    val stackArgs = PROFILE_COLS.map(c =>
+      s"'$c', n_rows - n_$c, nd_$c, min_$c, max_$c, sum_$c").mkString(", ")
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${PROFILE_COLS.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -412,7 +432,8 @@ object Relational {
     "q24_outer_join_coalesce" -> (q24 _),
     "q27_intersect_except" -> (q27 _),
     "q28_salted_skew_join" -> (q28 _),
-    "q29_column_profile" -> (q29 _)
+    "q29_column_profile" -> (q29 _),
+    "q29b_column_profile_approx" -> (q29b _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"

@@ -59,6 +59,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q29b approx distinct counts stay within 10% of exact") {
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = grab(Relational.q29(spark, sfDir))
+    val approx = grab(Relational.q29b(spark, sfDir))
+    exact.foreach { case (c, e) =>
+      assert(math.abs(approx(c) - e).toDouble / e.max(1) <= 0.10,
+        s"$c: exact $e vs approx ${approx(c)}")
+    }
+  }
+
   test("q12 rollup grand total equals row count") {
     val rows = Relational.q12(spark, sfDir).collect()
     val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
@@ -80,7 +91,7 @@ class RelationalSpec extends SparkSpec {
       "d04_dedup_simhash", "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
-      "c06b_los_percentiles_approx")
+      "c06b_los_percentiles_approx", "q29b_column_profile_approx")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Panels, Temporal}
+import graft.operators.Panels.{CohortDef, Concept, EncounterScope, Panel}
+import java.sql.Timestamp
+
+/** Degenerate-input behavior: operators must return empty/null-padded
+  * results, never crash, when a side of the computation is empty —
+  * at 100 TB a partition, day, or stratum being empty is routine.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Timestamp, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+  }
+
+  test("panel compiler returns an empty cohort on an empty fact table") {
+    val cd = CohortDef(Seq(Panel(Seq(Concept("purchase")))))
+    assert(Panels.cohort(emptyEvents, cd).count() == 0)
+    val enc = emptyEvents.withColumn("encounter_id",
+      org.apache.spark.sql.functions.lit(1L))
+    assert(Panels.cohort(enc, cd.copy(scope = EncounterScope)).count() == 0)
+  }
+
+  test("asofJoin handles an empty side gracefully") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, t("12:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, t("11:00"), "a")).toDF("user_id", "rts", "tag")
+    val emptyLeft = left.limit(0)
+    val emptyRight = right.limit(0)
+    assert(Temporal.asofJoin(emptyLeft, right, Seq("user_id"), "ts", "rts")
+      .count() == 0)
+    val noMatch = Temporal.asofJoin(left, emptyRight, Seq("user_id"), "ts", "rts")
+      .collect()
+    assert(noMatch.length == 1 && noMatch(0).getAs[String]("tag") == null,
+      "left rows survive with null payload when right is empty")
+  }
+
+  test("asofJoin composes over multiple keys") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L, t("12:00")), (1L, "b", 11L, t("12:00")))
+      .toDF("k1", "k2", "event_id", "ts")
+    val right = Seq((1L, "a", t("11:00"), "pa"), (1L, "b", t("11:30"), "pb"))
+      .toDF("k1", "k2", "rts", "tag")
+    val out = Temporal.asofJoin(left, right, Seq("k1", "k2"), "ts", "rts")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tag"))
+      .toMap
+    assert(out == Map(10L -> "pa", 11L -> "pb"),
+      "payload must match on the full composite key")
+  }
+
+  test("followedBy returns nothing when either event type is absent") {
+    assert(Temporal.followedBy(emptyEvents, "signup", "purchase", 1L)
+      .count() == 0)
+    import spark.implicits._
+    val onlyA = Seq((1L, 1L, t("12:00"), "signup", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    assert(Temporal.followedBy(onlyA, "signup", "purchase",
+      7L * 24 * 3600 * 1000000).count() == 0)
+  }
+}
