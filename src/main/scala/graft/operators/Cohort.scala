@@ -189,6 +189,20 @@ object Cohort {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- c17: demographic breakdown of a cohort ----------------------------
+  // The i2b2 query-result output: patient counts per demographic
+  // dimension attribute. The c01 cohort's members join the patient
+  // dimension (customer: user_id ≈ patient_num ≈ c_custkey) and break
+  // down by market segment ≈ demographic group. The dimension side is
+  // broadcast (patients are few relative to facts); the cohort itself
+  // is one conditional-aggregate pass.
+  def c17(s: SparkSession, d: String): DataFrame =
+    c01(s, d).select(col("user_id"))
+      .join(customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("user_id")).as("n_patients"))
+      .orderBy("c_mktsegment")
+
   // -- c15: obfuscated patient counts (i2b2/AKTIN privacy face) ----------
   // The CRC never reports exact patient counts to federated queries: it
   // jitters them and suppresses low counts. Here the jitter is
@@ -224,7 +238,8 @@ object Cohort {
     "c10_funnel" -> (c10 _),
     "c11_concept_daily" -> (c11 _),
     "c12_repeat_visits" -> (c12 _),
-    "c15_obfuscated_counts" -> (c15 _)
+    "c15_obfuscated_counts" -> (c15 _),
+    "c17_demographic_breakdown" -> (c17 _)
   )
 
   private def nOfSql(t: String) =
@@ -328,6 +343,18 @@ object Cohort {
         | FROM events WHERE event_type = 'purchase')
         |WHERE gap_us IS NOT NULL AND gap_us <= 604800000000
         |ORDER BY user_id""".stripMargin,
+    "c17_demographic_breakdown" ->
+      s"""SELECT c_mktsegment, COUNT(DISTINCT user_id) AS n_patients
+         |FROM (
+         | SELECT user_id FROM events
+         | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         | GROUP BY user_id
+         | HAVING (COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+         |   OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
+         |  AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+         |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
+         |JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical md5-derived deterministic jitter on the oracle side
     "c15_obfuscated_counts" ->
       """SELECT event_type,
