@@ -259,32 +259,50 @@ object Dedup {
   // Candidates by pigeonhole: hamming(a,b) <= 7 implies at least one of 8
   // 8-bit chunks is identical, so pairs meet through a chunk-bucket join
   // (one shuffle on (chunk, value)); verification is bit_count(xor).
-  // Scale honesty: 8-bit chunks give only 256 buckets per position, so
-  // bucket sizes grow as corpus/2048 — fine to ~10M docs, but at
-  // billions the standard moves are a tighter radius with wider chunks
-  // (hamming <= 3 over 4x16-bit chunks = 65536 buckets/position) or a
-  // second chunk as in-bucket prefilter before the exact xor.
-  def d04(s: SparkSession, d: String): DataFrame = {
-    // per-bit counters via explode + 64 codegen'd sums, one shuffle on
-    // doc_id with map-side partial aggregation
-    val hs = docsRepart(s, d)
+  // Scale: 8-bit chunks give only 256 buckets per position, so bucket
+  // sizes grow as corpus/2048 — fine to ~10M docs; d04b below is the
+  // billion-doc variant (tighter radius, wider chunks).
+
+  /** 64-bit simhash per doc: per-bit counters via explode + 64 codegen'd
+    * sums, one shuffle on doc_id with map-side partial aggregation.
+    */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    docsRepart(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(simhashAggs(col("h")).head, simhashAggs(col("h")).tail: _*)
       .select(col("doc_id"), simhashFromCounters.as("simhash"))
+
+  /** Chunk-bucket candidate pairs verified by exact xor popcount. */
+  private def simhashPairs(hs: DataFrame, nChunks: Int, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = (1L << bits) - 1
     val chunks = hs.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 7), c -> " +
-        "shiftright(simhash, 8 * c) & 255)")).as(Seq("chunk", "cval")))
+      posexplode(expr(s"transform(sequence(0, ${nChunks - 1}), c -> " +
+        s"shiftright(simhash, $bits * c) & $mask)")).as(Seq("chunk", "cval")))
     chunks.toDF("doc_a", "sim_a", "chunk", "cval")
       .join(chunks.toDF("doc_b", "sim_b", "chunk", "cval"), Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 7)
-      .transform(Gate.ordered("doc_a", "doc_b"))
+      .filter(col("hamming") <= maxHamming)
   }
+
+  def d04(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhashes(s, d), 8, 8, 7)
+      .transform(Gate.ordered("doc_a", "doc_b"))
+
+  // -- d04b: wide-chunk SimHash (the billion-doc shape) ------------------
+  // Pigeonhole at hamming <= 3 over 4 chunks of 16 bits: 65536 buckets
+  // per position instead of 256, so bucket sizes — and the quadratic
+  // in-bucket work — shrink 256x for the same corpus. The tighter
+  // radius is the price; DedupSpec proves d04b returns exactly d04's
+  // pairs at hamming <= 3.
+  def d04b(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhashes(s, d), 4, 16, 3)
+      .transform(Gate.ordered("doc_a", "doc_b"))
 
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
@@ -315,6 +333,7 @@ object Dedup {
     "d03_dedup_minhash_lsh" -> (d03 _),
     "d03b_dedup_lsh_prebuilt" -> (d03b _),
     "d04_dedup_simhash" -> (d04 _),
+    "d04b_dedup_simhash_wide" -> (d04b _),
     "d05_dedup_embedding" -> (d05 _)
   )
 

@@ -116,6 +116,14 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"simhash recall $recall over ${exact.size} true pairs")
   }
 
+  test("d04b wide-chunk simhash returns exactly d04's pairs at hamming <= 3") {
+    val narrow = Dedup.d04(spark, sfDir).collect()
+      .filter(_.getAs[Int]("hamming") <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = pairSet(Dedup.d04b(spark, sfDir))
+    assert(wide == narrow, s"missed=${narrow -- wide} extra=${wide -- narrow}")
+  }
+
   test("d05 embedding pairs are symmetric-free and above threshold") {
     val rows = Dedup.d05(spark, sfDir).collect()
     assert(rows.nonEmpty)

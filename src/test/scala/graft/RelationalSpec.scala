@@ -88,7 +88,8 @@ class RelationalSpec extends SparkSpec {
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
-      "d04_dedup_simhash", "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
+      "d04_dedup_simhash", "d04b_dedup_simhash_wide",
+      "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx")
