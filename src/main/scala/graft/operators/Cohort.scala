@@ -198,9 +198,12 @@ object Cohort {
   // is one conditional-aggregate pass.
   def c17(s: SparkSession, d: String): DataFrame =
     c01(s, d).select(col("user_id"))
-      .join(customer(s, d), col("user_id") === col("c_custkey"))
+      .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(countDistinct(col("user_id")).as("n_patients"))
+      // cohort rows are one-per-user and c_custkey is the dimension key,
+      // so a plain count IS the distinct patient count
+      .agg(count(lit(1)).as("n_patients"))
       .orderBy("c_mktsegment")
 
   // -- c15: obfuscated patient counts (i2b2/AKTIN privacy face) ----------

@@ -199,8 +199,9 @@ object Dedup {
     * the buckets the new docs land in, cf. lshPairsTouching).
     */
   def appendLshIndex(s: SparkSession, newDocs: DataFrame, tag: String): Unit = {
-    require(s.catalog.tableExists(s"graft_lsh_bands_$tag"),
-      s"no LSH index '$tag' to append to — run buildLshIndex first " +
+    require(s.catalog.tableExists(s"graft_lsh_bands_$tag") &&
+        s.catalog.tableExists(s"graft_shingle_sets_$tag"),
+      s"no complete LSH index '$tag' to append to — run buildLshIndex first " +
         "(appending would create a managed table outside the index layout)")
     bandRowsOf(s, newDocs).write.mode("append")
       .bucketBy(8, "band", "bucket").sortBy("band", "bucket")

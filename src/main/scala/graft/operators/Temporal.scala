@@ -43,16 +43,18 @@ object Temporal {
       leftTs: String, rightTs: String,
       toleranceUs: Option[Long] = None): DataFrame = {
     val pick = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
-    val internal = Seq("__ts", "__r", "__p")
+    val internal = Seq("__ts", "__r", "__p", "__rts")
     val collisions = (pick.toSet & left.columns.toSet) ++
       internal.filter(c => left.columns.contains(c) || right.columns.contains(c))
     require(collisions.isEmpty,
-      s"column collision (right payload vs left, or reserved __ts/__r/__p): $collisions")
+      s"column collision (right payload vs left, or reserved __ts/__r/__p/__rts): $collisions")
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__r", lit(0))
-    // equality-join semantics: null keys never match, so null-key right
-    // rows contribute nothing (null-key left rows pass through with a
-    // null payload — they partition alone)
-    val r = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    // equality-join semantics: null keys never match, and a null right
+    // timestamp can never satisfy rightTs <= leftTs — both kinds of row
+    // contribute nothing (null-key left rows pass through with a null
+    // payload — they partition alone)
+    val r = right.filter(
+        (keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
       .withColumn("__ts", col(rightTs)).drop(rightTs)
       .withColumn("__r", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)

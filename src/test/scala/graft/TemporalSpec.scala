@@ -28,10 +28,13 @@ class TemporalSpec extends SparkSpec {
     val left = Seq((1L, 10L, ts("12:10")), (2L, 11L, ts("12:10")))
       .toDF("user_id", "event_id", "ts")
     val right = Seq(
-      (Option(1L), ts("11:00"), Option("a"), Option("x1")),
-      (Option(1L), ts("12:00"), Option.empty[String], Option("x2")),
+      (Option(1L), Option(ts("11:00")), Option("a"), Option("x1")),
+      (Option(1L), Option(ts("12:00")), Option.empty[String], Option("x2")),
       // null-key right row: must match nothing (equality-join semantics)
-      (Option.empty[Long], ts("12:05"), Option("z"), Option("zz")))
+      (Option.empty[Long], Option(ts("12:05")), Option("z"), Option("zz")),
+      // null-timestamp right row: rts <= ts can never hold — ignored
+      // (it would otherwise sort nulls-first and shadow real matches)
+      (Option(2L), Option.empty[Timestamp], Option("w"), Option("ww")))
       .toDF("user_id", "rts", "tag", "extra")
     val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "rts")
       .select("event_id", "tag", "extra").collect()
