@@ -126,13 +126,38 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // -- t07: context-window sequence packing ------------------------------
+  // The pretraining packing step: documents are concatenated (per shard,
+  // in a deterministic order) and chunked into fixed-token context
+  // windows; a doc's window is determined by its starting offset in the
+  // shard's token stream. Packing is per-shard — one window pass after
+  // one shuffle on shard, embarrassingly parallel at 100 TB (shard
+  // count scales with the cluster; order within a shard is the stable
+  // doc_id order, so the packing is deterministic and append-friendly).
+  private val PACK_TOKENS = 1024
+  private val PACK_SHARDS = 8
+
+  def t07(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PACK_SHARDS)).as("shard"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $PACK_TOKENS"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .transform(Gate.ordered("shard", "seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_stats" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_train_split" -> (t05 _),
-    "t06_mixture_sample" -> (t06 _)
+    "t06_mixture_sample" -> (t06 _),
+    "t07_pack_sequences" -> (t07 _)
   )
 
   private def sqlHits(list: Seq[String]) =
@@ -171,6 +196,20 @@ object TextAnalysis {
         |  AS n_subtokens,
         | length(replace(text, ' ', '')) AS n_chars_nospace
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // HUGEINT discipline: DuckDB's windowed SUM and // yield HUGEINT;
+    // cast every derived integer back to BIGINT (c09 lesson)
+    "t07_pack_sequences" ->
+      s"""SELECT shard, CAST((cum - n_tokens) // $PACK_TOKENS AS BIGINT)
+         |  AS seq_id,
+         | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM (
+         | SELECT doc_id % $PACK_SHARDS AS shard,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  SUM(len(string_split(text, ' '))) OVER (
+         |   PARTITION BY doc_id % $PACK_SHARDS ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t06_mixture_sample" -> {
       val conds = MIX_RATES.map { case (l, r) =>
         if (r >= 1.0) s"lang = '$l'"
