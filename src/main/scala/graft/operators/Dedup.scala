@@ -305,6 +305,46 @@ object Dedup {
     simhashPairs(simhashes(s, d), 4, 16, 3)
       .transform(Gate.ordered("doc_a", "doc_b"))
 
+  // -- d06: dedup DECISION — near-dup clusters and their representative --
+  // Pair lists are not a dedup policy: the pipeline must group pairs
+  // into connected components and keep ONE representative per cluster
+  // (a~b, b~c ⇒ keep one of {a,b,c}). Components via min-label
+  // propagation as pure DataFrame ops — per iteration one join + one
+  // min-aggregate, labels reach k hops after k iterations; near-dup
+  // cluster diameters are tiny, and ITER=8 covers diameter-8 chains
+  // (the spec checks the fixpoint against an exact union-find
+  // reference). At 100 TB each iteration is one shuffle; lineage is
+  // checkpointed per iteration on a real cluster.
+  private val CC_ITER = 8
+
+  def d06(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02(s, d).select(col("doc_a"), col("doc_b"))
+    // LINEAGE TRUNCATION is load-bearing for every iterative DataFrame
+    // algorithm: without the checkpoint, iteration k's plan embeds TWO
+    // copies of iteration k-1 (join left + union right) — the analyzed
+    // plan doubles per iteration and Catalyst grinds to a halt around
+    // k=8. Materialize the edge list once and each label generation.
+    // (On a cluster use reliable checkpoint()/persisted tables; local
+    // checkpoint is the single-JVM form.)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    for (_ <- 1 to CC_ITER) {
+      val viaNeighbor = edges.toDF("nb", "id")
+        .join(labels.toDF("nb", "nl"), "nb")
+        .select(col("id"), col("nl").as("label"))
+      labels = viaNeighbor.unionByName(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // (IVF/k-means assignment in a real pipeline), so the join is
@@ -335,7 +375,8 @@ object Dedup {
     "d03b_dedup_lsh_prebuilt" -> (d03b _),
     "d04_dedup_simhash" -> (d04 _),
     "d04b_dedup_simhash_wide" -> (d04b _),
-    "d05_dedup_embedding" -> (d05 _)
+    "d05_dedup_embedding" -> (d05 _),
+    "d06_dedup_clusters" -> (d06 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -345,6 +386,27 @@ object Dedup {
       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r)""".stripMargin
 
+  private val D02_SQL =
+    s"""WITH $SQL_SHINGLES,
+       |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
+       | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       | SELECT cand.doc_a, cand.doc_b, COUNT(*) AS shared
+       | FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+       |  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+       | GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM (
+       | SELECT doc_a, doc_b,
+       |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jac
+       | FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b)
+       |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -352,26 +414,19 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
-    "d02_dedup_ngram_jaccard" ->
-      s"""WITH $SQL_SHINGLES,
-         |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
-         | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
-         |cand AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         | GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |pairs AS (
-         | SELECT cand.doc_a, cand.doc_b, COUNT(*) AS shared
-         | FROM cand JOIN sh a ON a.doc_id = cand.doc_a
-         |  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
-         | GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM (
-         | SELECT doc_a, doc_b,
-         |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jac
-         | FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b)
-         |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "d02_dedup_ngram_jaccard" -> D02_SQL,
+    // connected components over d02's pairs via a recursive CTE:
+    // min reachable id == component representative
+    "d06_dedup_clusters" ->
+      s"""WITH RECURSIVE d02_pairs AS ($D02_SQL),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM d02_pairs
+         | UNION SELECT doc_b, doc_a FROM d02_pairs),
+         |reach(id, r) AS (
+         | SELECT a, a FROM edges
+         | UNION
+         | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d03/d04 are rows-only (hash-seeded candidate generation is not
     // SQL-expressible in DuckDB); their exact-verification semantics are
     // pinned by ScalaTests against d02's oracle-checked pairs instead.
