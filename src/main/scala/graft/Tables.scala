@@ -45,6 +45,19 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** Scratch-space layout shared by every operator that persists derived
+  * tables (indexes, bucketed facts, round-trips) — ONE definition of
+  * the root dir and the sf-dir tag, so a change cannot silently split
+  * index layouts across two roots.
+  */
+object Scratch {
+  def dir: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+
+  /** Filesystem/metastore-safe tag for an sf data dir. */
+  def tag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+}
+
 /** Cross-engine-deterministic aggregate helpers.
   *
   * Double summation order differs between engines (and between Spark

@@ -129,10 +129,9 @@ object Dedup {
   // text nor any explode — DedupSpec asserts the executed plan contains
   // NO Generate node and proves set-equality with d03.
 
-  private def sanitize(x: String): String = x.replaceAll("[^a-zA-Z0-9]", "_")
+  private def sanitize(x: String): String = graft.Scratch.tag(x)
 
-  private def scratch: String =
-    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+  private def scratch: String = graft.Scratch.dir
 
   /** Band-bucket rows (doc_id, band, bucket) for an arbitrary documents
     * frame — d03's candidate index.
@@ -310,12 +309,13 @@ object Dedup {
   // into connected components and keep ONE representative per cluster
   // (a~b, b~c ⇒ keep one of {a,b,c}). Components via min-label
   // propagation as pure DataFrame ops — per iteration one join + one
-  // min-aggregate, labels reach k hops after k iterations; near-dup
-  // cluster diameters are tiny, and ITER=8 covers diameter-8 chains
-  // (the spec checks the fixpoint against an exact union-find
-  // reference). At 100 TB each iteration is one shuffle; lineage is
-  // checkpointed per iteration on a real cluster.
-  private val CC_ITER = 8
+  // min-aggregate, labels reach k hops after k iterations. Iterates TO
+  // THE FIXPOINT (no labels changed) with a hard cap — a fixed round
+  // count would silently split any component whose min-id member sits
+  // more hops away, exactly the long-chain case a billion-doc corpus
+  // can produce. At 100 TB each iteration is one shuffle + one cheap
+  // convergence check; lineage is checkpointed per iteration.
+  private val CC_MAX_ITER = 50
 
   def d06(s: SparkSession, d: String): DataFrame = {
     val pairs = d02(s, d).select(col("doc_a"), col("doc_b"))
@@ -333,14 +333,22 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    for (_ <- 1 to CC_ITER) {
+    var converged = false
+    var iter = 0
+    while (!converged && iter < CC_MAX_ITER) {
       val viaNeighbor = edges.toDF("nb", "id")
         .join(labels.toDF("nb", "nl"), "nb")
         .select(col("id"), col("nl").as("label"))
-      labels = viaNeighbor.unionByName(labels)
+      val next = viaNeighbor.unionByName(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      converged = next.toDF("id", "l2").join(labels, "id")
+        .filter(col("l2") =!= col("label")).isEmpty
+      labels = next
+      iter += 1
     }
+    require(converged,
+      s"label propagation did not converge within $CC_MAX_ITER iterations")
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
       .transform(Gate.ordered("doc_id"))
   }

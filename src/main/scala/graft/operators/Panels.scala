@@ -166,10 +166,9 @@ object Panels {
   // query family. PanelsSpec asserts the aggregation plan contains NO
   // Exchange; the oracle (shared with c13) proves identical results.
 
-  private def sanitizeTag(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+  private def sanitizeTag(d: String): String = graft.Scratch.tag(d)
 
-  private def scratch: String =
-    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+  private def scratch: String = graft.Scratch.dir
 
   /** Build-if-absent the patient-bucketed events table. */
   def ensureBucketedEvents(s: SparkSession, d: String): String = {

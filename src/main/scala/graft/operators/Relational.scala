@@ -368,10 +368,14 @@ object Relational {
   private val PROFILE_COLS = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax")
 
-  def q29(s: SparkSession, d: String): DataFrame = {
+  /** One profile body, parameterized by the distinct-count aggregate —
+    * q29 (exact) and q29b (HLL) stay in lockstep by construction.
+    */
+  private def profile(s: SparkSession, d: String,
+      nd: Column => Column): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: PROFILE_COLS.flatMap(c => Seq(
       count(col(c)).as(s"n_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
+      nd(col(c)).as(s"nd_$c"),
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c"),
       dsum(col(c)).as(s"sum_$c")))
@@ -384,25 +388,15 @@ object Relational {
       .orderBy("col_name")
   }
 
+  def q29(s: SparkSession, d: String): DataFrame =
+    profile(s, d, countDistinct(_))
+
   /** q29b: the 100 TB profile — approx_count_distinct (HLL, mergeable,
     * constant memory) replaces the exact distinct's expand+shuffle;
     * everything else identical. RelationalSpec bounds its error vs q29.
     */
-  def q29b(s: SparkSession, d: String): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: PROFILE_COLS.flatMap(c => Seq(
-      count(col(c)).as(s"n_$c"),
-      approx_count_distinct(col(c)).as(s"nd_$c"),
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"),
-      dsum(col(c)).as(s"sum_$c")))
-    val stackArgs = PROFILE_COLS.map(c =>
-      s"'$c', n_rows - n_$c, nd_$c, min_$c, max_$c, sum_$c").mkString(", ")
-    lineitem(s, d)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${PROFILE_COLS.size}, $stackArgs) AS " +
-        "(col_name, n_nulls, n_distinct, min_v, max_v, sum_v)"))
-      .orderBy("col_name")
-  }
+  def q29b(s: SparkSession, d: String): DataFrame =
+    profile(s, d, approx_count_distinct(_))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),

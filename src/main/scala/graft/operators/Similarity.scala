@@ -144,10 +144,9 @@ object Similarity {
   // equality with s02 (the index rows are identical by construction:
   // decimal plane-dot accumulation is partitioning-independent).
 
-  private def sanitize(d: String): String = d.replaceAll("[^a-zA-Z0-9]", "_")
+  private def sanitize(d: String): String = graft.Scratch.tag(d)
 
-  private def scratch: String =
-    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+  private def scratch: String = graft.Scratch.dir
 
   /** Build-if-absent the persisted (vec_id, tbl, bucket) index; returns
     * the table name. Per-JVM idempotent: repeated queries (and Bench's

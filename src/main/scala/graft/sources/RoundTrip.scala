@@ -18,8 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object RoundTrip {
 
-  private def scratch: String =
-    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
+  private def scratch: String = graft.Scratch.dir
 
   /** CSV round-trip of `customer`: header + quoted strings, schema-first
     * read-back. Partitioned write/read — per-partition files, no
@@ -102,7 +101,7 @@ object RoundTrip {
 
   def src05(s: SparkSession, d: String): DataFrame = {
     import graft.Tables
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.Scratch.tag(d)
     val frag = s"$scratch/src05_fragmented/$tag"
     val compact = s"$scratch/src05_compacted/$tag"
     // the fragmented layout is the PRE-EXISTING state being fixed, not

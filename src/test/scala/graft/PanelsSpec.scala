@@ -119,14 +119,14 @@ class PanelsSpec extends SparkSpec {
   test("c13c panels over the patient-bucketed fact aggregate with no shuffle") {
     val bucketed = spark.table(Panels.ensureBucketedEvents(spark, sfDir))
     val df = Panels.cohort(bucketed, Panels.c13Def)
-    df.collect()
+    val rows = df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("Exchange"),
       s"panel agg over bucketed fact must be shuffle-free:\n$plan")
     // identical cohort to the raw-layout path
     val viaRaw = Panels.c13(spark, sfDir).collect().map(_.getLong(0)).toSet
-    assert(df.collect().map(_.getLong(0)).toSet == viaRaw)
+    assert(rows.map(_.getLong(0)).toSet == viaRaw)
   }
 
   test("the API reproduces c01 when given c01's definition") {

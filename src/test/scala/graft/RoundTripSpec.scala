@@ -45,8 +45,8 @@ class RoundTripSpec extends SparkSpec {
       base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
     }
-    val scratch = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/roundtrip")
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val scratch = graft.Scratch.dir
+    val tag = graft.Scratch.tag(sfDir)
     val before = filesPerDay(s"$scratch/src05_fragmented/$tag")
     val after = filesPerDay(s"$scratch/src05_compacted/$tag")
     assert(before.nonEmpty && before.max >= 10,
