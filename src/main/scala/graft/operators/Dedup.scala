@@ -7,7 +7,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C d01–d05 — deduplication over the `documents` corpus (and
+/** §2.C d01–d06 — deduplication over the `documents` corpus (and
   * embedding near-dup over `embeddings`).
   *
   * The reference DWH deduplicates at import time (i2b2 CRC upserts facts

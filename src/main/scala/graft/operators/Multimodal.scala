@@ -5,7 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C m01 — multimodal column plumbing.
+/** §2.C m01–m02 — multimodal column plumbing.
   *
   * Media assets ride through the engine as opaque `binary` payload
   * columns plus a typed metadata struct — the schema/partitioning shape a

@@ -5,7 +5,8 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C s01–s02 — similarity search over the `embeddings` table.
+/** §2.C s01–s03b — similarity search over the `embeddings` table,
+  * plus ad-hoc query-vector serving against the persisted indexes.
   *
   * s01 is the exact brute-force baseline (one scan, TakeOrderedAndProject
   * top-k — no full sort, no shuffle of the fact). s02 is the scale path:

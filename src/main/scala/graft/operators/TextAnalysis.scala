@@ -7,8 +7,9 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C t01–t03 — text analysis over the `documents` corpus: language-ID
-  * heuristic, quality scoring, token statistics. Pure builtin-function
+/** §2.C t01–t07 — text analysis over the `documents` corpus: language-ID,
+  * quality scoring, token statistics, fingerprinting, deterministic
+  * splits/mixtures, context-window packing. Mostly builtin-function
   * pipelines (split/filter/regexp — all codegen'd), one scan each, no
   * shuffle except the final oracle-determinism sort.
   */

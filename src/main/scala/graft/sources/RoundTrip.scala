@@ -5,7 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.D src01–src02 — source/sink round-trips.
+/** §2.D src01–src05 — sources, sinks and storage-layout operators.
   *
   * The reference's ETL face is batch import into typed storage (the
   * i2b2/AKTIN importer feeding the CRC schema); here that capability is
