@@ -124,12 +124,25 @@ object RoundTrip {
       .orderBy("day")
   }
 
+  /** ORC round-trip of `supplier` — the other bundled columnar format
+    * (predicate pushdown + column pruning work the same as parquet, so
+    * an ORC-resident warehouse can feed every operator unchanged).
+    */
+  def src06(s: SparkSession, d: String): DataFrame = {
+    val src = supplier(s, d)
+    val path = s"$scratch/src06_orc"
+    src.write.mode("overwrite").orc(path)
+    s.read.schema(src.schema).orc(path)
+      .transform(Gate.ordered("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
     "src03_bucketed_join" -> (src03 _),
     "src04_partitioned_prune" -> (src04 _),
-    "src05_compaction" -> (src05 _)
+    "src05_compaction" -> (src05 _),
+    "src06_orc_roundtrip" -> (src06 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -153,6 +166,9 @@ object RoundTrip {
     "src05_compaction" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src06_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
   )
 }
