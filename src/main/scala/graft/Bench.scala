@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graft.gateSort", "false")
@@ -93,9 +94,22 @@ object Bench {
     val ratiosJson = ratios.map { case (k, r) => "\"" + k + "\":" + num(r, 2) }
       .mkString("{", ",", "}")
     val sf2Json = if (results2.nonEmpty)
-      s""","queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"superlinear":$slJson"""
+      s""""queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir"$sf2Json,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    // Key order matters: the driver records only the LAST 2000 chars of
+    // output, so the big per-query maps go FIRST and the headline
+    // summary (slowest queries, failures, load, metric/value) goes LAST
+    // — whatever gets truncated is per-query detail, never the verdict.
+    // The complete line is also written to docs/bench_last.json.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+    val line =
+      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"superlinear":$slJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","metric":"total","unit":"sec","value":${num(total, 1)}}"""
+    try {
+      val p = java.nio.file.Paths.get("docs/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench result must still print
+    println(line)
     spark.stop()
   }
 }

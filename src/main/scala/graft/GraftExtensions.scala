@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.RollingFingerprint
+
+/** Graft's `SparkSessionExtensions` hook — the deployment-facing
+  * registration point (`spark.sql.extensions=graft.GraftExtensions`).
+  * Two injections:
+  *
+  *  1. SQL function registration: `graft_fingerprint(text[, window[,
+  *     base]])` exposes the codegen'd [[RollingFingerprint]] Catalyst
+  *     expression to plain SQL users (the i2b2 webclient face of the
+  *     reference is SQL-shaped; cf. /root/reference/generated/compose.yml
+  *     — analysts talk to the warehouse in SQL, not Scala).
+  *  2. [[ApproxAtScale]], an optimizer rule that turns the 100 TB
+  *     "sketch instead of exact" decision into a session knob
+  *     (`spark.graft.approx=true`): exact `percentile` becomes the
+  *     mergeable constant-memory `approx_percentile` and single-column
+  *     `COUNT(DISTINCT x)` becomes HyperLogLog++ — without touching
+  *     query code. Default off, so the oracle gate always measures the
+  *     exact path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.fingerprintFunction)
+    ext.injectOptimizerRule(_ => ApproxAtScale)
+  }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_fingerprint: $name must be an integer literal, got $other")
+  }
+
+  /** `graft_fingerprint(str)`, `(str, window)`, `(str, window, base)`. */
+  val fingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c) =>
+        RollingFingerprint(c, RollingFingerprint.DefaultWindow, RollingFingerprint.DefaultBase)
+      case Seq(c, w) =>
+        RollingFingerprint(c, intLit(w, "window"), RollingFingerprint.DefaultBase)
+      case Seq(c, w, b) =>
+        RollingFingerprint(c, intLit(w, "window"), intLit(b, "base").toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft_fingerprint takes 1-3 arguments, got ${children.size}")
+    }
+  )
+}
+
+/** When `spark.graft.approx=true`, rewrite exact aggregates whose state
+  * is unbounded in the group size to their mergeable sketch twins:
+  *
+  *  - `percentile(x, p)` → `approx_percentile(x, p, accuracy)` — exact
+  *    percentile buffers EVERY value of the group on one reducer; the
+  *    GK sketch holds O(accuracy) per group regardless of group size.
+  *  - `COUNT(DISTINCT x)` → HyperLogLog++ — exact distinct expands to a
+  *    two-shuffle partial-distinct plan with per-key state; HLL++ is a
+  *    constant 2^p-register buffer, map-side combinable in one shuffle.
+  *
+  * Only unambiguous cases rewrite: percentile with unit frequency and
+  * no ordering reversal; COUNT(DISTINCT) over a single column with no
+  * filter clause. The rewrite happens INSIDE `Aggregate` nodes only, so
+  * window-function percentiles (frame semantics) are left alone. The
+  * rule is idempotent — rewritten plans contain no `Percentile` /
+  * distinct `Count` to match on the optimizer's next pass.
+  *
+  * Accuracy knobs: `spark.graft.approx.accuracy` (GK, default 10000 =
+  * ApproximatePercentile's own default), `spark.graft.approx.rsd`
+  * (HLL++ relative standard deviation, default 0.05).
+  */
+object ApproxAtScale extends Rule[LogicalPlan] {
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.approx", "false").toBoolean) return plan
+    val accuracy = conf.getConfString("spark.graft.approx.accuracy", "10000").toInt
+    val rsd = conf.getConfString("spark.graft.approx.rsd", "0.05").toDouble
+    plan.transform {
+      case agg: Aggregate => agg.transformExpressions {
+        case ae @ AggregateExpression(p: Percentile, _, false, _, _)
+            if p.frequencyExpression == Literal(1L) && !p.reverse =>
+          ae.copy(aggregateFunction =
+            new ApproximatePercentile(p.child, p.percentageExpression,
+              Literal(accuracy)))
+        case ae @ AggregateExpression(c: Count, _, true, None, _)
+            if c.children.size == 1 =>
+          ae.copy(
+            aggregateFunction = HyperLogLogPlusPlus(c.children.head, rsd, 0, 0),
+            isDistinct = false)
+      }
+    }
+  }
+}

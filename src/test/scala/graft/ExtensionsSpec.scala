@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingFingerprint
+import graft.operators.Relational
+
+/** GraftExtensions: SQL-registered functions + the ApproxAtScale rule.
+  * The shared test session is built with
+  * `spark.sql.extensions=graft.GraftExtensions` — the same registration
+  * a cluster deployment uses.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private def has[T](df: DataFrame, pf: PartialFunction[Any, T]): Boolean =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      .flatMap(_.aggregateExpressions)
+      .exists(_.collect(pf).nonEmpty)
+
+  test("graft_fingerprint is callable from SQL and equals the Column API") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_fingerprint(text) AS fp FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = docs.select(col("doc_id"),
+      RollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+    // explicit window/base arguments reach the expression
+    val custom = spark.sql(
+      "SELECT graft_fingerprint('abcdefghij', 4, 31) AS fp").head().getLong(0)
+    val expected = RollingFingerprint.fingerprint(
+      "abcdefghij".getBytes("UTF-8"), 4, 31L)
+    assert(custom == expected)
+  }
+
+  test("ApproxAtScale is inert while spark.graft.approx is unset") {
+    val df = Relational.q15(spark, sfDir)
+    assert(has(df, { case p: Percentile => p }))
+    assert(!has(df, { case p: ApproximatePercentile => p }))
+  }
+
+  test("spark.graft.approx=true rewrites percentile to the GK sketch") {
+    val exact = Relational.q15(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+    spark.conf.set("spark.graft.approx", "true")
+    try {
+      val df = Relational.q15(spark, sfDir)
+      assert(has(df, { case p: ApproximatePercentile => p }))
+      assert(!has(df, { case p: Percentile => p }))
+      val approx = df.collect()
+        .map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+      assert(approx.keySet == exact.keySet)
+      // exact percentile INTERPOLATES between order statistics; the GK
+      // sketch returns an observed value — on small groups they differ
+      // by up to one inter-order-statistic gap, not the sketch accuracy
+      for (k <- exact.keys; (e, a) <- exact(k).zip(approx(k)))
+        assert(math.abs(e - a) <= math.abs(e) * 0.05 + 1e-6,
+          s"$k: exact $e vs approx $a")
+    } finally spark.conf.unset("spark.graft.approx")
+  }
+
+  test("spark.graft.approx=true rewrites COUNT(DISTINCT) to HyperLogLog++") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    def q(): DataFrame = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+    val exact = q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.approx", "true")
+    try {
+      val df = q()
+      assert(has(df, { case h: HyperLogLogPlusPlus => h }))
+      val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((k, e) <- exact)
+        assert(math.abs(approx(k) - e) <= math.max(2.0, e * 0.1),
+          s"$k: exact $e vs hll ${approx(k)}")
+    } finally spark.conf.unset("spark.graft.approx")
+  }
+}
