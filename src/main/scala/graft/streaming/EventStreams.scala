@@ -152,6 +152,52 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionizeState)
   }
 
+  // ---------------------------------------------------------------- st03
+  /** Shared view→click attribution join: every click paired with the
+    * same user's views in the 6 hours before it (inclusive both ends).
+    * The batch twin and the stream-stream join below apply the identical
+    * function, so the streaming semantics chain back to the SQL oracle.
+    *
+    * Scale shape: an equi-join on user_id with a time-range RESIDUAL —
+    * Spark plans a shuffled sort-merge join on the key, never a nested
+    * loop (spec-asserted). State in the streaming form is bounded by the
+    * watermarks: the range condition lets the join evict a buffered view
+    * once the click watermark passes `v_ts + 6h`.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    c.join(v, col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 6 HOURS") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        date_format(col("c_ts"), TS_FMT).as("click_ts"),
+        // integer µs difference divided in double: exact below 2^53,
+        // bit-equal across engines and partitionings
+        ((unix_micros(col("c_ts")) - unix_micros(col("v_ts"))) / lit(1e6))
+          .as("gap_sec"))
+  }
+
+  /** Batch twin — the `queries` entry (SQL oracle vs DuckDB). */
+  def st03(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .transform(Gate.ordered("click_id", "view_id"))
+  }
+
+  /** Stream-stream form: both sides watermarked so the join's buffered
+    * state is evictable. Views wait up to 6h (the join window) plus 1h
+    * of allowed lateness; clicks only need their own lateness bound.
+    */
+  def attributionStream(views: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(
+      views.withWatermark("ts", "7 hours"),
+      clicks.withWatermark("ts", "1 hour"))
+
   // ------------------------------------------------- exactly-once sink
   /** Idempotent per-batch writer: the micro-batch lands as an overwrite
     * of its own `batch_id=<n>` partition (dynamic partition overwrite),
@@ -187,7 +233,8 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
-    "st02_stream_dedup_sessions" -> (st02 _)
+    "st02_stream_dedup_sessions" -> (st02 _),
+    "st03_stream_attribution_join" -> (st03 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,6 +246,16 @@ object EventStreams {
     // st02's typed path must reproduce c09's windowed-SQL semantics
     // exactly, so it shares c09's oracle.
     "st02_stream_dedup_sessions" ->
-      graft.operators.Cohort.oracle("c09_sessionize")
+      graft.operators.Cohort.oracle("c09_sessionize"),
+    "st03_stream_attribution_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        | v.event_id AS view_id,
+        | strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        | (epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_sec
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin
   )
 }

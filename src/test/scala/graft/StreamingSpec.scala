@@ -11,6 +11,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * stream semantics chain back to SQL ground truth.
   */
 case class TsEv(ts: java.sql.Timestamp, user_id: Long)
+case class AttrEv(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
+    event_type: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -171,6 +173,50 @@ class StreamingSpec extends SparkSpec {
     val replay = spark.read.parquet(s"$out/batch_id=$lastBatch").as[Session]
     EventStreams.writeSessionBatch(replay, lastBatch, out)
     assert(sunk() == expected, "replaying a batch must be a no-op")
+  }
+
+  test("st03 stream-stream attribution join equals the batch twin") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_id", "event_type")
+      .where(col("event_type").isin("view", "click"))
+      .as[AttrEv].collect().toSeq.sortBy(_.ts.getTime)
+
+    val input = MemoryStream[AttrEv](spark)
+    val df = input.toDF()
+    // stream-stream SELF-join: both sides branch off one source
+    val q = EventStreams.attributionStream(
+      df.where(col("event_type") === "view"),
+      df.where(col("event_type") === "click"))
+      .writeStream.format("memory").queryName("st03_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // time-ordered micro-batches: cross-batch pairs (a view in batch 1
+      // attributed to a click in batch 3) must come out of buffered state
+      rows.grouped(math.max(1, rows.size / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("st03_out").collect()
+        .map(_.toSeq).toSet
+      val batchDf = spark.createDataset(rows).toDF()
+      val batch = EventStreams.attributionJoin(
+        batchDf.where(col("event_type") === "view"),
+        batchDf.where(col("event_type") === "click")).collect()
+        .map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("st03 batch twin plans a sort-merge join, not a nested loop") {
+    val plan = EventStreams.st03(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      "equi-key + range residual must not degrade to a nested-loop join")
+    // any equi-join is fine: broadcast-hash at tiny SF, sort-merge or
+    // shuffled-hash once both sides outgrow the broadcast threshold
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
   test("st02 batch twin equals c09 row-for-row") {
