@@ -136,13 +136,79 @@ object RoundTrip {
       .transform(Gate.ordered("s_suppkey"))
   }
 
+  /** Schema evolution across feed generations: a long-lived incremental
+    * feed ADDS columns over time (the reference's import format gained
+    * fields across AKTIN schema versions). Generation 1 lands without
+    * `value`; generation 2 carries it. A `mergeSchema` read unions the
+    * footers into one schema — older files surface the new column as
+    * null, no rewrite of historical data. The generation split here is
+    * deterministic (event_id parity) so the oracle can reproduce it from
+    * the source table.
+    */
+  def src07(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val path = s"$scratch/src07_evolving/${graft.Scratch.tag(d)}"
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("value")).as("n_valued"),
+        graft.Det.dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Latest-record-per-key upsert: union base + delta, keep the highest
+    * version of each key — ONE shuffle on the key, merge-on-read
+    * compaction written back to storage. This is the reference's
+    * transactional-import semantics (re-imports supersede prior rows)
+    * expressed over immutable columnar files.
+    */
+  def upsertLatest(base: DataFrame, delta: DataFrame, key: String,
+      version: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    base.unionByName(delta)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(version).desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", version)
+  }
+
+  /** src08: a delta batch updates every 10th order (status + corrected
+    * price); the merged table must show exactly the delta's rows for
+    * those keys and untouched rows elsewhere. Deterministic update rule
+    * (key mod 10) so DuckDB recomputes the expected table from source.
+    */
+  def src08(s: SparkSession, d: String): DataFrame = {
+    val path = s"$scratch/src08_upsert/${graft.Scratch.tag(d)}"
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("__v", lit(0L))
+    val delta = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      .withColumn("__v", lit(1L))
+    upsertLatest(base, delta, "o_orderkey", "__v")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
     "src03_bucketed_join" -> (src03 _),
     "src04_partitioned_prune" -> (src04 _),
     "src05_compaction" -> (src05 _),
-    "src06_orc_roundtrip" -> (src06 _)
+    "src06_orc_roundtrip" -> (src06 _),
+    "src07_schema_evolution" -> (src07 _),
+    "src08_upsert_latest" -> (src08 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -169,6 +235,19 @@ object RoundTrip {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src06_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-        |FROM supplier ORDER BY s_suppkey""".stripMargin
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src07_schema_evolution" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         | COUNT(CASE WHEN event_id % 2 = 1 THEN value END) AS n_valued,
+         | ${graft.Det.sqlDsum("CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END")}
+         |   AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src08_upsert_latest" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |   AS o_orderstatus,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |   ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -54,6 +54,44 @@ class RoundTripSpec extends SparkSpec {
     assert(after.max <= 2, s"compacted layout still fragmented: ${after.max}")
   }
 
+  test("src07 mergeSchema surfaces late columns as null on old generations") {
+    import org.apache.spark.sql.functions._
+    RoundTrip.src07(spark, sfDir).collect() // builds the layout
+    val path = s"${graft.Scratch.dir}/src07_evolving/${graft.Scratch.tag(sfDir)}"
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.contains("value"),
+      "generation-2 column must appear in the merged schema")
+    // every generation-1 row (written before `value` existed) reads null
+    assert(merged.filter(col("gen") === 1 && col("value").isNotNull).count() == 0)
+    assert(merged.filter(col("gen") === 2 && col("value").isNull).count() == 0)
+    // nothing lost across generations
+    assert(merged.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("src08 upsert keeps exactly the latest version per key and is idempotent") {
+    import org.apache.spark.sql.functions._
+    val merged = RoundTrip.src08(spark, sfDir)
+    val orig = Tables.orders(spark, sfDir)
+    assert(merged.count() == orig.count(), "upsert must not change cardinality")
+    // updated keys carry the delta payload; others are untouched
+    assert(merged.filter(col("o_orderkey") % 10 === 0 &&
+      col("o_orderstatus") =!= "U").count() == 0)
+    val untouched = merged.filter(col("o_orderkey") % 10 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect().toSet
+    val expected = orig.filter(col("o_orderkey") % 10 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect().toSet
+    assert(untouched == expected)
+    // replaying the SAME delta (version tie broken by the merge keeping
+    // one row) must be a fixpoint: merge(merge(b,d),d) == merge(b,d)
+    val delta = orig.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      .withColumn("__v", lit(1L))
+    val once = merged.withColumn("__v", lit(0L))
+    val twice = RoundTrip.upsertLatest(once, delta, "o_orderkey", "__v")
+    assert(twice.collect().toSet == merged.collect().toSet)
+  }
+
   test("src04 partition-ranged read prunes partitions at the scan") {
     val df = RoundTrip.src04(spark, sfDir)
     df.collect()
