@@ -227,6 +227,32 @@ object Cohort {
           .as("n_patients_obf"))
       .orderBy("event_type")
 
+  // -- c18: the monthly report, in ONE pass ------------------------------
+  // The reference's flagship output is a multi-section monthly ED report
+  // (census by hour, weekday profile, per-concept counts, monthly
+  // volume). Running each section as its own query re-scans the fact
+  // table N times; at 100 TB the scan IS the cost. Here every fact row
+  // explodes into its (section, key) memberships — a 4x in-pipeline
+  // amplification, no extra scan — and ONE aggregate computes every
+  // section: single scan, single shuffle pair for the distinct count.
+  // At scale, `spark.graft.approx=true` (ApproxAtScale) turns the exact
+  // per-section COUNT(DISTINCT) into HLL++ without touching this code.
+  def c18(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), explode(array(
+        struct(lit("hour").as("section"),
+          format_string("%02d", hour(col("ts"))).as("sec_key")),
+        struct(lit("weekday").as("section"),
+          date_format(col("ts"), "EEEE").as("sec_key")),
+        struct(lit("month").as("section"),
+          date_format(col("ts"), "yyyy-MM").as("sec_key")),
+        struct(lit("concept").as("section"),
+          col("event_type").as("sec_key")))).as("sk"))
+      .groupBy(col("sk.section").as("section"), col("sk.sec_key").as("sec_key"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .transform(Gate.ordered("section", "sec_key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -242,7 +268,8 @@ object Cohort {
     "c11_concept_daily" -> (c11 _),
     "c12_repeat_visits" -> (c12 _),
     "c15_obfuscated_counts" -> (c15 _),
-    "c17_demographic_breakdown" -> (c17 _)
+    "c17_demographic_breakdown" -> (c17 _),
+    "c18_monthly_report" -> (c18 _)
   )
 
   private def nOfSql(t: String) =
@@ -358,6 +385,16 @@ object Cohort {
          |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
          |JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c18_monthly_report" ->
+      """SELECT section, sec_key, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        | SELECT user_id, 'hour' AS section, strftime(ts, '%H') AS sec_key
+        |  FROM events
+        | UNION ALL SELECT user_id, 'weekday', dayname(ts) FROM events
+        | UNION ALL SELECT user_id, 'month', strftime(ts, '%Y-%m') FROM events
+        | UNION ALL SELECT user_id, 'concept', event_type FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical md5-derived deterministic jitter on the oracle side
     "c15_obfuscated_counts" ->
       """SELECT event_type,

@@ -21,6 +21,31 @@ class CohortSpec extends SparkSpec {
     }
   }
 
+  test("c18 one-pass report sections equal their standalone queries") {
+    import org.apache.spark.sql.functions._
+    val report = Cohort.c18(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // hour section == c04 (keys zero-padded), concept section == the
+    // per-type event/user counts — the fused pass must lose nothing
+    val c04 = Cohort.c04(spark, sfDir).collect()
+      .map(r => f"${r.getInt(0)}%02d" -> (r.getLong(1), r.getLong(2))).toMap
+    c04.foreach { case (h, v) => assert(report(("hour", h)) == v) }
+    val concepts = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    concepts.foreach { case (t, v) => assert(report(("concept", t)) == v) }
+    assert(report.keys.map(_._1).toSet ==
+      Set("hour", "weekday", "month", "concept"))
+  }
+
+  test("c18 reads the fact table exactly once") {
+    val plan = Cohort.c18(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 1, s"multi-section report must be ONE scan, saw $scans")
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)
