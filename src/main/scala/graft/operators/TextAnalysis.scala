@@ -151,6 +151,39 @@ object TextAnalysis {
       .transform(Gate.ordered("shard", "seq_id"))
   }
 
+  // -- t08: PII redaction ------------------------------------------------
+  // Training corpora are scrubbed of emails/phones before use. The test
+  // corpus is synthetic and clean, so each doc first gains a
+  // deterministic contact line derived from doc_id (the oracle rebuilds
+  // it exactly), then the redactor strips every match and counts what it
+  // removed. Patterns stay in the common Java-regex/RE2 subset so Spark
+  // and DuckDB agree byte-for-byte; the whole pass is regexp_* builtins
+  // — codegen'd, one scan, trivially parallel at any corpus size.
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PHONE_RE = "\\+1-555-[0-9]{4}"
+
+  def t08(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("pii_text", concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(EMAIL_RE)).as("n_emails"),
+        regexp_count(col("pii_text"), lit(PHONE_RE)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("pii_text"), EMAIL_RE, "[EMAIL]"),
+          PHONE_RE, "[PHONE]").as("redacted"))
+      .transform(Gate.ordered("doc_id"))
+
+  /** Residual-PII audit of [[t08]]'s output — the redaction's own QA
+    * pass; TextAnalysisSpec asserts both counts are zero everywhere.
+    */
+  def t08Residual(s: SparkSession, d: String): DataFrame =
+    t08(s, d).select(col("doc_id"),
+      regexp_count(col("redacted"), lit(EMAIL_RE)).as("res_emails"),
+      regexp_count(col("redacted"), lit(PHONE_RE)).as("res_phones"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -158,13 +191,27 @@ object TextAnalysis {
     "t04_fingerprint" -> (t04 _),
     "t05_train_split" -> (t05 _),
     "t06_mixture_sample" -> (t06 _),
-    "t07_pack_sequences" -> (t07 _)
+    "t07_pack_sequences" -> (t07 _),
+    "t08_pii_redaction" -> (t08 _)
   )
 
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t08_pii_redaction" ->
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(pii_text, '$EMAIL_RE')) AS n_emails,
+         | len(regexp_extract_all(pii_text, '$PHONE_RE')) AS n_phones,
+         | regexp_replace(
+         |   regexp_replace(pii_text, '$EMAIL_RE', '[EMAIL]', 'g'),
+         |   '$PHONE_RE', '[PHONE]', 'g') AS redacted
+         |FROM (SELECT doc_id,
+         |  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         |   || '@example.com or +1-555-'
+         |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "t01_langid" -> {
       val scores = LANGS.map(l => s"${sqlHits(stopwords(l))} AS score_$l").mkString(",\n ")
       val best = s"greatest(${LANGS.map(l => s"score_$l").mkString(", ")})"

@@ -28,4 +28,20 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Int]("n_subtokens") <= r.getAs[Int]("n_chars_nospace"))
     }
   }
+
+  test("t08 redaction finds every planted PII item and leaves no residue") {
+    val rows = TextAnalysis.t08(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1, "planted email must be detected")
+      assert(r.getAs[Int]("n_phones") >= 1, "planted phone must be detected")
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+    }
+    // the redactor's own audit: re-scanning the output finds nothing
+    TextAnalysis.t08Residual(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Int]("res_emails") == 0 && r.getAs[Int]("res_phones") == 0,
+        s"doc ${r.getAs[Long]("doc_id")} still contains PII")
+    }
+  }
 }
