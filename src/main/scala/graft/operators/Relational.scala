@@ -398,6 +398,23 @@ object Relational {
   def q29b(s: SparkSession, d: String): DataFrame =
     profile(s, d, approx_count_distinct(_))
 
+  // -- q30: explicit GROUPING SETS --------------------------------------
+  // Arbitrary grouping-set combinations (rollup/cube are the special
+  // cases q12/q13 cover). Spark expands the sets in ONE aggregate over
+  // one scan (Expand operator), not one scan per set; grouping() flags
+  // disambiguate a rolled-up null from a data null.
+  def q30(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+          Seq(col("o_orderpriority"), col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("int").as("gp"),
+        grouping(col("o_orderstatus")).cast("int").as("gs"),
+        count(lit(1)).as("n_orders"),
+        graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .transform(Gate.ordered("o_orderpriority", "o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -427,12 +444,24 @@ object Relational {
     "q27_intersect_except" -> (q27 _),
     "q28_salted_skew_join" -> (q28 _),
     "q29_column_profile" -> (q29 _),
-    "q29b_column_profile_approx" -> (q29b _)
+    "q29b_column_profile_approx" -> (q29b _),
+    "q30_grouping_sets" -> (q30 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // NULLS FIRST: DuckDB default is NULLS LAST, Spark's asc is
+    // nulls-first — rolled-up rows must land in the same positions
+    "q30_grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         | CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+         | CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+         | COUNT(*) AS n_orders, ${graft.Det.sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+         | (o_orderpriority, o_orderstatus), ())
+         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${sqlDsum("l_quantity")} AS sum_qty,

@@ -76,6 +76,21 @@ class RelationalSpec extends SparkSpec {
     assert(grand.getAs[Long]("n") == Tables.lineitem(spark, sfDir).count())
   }
 
+  test("q30 grouping sets are internally consistent and expand over one scan") {
+    val rows = Relational.q30(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length == 1 && grand.head.getLong(4) == total)
+    // each single-dimension marginal partitions the table
+    assert(rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+      .map(_.getLong(4)).sum == total)
+    assert(rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+      .map(_.getLong(4)).sum == total)
+    val plan = Relational.q30(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must expand, not re-scan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1)
+  }
+
   test("q24 covers every nation that has customers or suppliers") {
     val rows = Relational.q24(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))
@@ -91,6 +106,7 @@ class RelationalSpec extends SparkSpec {
       "d04_dedup_simhash", "d04b_dedup_simhash_wide",
       "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
+      "s04_ann_pq", "s04b_ann_pq_prebuilt",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
