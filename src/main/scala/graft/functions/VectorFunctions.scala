@@ -67,6 +67,16 @@ object VectorFunctions {
       dim: Int): Column =
     dotFixed(a, b, dim) / sqrt(normA * normB)
 
+  /** Squared Euclidean distance for a KNOWN dimension, unrolled with a
+    * fixed evaluation order like dotFixed — deterministic on any engine
+    * and partitioning. Used by k-means-style codebook training.
+    */
+  def dist2Fixed(a: String, b: String, dim: Int): Column = expr(
+    (0 until dim).map { i =>
+      val d = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+      s"($d * $d)"
+    }.mkString(" + "))
+
   /** Matching DuckDB SQL for dotDet/cosineDet, for oracle queries that
     * unnest embeddings to (id, i, x) rows: exact decimal sum of products.
     */

@@ -310,6 +310,137 @@ object Similarity {
     rerank(s, d, candidates)
   }
 
+  // -- s04: product-quantization ANN (the compressed-corpus path) --------
+  // At 100 TB the embeddings themselves are the storage problem: 64
+  // floats = 256 bytes/vector. PQ splits each vector into M=8 8-dim
+  // subvectors and snaps each to one of 16 per-subspace codewords →
+  // 8 nibbles (≈8 bytes) per vector, a 32x compression, scored WITHOUT
+  // decompression: a query builds a 128-entry lookup table (subspace ×
+  // codeword dots — asymmetric distance computation) and each vector's
+  // approximate score is 8 table lookups summed. Top-CAND approximate
+  // scores are then re-ranked exactly against the uncompressed vectors
+  // (touched only for ~CAND rows). Codebooks come from per-subspace
+  // Lloyd iterations expressed as DataFrame ops, deterministic end to
+  // end: fixed-order distance/dot expressions, decimal means, decimal
+  // LUT accumulation, explicit tie-breaks.
+  private val PQ_M = 8
+  private val PQ_SUB = 8
+  private val PQ_KS = 16
+  private val PQ_ITERS = 2
+  private val PQ_CAND = 100
+
+  /** (id, m, sv): each vector split into its M subvectors. */
+  private def subvectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(array((0 until PQ_M).map(m =>
+      slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)): _*)).as(Seq("m", "sv")))
+
+  /** Per-subspace codebooks after PQ_ITERS Lloyd iterations, as
+    * (m, cid, c) — all M k-means runs advance jointly, keyed by m.
+    */
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val subs = subvectors(e)
+    // deterministic seeds: the subvectors of the PQ_KS lowest vec_ids
+    var cent: DataFrame = subvectors(
+      e.orderBy("vec_id").limit(PQ_KS)
+        .select((row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).cast("long").as("vec_id"), col("embedding")))
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
+    for (_ <- 1 to PQ_ITERS) {
+      // assignment: nearest codeword per (vector, subspace); min_by over
+      // a (d2, cid) struct is partial-aggregatable and tie-stable
+      val assigned = subs.join(broadcast(cent), "m")
+        .withColumn("d2", dist2Fixed("sv", "c", PQ_SUB))
+        .groupBy(col("vec_id"), col("m"), col("sv"))
+        .agg(expr("min_by(cid, struct(d2, cid))").as("cid"))
+      // update: per-dimension decimal mean (partitioning-independent)
+      cent = assigned
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cid"), col("dim"))
+        .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("cx"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+          p => p.getField("cx")).as("c"))
+    }
+    cent
+  }
+
+  /** Encode: (vec_id, m, code) — each subvector's nearest codeword. */
+  private[graft] def pqEncode(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), "m")
+      .withColumn("d2", dist2Fixed("sv", "c", PQ_SUB))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
+
+  /** The query's M subvectors WITHOUT a Generate: a range(M) leaf
+    * crossed with the 1-row query frame, dynamic slice() — keeps the
+    * prebuilt-index plan free of explode nodes entirely.
+    */
+  private def querySubs(s: SparkSession, d: String): DataFrame =
+    broadcast(embeddings(s, d).filter(col("vec_id") === QUERY_VEC)
+      .select(col("embedding"))
+      .crossJoin(s.range(PQ_M).select(col("id").cast("int").as("m")))
+      .select(col("m"),
+        slice(col("embedding"), col("m") * lit(PQ_SUB) + lit(1), lit(PQ_SUB))
+          .as("qsv")))
+
+  /** ADC scoring + exact re-rank against a codes/codebook pair. */
+  private def pqSearch(s: SparkSession, d: String, codes: DataFrame,
+      cent: DataFrame): DataFrame = {
+    // 128-entry LUT: dot of every codeword with the query's subvector.
+    // Decimal so the 8-term per-vector sum is order-independent.
+    val lut = broadcast(cent.join(querySubs(s, d), "m")
+      .select(col("m"), col("cid").as("code"),
+        dotFixed("c", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
+    val candidates = codes.join(lut, Seq("m", "code"))
+      .groupBy("vec_id").agg(sum(col("lut")).as("approx"))
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .orderBy(col("approx").desc, col("vec_id")).limit(PQ_CAND)
+      .select("vec_id")
+    rerank(s, d, candidates)
+  }
+
+  def s04(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cent = pqCodebook(s, d).cache()
+    pqSearch(s, d, pqEncode(subvectors(e), cent), cent)
+  }
+
+  // -- s04b: PQ over PERSISTED codebook + codes tables -------------------
+  // The deployment shape: train/encode once, store 8 rows of (m, code)
+  // per vector — the compressed corpus — bucketed by vec_id so the
+  // per-vector LUT sum aggregates without an exchange. A query is:
+  // broadcast 128-entry LUT → one scan of the CODES table (not the
+  // vectors) → top-CAND → exact re-rank touching ~CAND real vectors.
+  def ensurePqIndex(s: SparkSession, d: String): (String, String) = {
+    val codesT = s"graft_pq_codes_${sanitize(d)}"
+    val centT = s"graft_pq_cent_${sanitize(d)}"
+    if (!s.catalog.tableExists(codesT)) {
+      pqCodebook(s, d).write.mode("overwrite")
+        .option("path", s"$scratch/pq_cent/${sanitize(d)}")
+        .saveAsTable(centT)
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      pqEncode(subvectors(e), s.table(centT))
+        .write.mode("overwrite")
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", s"$scratch/pq_codes/${sanitize(d)}")
+        .saveAsTable(codesT)
+    }
+    (codesT, centT)
+  }
+
+  def s04b(s: SparkSession, d: String): DataFrame = {
+    val (codesT, centT) = ensurePqIndex(s, d)
+    pqSearch(s, d, s.table(codesT), s.table(centT))
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -348,7 +479,9 @@ object Similarity {
     "s02_ann_lsh" -> (s02 _),
     "s02b_ann_lsh_prebuilt" -> (s02b _),
     "s03_ann_ivf" -> (s03 _),
-    "s03b_ann_ivf_prebuilt" -> (s03b _)
+    "s03b_ann_ivf_prebuilt" -> (s03b _),
+    "s04_ann_pq" -> (s04 _),
+    "s04b_ann_pq_prebuilt" -> (s04b _)
   )
 
   val oracle: Map[String, String] = Map(

@@ -68,6 +68,38 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("graft_ivf_cells"), "must read the persisted index")
   }
 
+  test("s04 PQ top-k reaches recall@10 >= 0.7 against brute force") {
+    // ADC over 8x16 codebooks then exact re-rank of the top-100
+    // approximate scores; random data again the worst case (quantization
+    // error is maximal when vectors have no cluster structure)
+    val exact = Similarity.s01(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pq = Similarity.s04(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("s04b prebuilt PQ equals s04, scans codes not vectors, 4-bit codes") {
+    val live = Similarity.s04(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val pre = Similarity.s04b(spark, sfDir)
+    val rows = pre.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == live, s"prebuilt=$rows live=$live")
+    // the compressed corpus really is 8 nibble-range codes per vector
+    val codes = spark.table(Similarity.ensurePqIndex(spark, sfDir)._1)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(codes.count() == 8 * n)
+    import org.apache.spark.sql.functions.{col, max}
+    assert(codes.agg(max(col("code"))).collect()(0).getInt(0) < 16)
+    // no Generate: neither codebook training nor encoding in the plan;
+    // the scored scan is the codes table, vectors only in the re-rank
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"encoding re-run in-query:\n$plan")
+    assert(plan.contains("graft_pq_codes"), "must read the persisted codes")
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,
