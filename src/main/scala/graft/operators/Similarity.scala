@@ -375,32 +375,43 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"))
       .agg(expr("min_by(cid, struct(d2, cid))").as("code"))
 
-  /** The query's M subvectors WITHOUT a Generate: a range(M) leaf
-    * crossed with the 1-row query frame, dynamic slice() — keeps the
+  /** A 1-row vector frame's M subvectors WITHOUT a Generate: a
+    * range(M) leaf crossed with the frame, dynamic slice() — keeps the
     * prebuilt-index plan free of explode nodes entirely.
     */
-  private def querySubs(s: SparkSession, d: String): DataFrame =
-    broadcast(embeddings(s, d).filter(col("vec_id") === QUERY_VEC)
-      .select(col("embedding"))
+  private def subsOfVec(s: SparkSession, vecFrame: DataFrame): DataFrame =
+    broadcast(vecFrame.select(col("embedding"))
       .crossJoin(s.range(PQ_M).select(col("id").cast("int").as("m")))
       .select(col("m"),
         slice(col("embedding"), col("m") * lit(PQ_SUB) + lit(1), lit(PQ_SUB))
           .as("qsv")))
 
-  /** ADC scoring + exact re-rank against a codes/codebook pair. */
+  private def querySubs(s: SparkSession, d: String): DataFrame =
+    subsOfVec(s, embeddings(s, d).filter(col("vec_id") === QUERY_VEC))
+
+  /** ADC scoring + exact re-rank against a codes/codebook pair, for any
+    * (qsubs, q) query pair — member or ad-hoc.
+    */
   private def pqSearch(s: SparkSession, d: String, codes: DataFrame,
-      cent: DataFrame): DataFrame = {
+      cent: DataFrame, qsubs: DataFrame, q: DataFrame, k: Int = K,
+      exclude: Option[Long] = Some(QUERY_VEC)): DataFrame = {
     // 128-entry LUT: dot of every codeword with the query's subvector.
     // Decimal so the 8-term per-vector sum is order-independent.
-    val lut = broadcast(cent.join(querySubs(s, d), "m")
+    val lut = broadcast(cent.join(qsubs, "m")
       .select(col("m"), col("cid").as("code"),
         dotFixed("c", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
-    val candidates = codes.join(lut, Seq("m", "code"))
+    val scored = codes.join(lut, Seq("m", "code"))
       .groupBy("vec_id").agg(sum(col("lut")).as("approx"))
-      .filter(col("vec_id") =!= QUERY_VEC)
-      .orderBy(col("approx").desc, col("vec_id")).limit(PQ_CAND)
+    // member queries exclude themselves; ad-hoc queries exclude nothing
+    // but get one extra candidate slot, so an ad-hoc vector that happens
+    // to BE a corpus member still re-ranks the same PQ_CAND non-self
+    // candidates (it occupies rank 1 itself)
+    val candidates = exclude.foldLeft(scored)((df, id) =>
+        df.filter(col("vec_id") =!= id))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(PQ_CAND + (if (exclude.isEmpty) 1 else 0))
       .select("vec_id")
-    rerank(s, d, candidates)
+    rerankAgainst(s, d, candidates, q, k)
   }
 
   def s04(s: SparkSession, d: String): DataFrame = {
@@ -408,7 +419,8 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     val cent = pqCodebook(s, d).cache()
-    pqSearch(s, d, pqEncode(subvectors(e), cent), cent)
+    pqSearch(s, d, pqEncode(subvectors(e), cent), cent,
+      querySubs(s, d), queryVec(s, d))
   }
 
   // -- s04b: PQ over PERSISTED codebook + codes tables -------------------
@@ -438,7 +450,8 @@ object Similarity {
 
   def s04b(s: SparkSession, d: String): DataFrame = {
     val (codesT, centT) = ensurePqIndex(s, d)
-    pqSearch(s, d, s.table(codesT), s.table(centT))
+    pqSearch(s, d, s.table(codesT), s.table(centT),
+      querySubs(s, d), queryVec(s, d))
   }
 
   // -- ad-hoc query API ---------------------------------------------------
@@ -456,6 +469,18 @@ object Similarity {
     val candidates = idx.join(qIdx, Seq("tbl", "bucket"), "left_semi")
       .select("vec_id").distinct()
     rerankAgainst(s, d, candidates, adhocQ(s, vec), k)
+  }
+
+  /** Top-k neighbours of an ad-hoc vector via the persisted PQ index:
+    * the query builds its 128-entry LUT against the persisted codebook
+    * and scores the compressed codes table — the uncompressed corpus is
+    * touched only in the exact re-rank of the top candidates.
+    */
+  def annQueryPq(s: SparkSession, d: String, vec: Seq[Float], k: Int = K)
+      : DataFrame = {
+    val (codesT, centT) = ensurePqIndex(s, d)
+    pqSearch(s, d, s.table(codesT), s.table(centT),
+      subsOfVec(s, adhocVec(s, vec)), adhocQ(s, vec), k, exclude = None)
   }
 
   /** Top-k neighbours of an ad-hoc vector via the persisted IVF index. */

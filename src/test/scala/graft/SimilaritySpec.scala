@@ -119,5 +119,10 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.annQueryIvf(spark, sfDir, vec0, k = 11)
     assert(ids(ivf).head == 0L)
     assert(ids(ivf).tail == ids(Similarity.s03(spark, sfDir)))
+
+    val pq = Similarity.annQueryPq(spark, sfDir, vec0, k = 11)
+    assert(ids(pq).head == 0L)
+    assert(pq.collect()(0).getDouble(1) == 1.0)
+    assert(ids(pq).tail == ids(Similarity.s04(spark, sfDir)))
   }
 }
