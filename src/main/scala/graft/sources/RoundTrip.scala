@@ -200,6 +200,42 @@ object RoundTrip {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  /** A planted malformed feed line (deterministic, test-shared). */
+  def badLine(i: Int): String = s"bad_key_$i,quarantine,me,not_a_number,BAD"
+
+  /** Import validation with malformed-record quarantine: the reference's
+    * importer rejects malformed rows instead of failing the feed. A
+    * PERMISSIVE schema-first CSV read routes anything unparseable into
+    * `_corrupt_record`; ONE aggregate pass counts accepted vs rejected
+    * rows and checksums the accepted payload. Seven deterministic bad
+    * lines are planted next to the valid export, so the oracle knows
+    * exactly what the quarantine must catch.
+    */
+  def src09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val src = customer(s, d)
+    val path = s"$scratch/src09_csv/${graft.Scratch.tag(d)}"
+    src.write.mode("overwrite").csv(path)
+    import s.implicits._
+    // full arity with EVERY typed column invalid: Spark's CSV column
+    // pruning marks a row malformed only when a SELECTED column fails
+    // to parse, so a short row would sail through a projection that
+    // skips the missing fields — these fail whichever column a
+    // downstream query touches
+    s.createDataset((1 to 7).map(i => RoundTrip.badLine(i)))
+      .write.mode("append").text(path)
+    val parsed = s.read
+      .schema(src.schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+    parsed.agg(
+      count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+      count(col("_corrupt_record")).as("n_bad"),
+      graft.Det.dsum(when(col("_corrupt_record").isNull, col("c_acctbal"))
+        .otherwise(lit(0.0))).as("sum_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
@@ -208,7 +244,8 @@ object RoundTrip {
     "src05_compaction" -> (src05 _),
     "src06_orc_roundtrip" -> (src06 _),
     "src07_schema_evolution" -> (src07 _),
-    "src08_upsert_latest" -> (src08 _)
+    "src08_upsert_latest" -> (src08 _),
+    "src09_corrupt_records" -> (src09 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -248,6 +285,11 @@ object RoundTrip {
         |   AS o_orderstatus,
         | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
         |   ELSE o_totalprice END AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the 7 planted bad lines must land in quarantine, nothing else
+    "src09_corrupt_records" ->
+      s"""SELECT COUNT(*) AS n_good, CAST(7 AS BIGINT) AS n_bad,
+         | ${graft.Det.sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer""".stripMargin
   )
 }

@@ -53,6 +53,26 @@ class RobustnessSpec extends SparkSpec {
       "payload must match on the full composite key")
   }
 
+  test("upsertLatest with an empty delta is the identity") {
+    import org.apache.spark.sql.functions.lit
+    val base = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus").withColumn("__v", lit(0L))
+    val delta = base.filter(lit(false))
+    val merged = graft.sources.RoundTrip
+      .upsertLatest(base, delta, "o_orderkey", "__v")
+    assert(merged.count() == Tables.orders(spark, sfDir).count())
+    assert(merged.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+  }
+
+  test("attributionJoin with an empty side yields no pairs, no errors") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sfDir)
+    val none = ev.filter(col("event_type") === "no_such_type")
+    val clicks = ev.filter(col("event_type") === "click")
+    assert(graft.streaming.EventStreams.attributionJoin(none, clicks).count() == 0)
+    assert(graft.streaming.EventStreams.attributionJoin(clicks, none).count() == 0)
+  }
+
   test("followedBy returns nothing when either event type is absent") {
     assert(Temporal.followedBy(emptyEvents, "signup", "purchase", 1L)
       .count() == 0)

@@ -92,6 +92,27 @@ class RoundTripSpec extends SparkSpec {
     assert(twice.collect().toSet == merged.collect().toSet)
   }
 
+  test("src09 quarantines exactly the planted bad rows, payload preserved") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val row = RoundTrip.src09(spark, sfDir).collect()(0)
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(row.getLong(0) == nCust, "every valid row must be accepted")
+    assert(row.getLong(1) == 7, "every planted bad line must be quarantined")
+    // the rejected rows keep their raw text for the audit trail
+    val path = s"${graft.Scratch.dir}/src09_csv/${graft.Scratch.tag(sfDir)}"
+    val parsed = spark.read
+      .schema(Tables.customer(spark, sfDir).schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache() // cache: corrupt-col-only filters need it
+    try {
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").collect().map(_.getString(0)).toSet
+      assert(bad == (1 to 7).map(RoundTrip.badLine).toSet)
+    } finally parsed.unpersist()
+  }
+
   test("src04 partition-ranged read prunes partitions at the scan") {
     val df = RoundTrip.src04(spark, sfDir)
     df.collect()
