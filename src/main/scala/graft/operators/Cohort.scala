@@ -237,9 +237,13 @@ object Cohort {
   // section: single scan, single shuffle pair for the distinct count.
   // At scale, `spark.graft.approx=true` (ApproxAtScale) turns the exact
   // per-section COUNT(DISTINCT) into HLL++ without touching this code.
-  def c18(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .select(col("user_id"), explode(array(
+  /** Each fact row's (section, key) report memberships — the shared
+    * heart of the batch report (c18) and the continuous streaming
+    * report (graft.streaming.EventStreams.reportStream). `ts` rides
+    * along so the streaming form can window + watermark on it.
+    */
+  def reportSections(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("ts"), explode(array(
         struct(lit("hour").as("section"),
           format_string("%02d", hour(col("ts"))).as("sec_key")),
         struct(lit("weekday").as("section"),
@@ -248,7 +252,12 @@ object Cohort {
           date_format(col("ts"), "yyyy-MM").as("sec_key")),
         struct(lit("concept").as("section"),
           col("event_type").as("sec_key")))).as("sk"))
-      .groupBy(col("sk.section").as("section"), col("sk.sec_key").as("sec_key"))
+      .select(col("user_id"), col("ts"),
+        col("sk.section").as("section"), col("sk.sec_key").as("sec_key"))
+
+  def c18(s: SparkSession, d: String): DataFrame =
+    reportSections(events(s, d))
+      .groupBy(col("section"), col("sec_key"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
       .transform(Gate.ordered("section", "sec_key"))

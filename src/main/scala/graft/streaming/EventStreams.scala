@@ -198,6 +198,26 @@ object EventStreams {
       views.withWatermark("ts", "7 hours"),
       clicks.withWatermark("ts", "1 hour"))
 
+  // ------------------------------------------- continuous monthly report
+  /** The c18 report as a continuous query: the same section explode
+    * (Cohort.reportSections), aggregated per day × section × key over a
+    * watermarked stream. Exact per-section user distincts would hold
+    * unbounded per-key state on an infinite stream, so the streaming
+    * form uses approx_count_distinct — the same exact→sketch tradeoff
+    * st01 makes, and the one ApproxAtScale applies to the batch report
+    * at 100 TB. Shared batch twin below for the equality spec.
+    */
+  def dailyReport(ev: DataFrame): DataFrame =
+    graft.operators.Cohort.reportSections(ev)
+      .groupBy(window(col("ts"), "1 day"), col("section"), col("sec_key"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("day_start"),
+        col("section"), col("sec_key"), col("n_events"), col("approx_users"))
+
+  def dailyReportStream(stream: DataFrame): DataFrame =
+    dailyReport(stream.withWatermark("ts", "2 hours"))
+
   // ------------------------------------------------- exactly-once sink
   /** Idempotent per-batch writer: the micro-batch lands as an overwrite
     * of its own `batch_id=<n>` partition (dynamic partition overwrite),

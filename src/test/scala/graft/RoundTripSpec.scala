@@ -92,6 +92,26 @@ class RoundTripSpec extends SparkSpec {
     assert(twice.collect().toSet == merged.collect().toSet)
   }
 
+  test("upsertLatest matches a reference latest-wins merge on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // fixed-seed random (key, version, payload) rows with globally
+    // unique versions (ties would make "latest" ambiguous), split into
+    // base/delta at an arbitrary random boundary per row
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (rnd.nextInt(60).toLong, i.toLong, rnd.nextInt(1000)))
+    val expected = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.maxBy(_._2)._3 }
+    val (b, dlt) = rows.partition(_ => rnd.nextBoolean())
+    val merged = RoundTrip.upsertLatest(
+      b.toDF("k", "__v", "payload").select("k", "payload", "__v"),
+      dlt.toDF("k", "__v", "payload").select("k", "payload", "__v"),
+      "k", "__v")
+    val got = merged.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+
   test("src09 quarantines exactly the planted bad rows, payload preserved") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType

@@ -219,6 +219,28 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("continuous daily report equals its batch twin across micro-batches") {
+    import spark.implicits._
+    val batchDf = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_id", "event_type")
+    val rows = batchDf.as[AttrEv].collect().toSeq.sortBy(_.ts.getTime)
+
+    val input = MemoryStream[AttrEv](spark)
+    val q = EventStreams.dailyReportStream(input.toDF())
+      .writeStream.format("memory").queryName("report_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("report_out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.dailyReport(batchDf).collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
