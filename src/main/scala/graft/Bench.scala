@@ -93,9 +93,11 @@ object Bench {
     val slJson = superlinear.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ratiosJson = ratios.map { case (k, r) => "\"" + k + "\":" + num(r, 2) }
       .mkString("{", ",", "}")
+    // superlinear only appears when the two-SF run actually happened —
+    // an empty list must mean "checked, none found", never "skipped"
     val sf2Json = if (results2.nonEmpty)
-      s""""queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"""
-      else ""
+      s""""queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"superlinear":$slJson,"""
+      else """"scale_check":"skipped","""
     // Key order matters: the driver records only the LAST 2000 chars of
     // output, so the big per-query maps go FIRST and the headline
     // summary (slowest queries, failures, load, metric/value) goes LAST
@@ -103,7 +105,7 @@ object Bench {
     // The complete line is also written to docs/bench_last.json.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
     val line =
-      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"superlinear":$slJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","metric":"total","unit":"sec","value":${num(total, 1)}}"""
+      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","metric":"total","unit":"sec","value":${num(total, 1)}}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

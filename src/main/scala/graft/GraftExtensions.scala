@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.RollingFingerprint
 
@@ -35,11 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def intLit(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
+  private def longLit(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
     case other => throw new IllegalArgumentException(
       s"graft_fingerprint: $name must be an integer literal, got $other")
+  }
+
+  private def intLit(e: Expression, name: String): Int = {
+    val v = longLit(e, name)
+    require(v > 0 && v <= Int.MaxValue,
+      s"graft_fingerprint: $name must be in (0, ${Int.MaxValue}], got $v")
+    v.toInt
   }
 
   /** `graft_fingerprint(str)`, `(str, window)`, `(str, window, base)`. */
@@ -52,7 +59,7 @@ object GraftExtensions {
       case Seq(c, w) =>
         RollingFingerprint(c, intLit(w, "window"), RollingFingerprint.DefaultBase)
       case Seq(c, w, b) =>
-        RollingFingerprint(c, intLit(w, "window"), intLit(b, "base").toLong)
+        RollingFingerprint(c, intLit(w, "window"), longLit(b, "base"))
       case _ => throw new IllegalArgumentException(
         s"graft_fingerprint takes 1-3 arguments, got ${children.size}")
     }
@@ -89,9 +96,12 @@ object ApproxAtScale extends Rule[LogicalPlan] {
       case agg: Aggregate => agg.transformExpressions {
         case ae @ AggregateExpression(p: Percentile, _, false, _, _)
             if p.frequencyExpression == Literal(1L) && !p.reverse =>
+          // Percentile's result is ALWAYS double, ApproximatePercentile's
+          // is its child's type — cast the child so the rewrite preserves
+          // the already-resolved plan's dataType for int/decimal inputs
           ae.copy(aggregateFunction =
-            new ApproximatePercentile(p.child, p.percentageExpression,
-              Literal(accuracy)))
+            new ApproximatePercentile(Cast(p.child, DoubleType),
+              p.percentageExpression, Literal(accuracy)))
         case ae @ AggregateExpression(c: Count, _, true, None, _)
             if c.children.size == 1 =>
           ae.copy(

@@ -172,9 +172,16 @@ object RoundTrip {
   def upsertLatest(base: DataFrame, delta: DataFrame, key: String,
       version: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    base.unionByName(delta)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(version).desc)))
+    val u = base.unionByName(delta)
+    // secondary sort on a whole-row hash: two rows of one key at the
+    // SAME version (a replayed import with identical version stamps)
+    // would otherwise be tie-broken by shuffle arrival order — the one
+    // nondeterminism this codebase promises never to have. The hash
+    // makes the winner arbitrary but stable on any partitioning.
+    u.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(col(version).desc,
+            xxhash64(struct(u.columns.map(col): _*)))))
       .filter(col("__rn") === 1)
       .drop("__rn", version)
   }

@@ -64,6 +64,26 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.approx")
   }
 
+  test("percentile rewrite preserves the result type for non-double columns") {
+    // Percentile always yields double; ApproximatePercentile yields its
+    // child's type — the rule must cast, or an int-column rewrite
+    // corrupts the resolved plan's dataType
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def q(): DataFrame = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_orderkey, 0.5)").as("med_key"))
+    val exact = q().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.graft.approx", "true")
+    try {
+      val df = q()
+      assert(has(df, { case p: ApproximatePercentile => p }))
+      assert(df.schema("med_key").dataType.typeName == "double")
+      val approx = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((k, e) <- exact)
+        assert(math.abs(approx(k) - e) <= math.abs(e) * 0.05 + 1.0,
+          s"$k: exact $e vs approx ${approx(k)}")
+    } finally spark.conf.unset("spark.graft.approx")
+  }
+
   test("spark.graft.approx=true rewrites COUNT(DISTINCT) to HyperLogLog++") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     def q(): DataFrame = events.groupBy("event_type")
