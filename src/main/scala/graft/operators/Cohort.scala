@@ -262,6 +262,64 @@ object Cohort {
         countDistinct(col("user_id")).as("n_users"))
       .transform(Gate.ordered("section", "sec_key"))
 
+  // -- c19: cohort detail export (i2b2 PDO face) -------------------------
+  // i2b2 queries return more than counts: a Patient Data Object export
+  // hands researchers every fact of every cohort member. Spark shape:
+  // the (small) cohort broadcast into a left-semi join against the fact
+  // table — one fact scan, no shuffle of the facts, output streamed to
+  // whatever sink the researcher wants. At 100 TB this is THE shape for
+  // "give me the raw rows of these 10k patients".
+  def c19(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .join(broadcast(c01(s, d).select("user_id")), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), TS_FMT).as("ts"),
+        col("event_type"), col("value"))
+      .transform(Gate.ordered("event_id"))
+
+  // -- c20: incremental report maintenance (mergeable sketch state) ------
+  // The monthly report re-run from scratch rescans ALL history; at
+  // 100 TB the nightly delta is gigabytes while history is the 100 TB.
+  // Incremental view maintenance: persist per-(section, key) state that
+  // is MERGEABLE — counts add, and distinct-user state is a DataSketches
+  // HLL sketch (hll_sketch_agg) whose union (hll_union_agg) is
+  // register-wise max: commutative, associative, order-independent — so
+  // tonight's report = stored state ⊎ delta state, history untouched.
+  // CohortSpec pins: exact n_events equality with c18, sketch estimates
+  // within HLL error of exact, and merge-order invariance.
+
+  /** Mergeable per-(section, key) report state over a fact slice. */
+  def reportState(ev: DataFrame): DataFrame =
+    reportSections(ev)
+      .groupBy(col("section"), col("sec_key"))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col("user_id")).as("users_sketch"))
+
+  /** Merge two state tables: counts add, sketches union. */
+  def mergeReportState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("section"), col("sec_key"))
+      .agg(sum(col("n_events")).as("n_events"),
+        hll_union_agg(col("users_sketch")).as("users_sketch"))
+
+  /** Render state to the report: estimate the distinct-user sketches. */
+  def reportFromState(state: DataFrame): DataFrame =
+    state.select(col("section"), col("sec_key"), col("n_events"),
+      hll_sketch_estimate(col("users_sketch")).as("approx_users"))
+
+  def c20(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cut = lit("2024-01-21").cast("timestamp")
+    val path = s"${graft.Scratch.dir}/report_state/${graft.Scratch.tag(d)}"
+    // history state persisted once; the incremental run reads it back
+    // and touches only the delta's facts
+    reportState(ev.filter(col("ts") < cut))
+      .write.mode("overwrite").parquet(path)
+    val delta = reportState(ev.filter(col("ts") >= cut))
+    reportFromState(mergeReportState(s.read.parquet(path), delta))
+      .transform(Gate.ordered("section", "sec_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -278,7 +336,9 @@ object Cohort {
     "c12_repeat_visits" -> (c12 _),
     "c15_obfuscated_counts" -> (c15 _),
     "c17_demographic_breakdown" -> (c17 _),
-    "c18_monthly_report" -> (c18 _)
+    "c18_monthly_report" -> (c18 _),
+    "c19_cohort_export" -> (c19 _),
+    "c20_report_incremental" -> (c20 _)
   )
 
   private def nOfSql(t: String) =
@@ -394,6 +454,18 @@ object Cohort {
          |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
          |JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c19_cohort_export" ->
+      """SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value
+        |FROM events WHERE user_id IN (
+        | SELECT user_id FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        | GROUP BY user_id
+        | HAVING (COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+        |   OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
+        |  AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+        |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0)
+        |ORDER BY event_id""".stripMargin,
     "c18_monthly_report" ->
       """SELECT section, sec_key, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users

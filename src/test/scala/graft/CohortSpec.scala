@@ -46,6 +46,29 @@ class CohortSpec extends SparkSpec {
     assert(scans == 1, s"multi-section report must be ONE scan, saw $scans")
   }
 
+  test("c20 incremental report: exact counts, bounded sketch error, merge-invariant") {
+    val exact = Cohort.c18(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val inc = Cohort.c20(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(inc.keySet == exact.keySet)
+    inc.foreach { case (k, (n, approxUsers)) =>
+      val (exactN, exactUsers) = exact(k)
+      assert(n == exactN, s"$k: counts must merge exactly")
+      assert(math.abs(approxUsers - exactUsers) <= math.max(2.0, exactUsers * 0.05),
+        s"$k: sketch estimate $approxUsers vs exact $exactUsers")
+    }
+    // HLL union is register-wise max — merging split states must equal
+    // the one-shot state's estimates exactly
+    val oneShot = Cohort.reportFromState(
+      Cohort.reportState(Tables.events(spark, sfDir))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(oneShot == inc, "incremental merge must equal the one-shot state")
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

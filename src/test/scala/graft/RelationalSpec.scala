@@ -108,7 +108,8 @@ class RelationalSpec extends SparkSpec {
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
       "s04_ann_pq", "s04b_ann_pq_prebuilt",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
-      "c06b_los_percentiles_approx", "q29b_column_profile_approx")
+      "c06b_los_percentiles_approx", "q29b_column_profile_approx",
+      "c20_report_incremental")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
