@@ -243,6 +243,24 @@ object RoundTrip {
         .otherwise(lit(0.0))).as("sum_bal"))
   }
 
+  /** Import audit WITHOUT a second scan: QA aggregates (row count, null
+    * count, checksum) ride the write action itself via the Observation
+    * API — at 100 TB the difference between "write then re-read to
+    * validate" and "validate while writing" is a full extra pass over
+    * the feed. Returns the observed metrics after the write completes.
+    * Spec-checked against independently computed values (RoundTripSpec).
+    */
+  def writeWithAudit(df: DataFrame, auditCol: String, path: String)
+      : Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col(auditCol).isNull, lit(1))).as("n_null"),
+        graft.Det.dsum(coalesce(col(auditCol), lit(0.0))).as("checksum"))
+      .write.mode("overwrite").parquet(path)
+    obs.get
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),

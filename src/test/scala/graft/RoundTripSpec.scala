@@ -133,6 +133,20 @@ class RoundTripSpec extends SparkSpec {
     } finally parsed.unpersist()
   }
 
+  test("writeWithAudit observes import metrics on the write pass itself") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val path = s"${graft.Scratch.dir}/audit_out/${graft.Scratch.tag(sfDir)}"
+    val metrics = RoundTrip.writeWithAudit(ev, "value", path)
+    assert(metrics("n_rows") == ev.count())
+    assert(metrics("n_null") == ev.filter(col("value").isNull).count())
+    val direct = ev.agg(Det.dsum(coalesce(col("value"), lit(0.0))))
+      .collect()(0).getDouble(0)
+    assert(metrics("checksum") == direct, "decimal checksum must be exact")
+    // and the written data really landed, complete
+    assert(spark.read.parquet(path).count() == ev.count())
+  }
+
   test("src04 partition-ranged read prunes partitions at the scan") {
     val df = RoundTrip.src04(spark, sfDir)
     df.collect()
