@@ -1,0 +1,36 @@
+package graft
+
+/** Blanket plan-hygiene invariant over EVERY registered query: no
+  * cartesian products, and nested-loop joins only where the build side
+  * is a deliberate 1-row scalar/query-vector frame. A quadratic join
+  * sneaking into any operator — the classic way a working small-SF
+  * query dies at 100 TB — fails this suite, not a code review.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  // BroadcastNestedLoopJoin with a single-row build side, by design:
+  // c10's funnel scalar and the ANN operators' (qv, qnrm) query frames.
+  // Each is audited in docs/plans/ — a 1-row build is O(N), not O(N²).
+  private val scalarCross = Set(
+    "c10_funnel",
+    "s01_ann_bruteforce",
+    "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
+    "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
+    "s04_ann_pq", "s04b_ann_pq_prebuilt")
+
+  test("no query plans a cartesian product; nested loops only for 1-row scalars") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian =
+          if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+          else Nil
+        val nlj =
+          if (plan.contains("BroadcastNestedLoopJoin") && !scalarCross(name))
+            Seq(s"$name: BroadcastNestedLoopJoin outside the scalar allowlist")
+          else Nil
+        cartesian ++ nlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
