@@ -320,6 +320,40 @@ object Cohort {
       .transform(Gate.ordered("section", "sec_key"))
   }
 
+  // -- c21: ontology subtree query (i2b2 concept hierarchy) --------------
+  // i2b2's defining query pattern is ontology-driven: concepts live in a
+  // tree (concept_dimension.concept_path) and a panel selects a SUBTREE
+  // ("everything under \Diagnoses\Circulatory\"). Spark shape: the
+  // concept dimension is tiny → broadcast join fact→path, subtree = path
+  // prefix filter, then a per-level rollup gives counts at every depth
+  // of the selected subtree in one aggregate. The path table here is the
+  // in-code concept dimension for the five event types (the reference's
+  // concept_dimension is exactly such a small mapped table).
+  private val CONCEPT_PATHS = Seq(
+    ("click", "/app/engagement/click"),
+    ("view", "/app/engagement/view"),
+    ("signup", "/app/account/signup"),
+    ("purchase", "/commerce/purchase"),
+    ("error", "/ops/error"))
+
+  /** The concept dimension as a (concept_cd, path, level1, level2) frame. */
+  def conceptDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    CONCEPT_PATHS.toDF("event_type", "path")
+      .withColumn("level1", split(col("path"), "/").getItem(1))
+      .withColumn("level2", split(col("path"), "/").getItem(2))
+  }
+
+  def c21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .join(broadcast(conceptDim(s)), Seq("event_type"))
+      .filter(col("path").startsWith("/app/"))
+      .rollup(col("level1"), col("level2"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .transform(Gate.orderedBy(col("level1").asc_nulls_first,
+        col("level2").asc_nulls_first))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -338,7 +372,8 @@ object Cohort {
     "c17_demographic_breakdown" -> (c17 _),
     "c18_monthly_report" -> (c18 _),
     "c19_cohort_export" -> (c19 _),
-    "c20_report_incremental" -> (c20 _)
+    "c20_report_incremental" -> (c20 _),
+    "c21_concept_subtree" -> (c21 _)
   )
 
   private def nOfSql(t: String) =
@@ -454,6 +489,17 @@ object Cohort {
          |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
          |JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c21_concept_subtree" -> {
+      val pathCase = CONCEPT_PATHS.map { case (t, p) =>
+        s"WHEN '$t' THEN '$p'" }.mkString("CASE event_type ", " ", " END")
+      s"""SELECT string_split(path, '/')[2] AS level1,
+         | string_split(path, '/')[3] AS level2,
+         | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, $pathCase AS path FROM events)
+         |WHERE path LIKE '/app/%'
+         |GROUP BY ROLLUP(level1, level2)
+         |ORDER BY level1 NULLS FIRST, level2 NULLS FIRST""".stripMargin
+    },
     "c19_cohort_export" ->
       """SELECT user_id, event_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value

@@ -69,6 +69,30 @@ class CohortSpec extends SparkSpec {
     assert(oneShot == inc, "incremental merge must equal the one-shot state")
   }
 
+  test("c21 subtree rollup covers exactly the /app concepts at every level") {
+    import org.apache.spark.sql.functions._
+    val appTypes = Set("click", "view", "signup")
+    val perType = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(appTypes.toSeq: _*))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Cohort.c21(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    // grand total and the level-1 'app' subtotal both equal all /app events
+    assert(rows((None, None)) == perType.values.sum)
+    assert(rows((Some("app"), None)) == perType.values.sum)
+    // level-2 subtotals partition by subtree branch
+    assert(rows((Some("app"), Some("engagement"))) ==
+      perType("click") + perType("view"))
+    assert(rows((Some("app"), Some("account"))) == perType("signup"))
+    // nothing outside the subtree leaks in
+    assert(!rows.keySet.exists(_._1.exists(l => l != "app")))
+    // the ontology dimension joins as a broadcast, never a shuffle
+    val plan = Cohort.c21(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)
