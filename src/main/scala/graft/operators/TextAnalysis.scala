@@ -184,6 +184,33 @@ object TextAnalysis {
       regexp_count(col("redacted"), lit(EMAIL_RE)).as("res_emails"),
       regexp_count(col("redacted"), lit(PHONE_RE)).as("res_phones"))
 
+  // -- t09: intra-document repetition cleanup ----------------------------
+  // Corpus cleaning: collapse consecutive duplicate tokens (degenerate
+  // generation loops, stutter artifacts — "batch batch batch" → "batch").
+  // Scale shape: tokens stream through ONE keyed window (lag over
+  // (doc, pos)) — spillable, no per-doc materialization until the final
+  // bounded re-assembly; a 10M-token doc flows through Spark's external
+  // sort. The re-assembly transform() runs per kept token over one doc's
+  // array — small, off the hot path. Oracle rebuilds the identical
+  // cleaned text via DuckDB's indexed list_filter.
+  def t09(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("keep",
+        lag(col("tok"), 1).over(w).isNull ||
+          col("tok") =!= lag(col("tok"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_before"),
+        count(when(col("keep"), lit(1))).as("n_after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("tok"))))),
+          p => p.getField("tok"))).as("cleaned"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -192,13 +219,22 @@ object TextAnalysis {
     "t05_train_split" -> (t05 _),
     "t06_mixture_sample" -> (t06 _),
     "t07_pack_sequences" -> (t07 _),
-    "t08_pii_redaction" -> (t08 _)
+    "t08_pii_redaction" -> (t08 _),
+    "t09_dedup_repeats" -> (t09 _)
   )
 
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t09_dedup_repeats" ->
+      """SELECT doc_id, len(toks) AS n_before, len(cleaned) AS n_after,
+        | array_to_string(cleaned, ' ') AS cleaned
+        |FROM (
+        | SELECT doc_id, toks,
+        |  list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS cleaned
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "t08_pii_redaction" ->
       s"""SELECT doc_id,
          | len(regexp_extract_all(pii_text, '$EMAIL_RE')) AS n_emails,

@@ -29,6 +29,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t09 collapses consecutive duplicates only, preserving order") {
+    val rows = TextAnalysis.t09(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var removedSomething = false
+    rows.foreach { r =>
+      val (before, after) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))
+      val cleaned = r.getAs[String]("cleaned").split(" ", -1)
+      assert(after <= before && cleaned.length == after)
+      // no consecutive duplicates survive
+      cleaned.sliding(2).foreach {
+        case Array(a, b) => assert(a != b, s"doc ${r.getLong(0)}: '$a $a'")
+        case _ =>
+      }
+      if (after < before) removedSomething = true
+    }
+    assert(removedSomething, "the corpus plants stutter runs; t09 must find them")
+  }
+
   test("t08 redaction finds every planted PII item and leaves no residue") {
     val rows = TextAnalysis.t08(spark, sfDir).collect()
     assert(rows.nonEmpty)
