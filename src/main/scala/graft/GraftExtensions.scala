@@ -30,6 +30,7 @@ import graft.functions.RollingFingerprint
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fingerprintFunction)
+    ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectOptimizerRule(_ => ApproxAtScale)
   }
 }
@@ -48,6 +49,30 @@ object GraftExtensions {
       s"graft_fingerprint: $name must be in (0, ${Int.MaxValue}], got $v")
     v.toInt
   }
+
+  /** `graft_dot(a, b, dim)`: the engine's deterministic fixed-order dot
+    * product (VectorFunctions.dotFixed) for SQL users — built as the
+    * identical left-associated Add/Multiply chain over array elements,
+    * so a SQL re-rank computes bit-equal cosines to the Scala operators
+    * on any engine and any partitioning. `dim` must be an int literal
+    * (the unroll happens at resolution time).
+    */
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b, d) =>
+        val dim = intLit(d, "dim")
+        import org.apache.spark.sql.catalyst.expressions.{Add, GetArrayItem, Multiply}
+        (0 until dim).map { i =>
+          val ai = Cast(GetArrayItem(a, Literal(i)), DoubleType)
+          val bi = Cast(GetArrayItem(b, Literal(i)), DoubleType)
+          Multiply(ai, bi): Expression
+        }.reduceLeft(Add(_, _))
+      case _ => throw new IllegalArgumentException(
+        s"graft_dot takes (array, array, dim-literal), got ${children.size} args")
+    }
+  )
 
   /** `graft_fingerprint(str)`, `(str, window)`, `(str, window, base)`. */
   val fingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -38,6 +38,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(custom == expected)
   }
 
+  test("graft_dot from SQL is bit-equal to the Scala dotFixed operator") {
+    import graft.functions.VectorFunctions.dotFixed
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.createOrReplaceTempView("ext_emb")
+    // a SQL self-dot must produce the IDENTICAL doubles the operators
+    // compute — same fixed-order chain, same IEEE ops
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding, 64) AS d FROM ext_emb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = emb.select(col("vec_id"),
+      dotFixed("embedding", "embedding", 64).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("ApproxAtScale is inert while spark.graft.approx is unset") {
     val df = Relational.q15(spark, sfDir)
     assert(has(df, { case p: Percentile => p }))
