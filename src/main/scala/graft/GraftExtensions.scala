@@ -36,17 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def longLit(e: Expression, name: String): Long = e match {
+  private def longLit(fn: String, e: Expression, name: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, LongType)   => v
     case other => throw new IllegalArgumentException(
-      s"graft_fingerprint: $name must be an integer literal, got $other")
+      s"$fn: $name must be an integer literal, got $other")
   }
 
-  private def intLit(e: Expression, name: String): Int = {
-    val v = longLit(e, name)
+  private def intLit(fn: String, e: Expression, name: String): Int = {
+    val v = longLit(fn, e, name)
     require(v > 0 && v <= Int.MaxValue,
-      s"graft_fingerprint: $name must be in (0, ${Int.MaxValue}], got $v")
+      s"$fn: $name must be in (0, ${Int.MaxValue}], got $v")
     v.toInt
   }
 
@@ -62,7 +62,7 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot"),
     (children: Seq[Expression]) => children match {
       case Seq(a, b, d) =>
-        val dim = intLit(d, "dim")
+        val dim = intLit("graft_dot", d, "dim")
         import org.apache.spark.sql.catalyst.expressions.{Add, GetArrayItem, Multiply}
         (0 until dim).map { i =>
           val ai = Cast(GetArrayItem(a, Literal(i)), DoubleType)
@@ -82,9 +82,11 @@ object GraftExtensions {
       case Seq(c) =>
         RollingFingerprint(c, RollingFingerprint.DefaultWindow, RollingFingerprint.DefaultBase)
       case Seq(c, w) =>
-        RollingFingerprint(c, intLit(w, "window"), RollingFingerprint.DefaultBase)
+        RollingFingerprint(c, intLit("graft_fingerprint", w, "window"),
+          RollingFingerprint.DefaultBase)
       case Seq(c, w, b) =>
-        RollingFingerprint(c, intLit(w, "window"), longLit(b, "base"))
+        RollingFingerprint(c, intLit("graft_fingerprint", w, "window"),
+          longLit("graft_fingerprint", b, "base"))
       case _ => throw new IllegalArgumentException(
         s"graft_fingerprint takes 1-3 arguments, got ${children.size}")
     }

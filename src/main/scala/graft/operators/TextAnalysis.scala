@@ -197,10 +197,13 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     documents(s, d)
+      // null text would vanish under posexplode while a SQL engine
+      // keeps the row — make the not-null contract explicit on BOTH
+      // sides (oracle mirrors the filter) instead of corpus-dependent
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("keep",
-        lag(col("tok"), 1).over(w).isNull ||
-          col("tok") =!= lag(col("tok"), 1).over(w))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("keep", col("prev").isNull || col("tok") =!= col("prev"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_before"),
         count(when(col("keep"), lit(1))).as("n_after"),
@@ -233,7 +236,8 @@ object TextAnalysis {
         |FROM (
         | SELECT doc_id, toks,
         |  list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS cleaned
-        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE text IS NOT NULL))
         |ORDER BY doc_id""".stripMargin,
     "t08_pii_redaction" ->
       s"""SELECT doc_id,

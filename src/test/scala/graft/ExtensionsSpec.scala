@@ -40,7 +40,7 @@ class ExtensionsSpec extends SparkSpec {
 
   test("graft_dot from SQL is bit-equal to the Scala dotFixed operator") {
     import graft.functions.VectorFunctions.dotFixed
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
     emb.createOrReplaceTempView("ext_emb")
     // a SQL self-dot must produce the IDENTICAL doubles the operators
     // compute — same fixed-order chain, same IEEE ops
