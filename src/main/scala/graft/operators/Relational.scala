@@ -415,6 +415,33 @@ object Relational {
         graft.Det.dsum(col("o_totalprice")).as("sum_price"))
       .transform(Gate.ordered("o_orderpriority", "o_orderstatus"))
 
+  // -- q31: sliding-window frequency via a RANGE frame -------------------
+  // "At least N occurrences within ANY trailing 7-day window" — the
+  // i2b2 frequency-constraint shape (and the fraud/engagement-burst
+  // shape) — as a RANGE window frame over epoch seconds: each event
+  // sees the count of same-user purchases in [ts − 7 d, ts], one
+  // shuffle on user, no self-join (contrast c12's pairwise range join:
+  // the frame version scales with events, not event pairs). Spark's
+  // rangeBetween needs a numeric ordering column, so ts quantizes to
+  // epoch seconds — exact (generator is µs-precision) and identical in
+  // the DuckDB oracle's integer RANGE frame.
+  private val Q31_WINDOW_SEC = 7L * 86400
+  private val Q31_MIN = 3
+
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-Q31_WINDOW_SEC, 0)
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("ts_sec"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_7d")).as("peak_7d"))
+      .filter(col("peak_7d") >= Q31_MIN)
+      .transform(Gate.ordered("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -445,12 +472,23 @@ object Relational {
     "q28_salted_skew_join" -> (q28 _),
     "q29_column_profile" -> (q29 _),
     "q29b_column_profile_approx" -> (q29b _),
-    "q30_grouping_sets" -> (q30 _)
+    "q30_grouping_sets" -> (q30 _),
+    "q31_sliding_frequency" -> (q31 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT discipline: DuckDB COUNT over a frame and MAX of it give
+    // BIGINT already; epoch seconds via epoch() are BIGINT-safe
+    "q31_sliding_frequency" ->
+      s"""SELECT user_id, CAST(MAX(n_7d) AS BIGINT) AS peak_7d FROM (
+         | SELECT user_id, COUNT(*) OVER (
+         |   PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+         |   RANGE BETWEEN $Q31_WINDOW_SEC PRECEDING AND CURRENT ROW) AS n_7d
+         | FROM events WHERE event_type = 'purchase')
+         |GROUP BY user_id HAVING MAX(n_7d) >= $Q31_MIN
+         |ORDER BY user_id""".stripMargin,
     // NULLS FIRST: DuckDB default is NULLS LAST, Spark's asc is
     // nulls-first — rolled-up rows must land in the same positions
     "q30_grouping_sets" ->

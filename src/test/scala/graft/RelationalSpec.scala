@@ -91,6 +91,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1)
   }
 
+  test("q31 range frame matches a brute-force sliding-window count") {
+    import org.apache.spark.sql.functions._
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = purchases.groupBy(_._1).map { case (u, evs) =>
+      val ts = evs.map(_._2).sorted
+      u -> ts.map(t => ts.count(x => x >= t - 7L * 86400 && x <= t)).max
+    }.filter(_._2 >= 3)
+    val got = Relational.q31(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"missing=${brute.toSet -- got.toSet} extra=${got.toSet -- brute.toSet}")
+    assert(got.nonEmpty, "corpus must contain at least one burst user")
+  }
+
   test("q24 covers every nation that has customers or suppliers") {
     val rows = Relational.q24(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))
