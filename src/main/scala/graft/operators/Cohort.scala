@@ -360,6 +360,33 @@ object Cohort {
       .transform(Gate.orderedBy(col("level1").asc_nulls_first,
         col("level2").asc_nulls_first))
 
+  // -- c22: federated obfuscated counts (SHRINE/AKTIN network face) ------
+  // The reference DWH is ONE NODE of a federated ED registry: a network
+  // query asks every site for an obfuscated patient count and the hub
+  // reports per-site counts plus their sum (summing the OBFUSCATED
+  // counts — the hub never sees exact ones). Site ≈ the patient's
+  // nation (via the customer dimension); per-site jitter is the c15
+  // deterministic md5 scheme keyed by site, so every "site" obfuscates
+  // independently and the oracle reproduces it. One fact pass + one
+  // broadcast dimension join; the union'd TOTAL row aggregates only the
+  // already-obfuscated site rows.
+  def c22(s: SparkSession, d: String): DataFrame = {
+    val perSite = events(s, d)
+      .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("user_id")).as("n_true"))
+      .select(concat(lit("site_"), col("c_nationkey")).as("site"),
+        greatest(col("n_true") +
+          (ascii(substring(md5(concat(lit("site_"), col("c_nationkey"))
+            .cast("binary")), 1, 1)) % 7 - 3).cast("long"),
+          lit(OBF_FLOOR)).as("n_patients_obf"))
+    perSite.unionByName(
+      perSite.agg(sum(col("n_patients_obf")).as("n_patients_obf"))
+        .select(lit("TOTAL").as("site"), col("n_patients_obf")))
+      .transform(Gate.ordered("site"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -379,7 +406,8 @@ object Cohort {
     "c18_monthly_report" -> (c18 _),
     "c19_cohort_export" -> (c19 _),
     "c20_report_incremental" -> (c20 _),
-    "c21_concept_subtree" -> (c21 _)
+    "c21_concept_subtree" -> (c21 _),
+    "c22_federated_counts" -> (c22 _)
   )
 
   private def nOfSql(t: String) =
@@ -495,6 +523,21 @@ object Cohort {
          |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
          |JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HUGEINT discipline on the TOTAL row's SUM (c09 lesson); 'TOTAL'
+    // sorts before 'site_*' identically under both engines' binary
+    // collation ('T' < 's')
+    "c22_federated_counts" ->
+      """WITH site AS (
+        | SELECT 'site_' || CAST(c_nationkey AS VARCHAR) AS site,
+        |  GREATEST(COUNT(DISTINCT user_id) +
+        |    (ascii(substring(md5('site_' || CAST(c_nationkey AS VARCHAR)), 1, 1))
+        |      % 7 - 3), 10) AS n_patients_obf
+        | FROM events JOIN customer ON user_id = c_custkey
+        | GROUP BY c_nationkey)
+        |SELECT site, CAST(n_patients_obf AS BIGINT) AS n_patients_obf FROM site
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(SUM(n_patients_obf) AS BIGINT) FROM site
+        |ORDER BY site""".stripMargin,
     "c21_concept_subtree" -> {
       val pathCase = CONCEPT_PATHS.map { case (t, p) =>
         s"WHEN '$t' THEN '$p'" }.mkString("CASE event_type ", " ", " END")

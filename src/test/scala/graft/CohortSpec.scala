@@ -93,6 +93,27 @@ class CohortSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("c22 federated counts: per-site jitter bounds, total sums obfuscated rows") {
+    import org.apache.spark.sql.functions._
+    val truth = Tables.events(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => s"site_${r.get(0)}" -> r.getLong(1)).toMap
+    val rows = Cohort.c22(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sites = rows.filter(_._1 != "TOTAL")
+    assert(sites.keySet == truth.keySet)
+    sites.foreach { case (k, o) =>
+      assert(o >= 10, s"$k below suppression floor")
+      assert(o == 10 || math.abs(o - truth(k)) <= 3, s"$k: obf $o vs ${truth(k)}")
+    }
+    // the hub sums what the sites REPORT — obfuscated values, not truth
+    assert(rows("TOTAL") == sites.values.sum)
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)
