@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Panels
+import graft.operators.{Panels, PanelsJson}
 import graft.operators.Panels.{Concept, CohortDef, EncounterScope, Panel}
 import java.sql.Timestamp
 
@@ -127,6 +127,40 @@ class PanelsSpec extends SparkSpec {
     // identical cohort to the raw-layout path
     val viaRaw = Panels.c13(spark, sfDir).collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet == viaRaw)
+  }
+
+  test("a JSON query document compiles to the same cohort as the Scala API") {
+    val json =
+      """{ "panels": [
+        |    { "concepts": [ { "eventType": "purchase", "minValue": 100.0 },
+        |                    { "eventType": "click" } ],
+        |      "minOccurrences": 3 },
+        |    { "concepts": [ { "eventType": "error" } ], "negated": true } ],
+        |  "from": "2024-01-01", "until": "2024-01-08" }""".stripMargin
+    assert(PanelsJson.parse(json) == Panels.c13Def)
+    val viaJson = Panels.cohort(Tables.events(spark, sfDir),
+      PanelsJson.parse(json)).collect().map(_.getLong(0)).toSet
+    val viaApi = graft.operators.Panels.c13(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaJson == viaApi && viaJson.nonEmpty)
+  }
+
+  test("cohort definitions round-trip through JSON exactly") {
+    // exercise every field: value range, code set, occurrence, negation,
+    // per-encounter occurrence, window, encounter scope
+    val cd = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(50.0),
+        maxValue = Some(150.0), codeIn = Some(Seq("1", "2")))),
+        minOccurrences = 2, perEncounter = true),
+      Panel(Seq(Concept("error")), negated = true)),
+      from = Some("2024-01-01"), until = Some("2024-01-15"),
+      scope = EncounterScope)
+    assert(PanelsJson.parse(PanelsJson.toJson(cd)) == cd)
+    assert(PanelsJson.parse(PanelsJson.toJson(Panels.c13bDef)) == Panels.c13bDef)
+    intercept[IllegalArgumentException] {
+      PanelsJson.parse("""{ "panels": [ { "concepts": [
+        | { "eventType": "x" } ] } ], "scope": "galaxy" }""".stripMargin)
+    }
   }
 
   test("the API reproduces c01 when given c01's definition") {
