@@ -215,16 +215,24 @@ object Cohort {
   // check. Low true counts clamp to the floor (suppression: "<10").
   private val OBF_FLOOR = 10L
 
+  /** The privacy-critical jitter+floor, defined ONCE for every consumer
+    * (c15 per-concept, c22 per-site) on both engine and oracle sides —
+    * a tweak (e.g. widening the jitter) cannot desynchronize them.
+    */
+  private def obfuscated(trueCount: Column, key: Column): Column =
+    greatest(trueCount +
+      (ascii(substring(md5(key.cast("binary")), 1, 1)) % 7 - 3).cast("long"),
+      lit(OBF_FLOOR))
+
+  private def sqlObfuscated(trueCount: String, key: String): String =
+    s"GREATEST($trueCount + (ascii(substring(md5($key), 1, 1)) % 7 - 3), $OBF_FLOOR)"
+
   def c15(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_true"))
-      .withColumn("noise",
-        (ascii(substring(md5(col("event_type").cast("binary")), 1, 1)) % 7 - 3)
-          .cast("long"))
       .select(col("event_type"),
-        greatest(col("n_true") + col("noise"), lit(OBF_FLOOR))
-          .as("n_patients_obf"))
+        obfuscated(col("n_true"), col("event_type")).as("n_patients_obf"))
       .orderBy("event_type")
 
   // -- c18: the monthly report, in ONE pass ------------------------------
@@ -371,16 +379,18 @@ object Cohort {
   // broadcast dimension join; the union'd TOTAL row aggregates only the
   // already-obfuscated site rows.
   def c22(s: SparkSession, d: String): DataFrame = {
+    // cache: the tiny per-site frame (one row per nation) feeds BOTH the
+    // site rows and the TOTAL — uncached, the union's two branches would
+    // each rescan the fact table (CohortSpec asserts the reuse)
     val perSite = events(s, d)
       .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(countDistinct(col("user_id")).as("n_true"))
       .select(concat(lit("site_"), col("c_nationkey")).as("site"),
-        greatest(col("n_true") +
-          (ascii(substring(md5(concat(lit("site_"), col("c_nationkey"))
-            .cast("binary")), 1, 1)) % 7 - 3).cast("long"),
-          lit(OBF_FLOOR)).as("n_patients_obf"))
+        obfuscated(col("n_true"),
+          concat(lit("site_"), col("c_nationkey"))).as("n_patients_obf"))
+      .cache()
     perSite.unionByName(
       perSite.agg(sum(col("n_patients_obf")).as("n_patients_obf"))
         .select(lit("TOTAL").as("site"), col("n_patients_obf")))
@@ -527,11 +537,10 @@ object Cohort {
     // sorts before 'site_*' identically under both engines' binary
     // collation ('T' < 's')
     "c22_federated_counts" ->
-      """WITH site AS (
+      s"""WITH site AS (
         | SELECT 'site_' || CAST(c_nationkey AS VARCHAR) AS site,
-        |  GREATEST(COUNT(DISTINCT user_id) +
-        |    (ascii(substring(md5('site_' || CAST(c_nationkey AS VARCHAR)), 1, 1))
-        |      % 7 - 3), 10) AS n_patients_obf
+        |  ${sqlObfuscated("COUNT(DISTINCT user_id)",
+             "'site_' || CAST(c_nationkey AS VARCHAR)")} AS n_patients_obf
         | FROM events JOIN customer ON user_id = c_custkey
         | GROUP BY c_nationkey)
         |SELECT site, CAST(n_patients_obf AS BIGINT) AS n_patients_obf FROM site
@@ -573,10 +582,9 @@ object Cohort {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical md5-derived deterministic jitter on the oracle side
     "c15_obfuscated_counts" ->
-      """SELECT event_type,
-        | GREATEST(COUNT(DISTINCT user_id)
-        |   + (ascii(substring(md5(event_type), 1, 1)) % 7 - 3), 10)
-        |  AS n_patients_obf
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""SELECT event_type,
+         | ${sqlObfuscated("COUNT(DISTINCT user_id)", "event_type")}
+         |  AS n_patients_obf
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

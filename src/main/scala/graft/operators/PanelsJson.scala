@@ -40,8 +40,40 @@ object PanelsJson {
 
   private implicit val formats: Formats = DefaultFormats
 
+  private val cohortKeys = Set("panels", "from", "until", "scope")
+  private val panelKeys =
+    Set("concepts", "minOccurrences", "negated", "perEncounter")
+  private val conceptKeys = Set("eventType", "minValue", "maxValue", "codeIn")
+
+  /** Reject unknown keys: json4s extraction silently ignores them, and a
+    * typo'd "negate" would flip a NOT-panel into a positive one with no
+    * error — unacceptable for documents arriving over the wire.
+    */
+  private def checkKeys(v: JValue, allowed: Set[String], where: String): Unit =
+    v match {
+      case JObject(fields) =>
+        val unknown = fields.map(_._1).filterNot(allowed)
+        require(unknown.isEmpty,
+          s"unknown field(s) ${unknown.mkString("'", "', '", "'")} in $where " +
+            s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+      case other => throw new IllegalArgumentException(
+        s"$where must be a JSON object, got $other")
+    }
+
   def parse(json: String): CohortDef = {
-    val dto = JsonMethods.parse(json).extract[CohortDto]
+    val root = JsonMethods.parse(json)
+    checkKeys(root, cohortKeys, "cohort definition")
+    (root \ "panels") match {
+      case JArray(ps) => ps.foreach { p =>
+        checkKeys(p, panelKeys, "panel")
+        (p \ "concepts") match {
+          case JArray(cs) => cs.foreach(checkKeys(_, conceptKeys, "concept"))
+          case _ => () // missing/non-array concepts caught by extract below
+        }
+      }
+      case _ => () // missing/non-array panels caught by extract below
+    }
+    val dto = root.extract[CohortDto]
     require(dto.panels.nonEmpty, "a cohort definition needs >= 1 panel")
     val scope = dto.scope match {
       case None | Some("patient") => PatientScope

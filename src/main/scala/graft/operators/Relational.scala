@@ -424,7 +424,10 @@ object Relational {
   // the frame version scales with events, not event pairs). Spark's
   // rangeBetween needs a numeric ordering column, so ts quantizes to
   // epoch seconds — exact (generator is µs-precision) and identical in
-  // the DuckDB oracle's integer RANGE frame.
+  // the DuckDB oracle's integer RANGE frame. Positive-epoch assumption:
+  // Spark `div` truncates toward zero while DuckDB `//` floors, which
+  // differ only for pre-1970 timestamps — impossible for this fact
+  // table; a corpus with negative epochs would need a shared floor-div.
   private val Q31_WINDOW_SEC = 7L * 86400
   private val Q31_MIN = 3
 
@@ -479,8 +482,9 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
-    // HUGEINT discipline: DuckDB COUNT over a frame and MAX of it give
-    // BIGINT already; epoch seconds via epoch() are BIGINT-safe
+    // epoch_us // 1000000, NOT epoch(): DuckDB's epoch() returns DOUBLE
+    // with fractional seconds — a different RANGE ordering key than
+    // Spark's integer-truncated seconds; the integer division matches
     "q31_sliding_frequency" ->
       s"""SELECT user_id, CAST(MAX(n_7d) AS BIGINT) AS peak_7d FROM (
          | SELECT user_id, COUNT(*) OVER (

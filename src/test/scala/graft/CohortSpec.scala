@@ -112,6 +112,11 @@ class CohortSpec extends SparkSpec {
     }
     // the hub sums what the sites REPORT — obfuscated values, not truth
     assert(rows("TOTAL") == sites.values.sum)
+    // both branches of the union reuse the cached per-site frame
+    // instead of rescanning the fact table
+    val plan = Cohort.c22(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"TOTAL must come from the cached site rows:\n$plan")
   }
 
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {

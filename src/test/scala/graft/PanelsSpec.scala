@@ -161,6 +161,16 @@ class PanelsSpec extends SparkSpec {
       PanelsJson.parse("""{ "panels": [ { "concepts": [
         | { "eventType": "x" } ] } ], "scope": "galaxy" }""".stripMargin)
     }
+    // a typo'd key must be an ERROR, not a silently different cohort —
+    // "negate" instead of "negated" would flip a NOT-panel to positive
+    intercept[IllegalArgumentException] {
+      PanelsJson.parse("""{ "panels": [ { "concepts": [
+        | { "eventType": "error" } ], "negate": true } ] }""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      PanelsJson.parse("""{ "panels": [ { "concepts": [
+        | { "eventTyp": "error" } ] } ] }""".stripMargin)
+    }
   }
 
   test("the API reproduces c01 when given c01's definition") {
