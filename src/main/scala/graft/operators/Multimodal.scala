@@ -98,7 +98,8 @@ object Multimodal {
   private val FRAME = 64
   private val STRIDE_CHARS = 256
 
-  def m02(s: SparkSession, d: String): DataFrame =
+  /** The shared strided frame sampler: (doc_id, frame_no, frame). */
+  private def frames(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(expr(
@@ -106,20 +107,64 @@ object Multimodal {
           .as("frame_no"))
       .select(col("doc_id"), col("frame_no"),
         expr(s"substring(text, frame_no * $STRIDE_CHARS + 1, $FRAME)").as("frame"))
+
+  def m02(s: SparkSession, d: String): DataFrame =
+    frames(s, d)
       .select(col("doc_id"), col("frame_no"),
         md5(col("frame").cast("binary")).as("frame_md5"),
         length(col("frame")).as("frame_chars"))
       .transform(Gate.ordered("doc_id", "frame_no"))
 
+  // -- m03: per-frame feature extraction (the embedding bridge) ----------
+  // The step between frame sampling and similarity search: every sampled
+  // frame reduces to a fixed-dimension feature vector — in production a
+  // vision/audio encoder inside mapInArrow batches; here a deterministic
+  // codec-free stand-in (per-chunk byte-sum pooling over the
+  // space-padded frame) that both engines compute exactly, so the
+  // oracle checks every feature value. Output rows are embedding-shaped
+  // (id, dims) and feed the s01–s04 stack unchanged — the full
+  // media → frames → features → ANN pipeline is one composition.
+  private val FEAT_CHUNKS = 8
+  private val CHUNK = FRAME / FEAT_CHUNKS
+
+  def m03(s: SparkSession, d: String): DataFrame = {
+    val feats = (0 until FEAT_CHUNKS).map { c =>
+      (0 until CHUNK).map(i =>
+        ascii(substring(col("fr"), c * CHUNK + i + 1, 1))).reduce(_ + _)
+        .as(s"f$c")
+    }
+    frames(s, d)
+      .withColumn("fr", rpad(col("frame"), FRAME, " "))
+      .select(col("doc_id") +: col("frame_no") +: feats: _*)
+      .transform(Gate.ordered("doc_id", "frame_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _),
-    "m02_frame_sample" -> (m02 _)
+    "m02_frame_sample" -> (m02 _),
+    "m03_frame_features" -> (m03 _)
   )
 
   /** m01 is rows-only: xxhash64-derived stub fields are not
     * DuckDB-expressible; schema/determinism are pinned by MultimodalSpec.
     */
   val oracle: Map[String, String] = Map(
+    "m03_frame_features" -> {
+      val featSql = (0 until FEAT_CHUNKS).map { c =>
+        (0 until CHUNK).map(i => s"ascii(substring(fr, ${c * CHUNK + i + 1}, 1))")
+          .mkString("(", " + ", s") AS f$c")
+      }.mkString(",\n ")
+      s"""SELECT doc_id, i AS frame_no,
+         | $featSql
+         |FROM (
+         | SELECT doc_id, i,
+         |  rpad(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME),
+         |   $FRAME, ' ') AS fr
+         | FROM documents,
+         |  LATERAL (SELECT unnest(range(0,
+         |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r)
+         |ORDER BY doc_id, frame_no""".stripMargin
+    },
     "m02_frame_sample" ->
       s"""SELECT doc_id, i AS frame_no,
          | md5(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))

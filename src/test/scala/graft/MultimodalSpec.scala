@@ -41,4 +41,19 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getAs[Long]("head_checksum") == r.getAs[Long]("checksum"))
       }
   }
+
+  test("m03 features are bounded byte-sums, one row per sampled frame") {
+    val feats = Multimodal.m03(spark, sfDir).collect()
+    assert(feats.length.toLong == Multimodal.m02(spark, sfDir).count(),
+      "one feature row per m02 frame")
+    feats.foreach { r =>
+      (2 until 10).map(r.getInt).foreach { f =>
+        // 8 chars per chunk, space padding (32) up to ascii 127
+        assert(f >= 8 * 32 && f <= 8 * 127, s"feature $f out of byte-sum range")
+      }
+    }
+    // deterministic: identical on recomputation (stable embed bridge)
+    assert(Multimodal.m03(spark, sfDir).collect().map(_.toSeq).toSeq ==
+      feats.map(_.toSeq).toSeq)
+  }
 }
