@@ -5,9 +5,13 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C m01–m02 — multimodal column plumbing.
+/** §2.C m01–m03 — multimodal column plumbing.
   *
-  * Media assets ride through the engine as opaque `binary` payload
+  * The reference ingests opaque documents alongside structured facts
+  * (CDA document imports into the AKTIN services packaged by
+  * /root/reference/generated/compose.yml); at training-data scale the
+  * same shape carries media. Media assets ride through the engine as
+  * opaque `binary` payload
   * columns plus a typed metadata struct — the schema/partitioning shape a
   * 100 TB image/audio corpus needs (payload stays columnar, metadata is
   * filterable without touching bytes). The decode step is a clearly
