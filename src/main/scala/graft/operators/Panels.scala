@@ -127,6 +127,19 @@ object Panels {
     }
   }
 
+  /** i2b2 "previous result" composition: restrict a cohort definition
+    * to an existing PATIENT SET (the saved result of an earlier query) —
+    * the CRC's query-in-query face. One broadcast semi-join narrows the
+    * fact scan to set members BEFORE the one-pass compile, so at 100 TB
+    * the second query reads only the (small) cohort's facts, and panel
+    * counts are computed over exactly the same rows a standalone run
+    * would see.
+    */
+  def cohortWithPatientSet(eventsDf: DataFrame, cd: CohortDef,
+      patientSet: DataFrame): DataFrame =
+    cohort(eventsDf.join(
+      broadcast(patientSet.select("user_id")), Seq("user_id"), "left_semi"), cd)
+
   // -- c13: the API exercised through the oracle gate --------------------
   // Panel 1: at least 3 events that are (purchase with value >= 100) OR
   // click; panel 2: NOT error — over the first week of January (the
@@ -216,12 +229,19 @@ object Panels {
     cohort(withEncounters(events(s, d)), c14bDef)
       .transform(Gate.ordered("user_id"))
 
+  // -- c23: query-in-query — c13's definition over c01's patient set -----
+  def c23(s: SparkSession, d: String): DataFrame =
+    cohortWithPatientSet(events(s, d), c13Def,
+      graft.operators.Cohort.c01(s, d).select("user_id"))
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
     "c13c_panel_prebucketed" -> (c13c _),
     "c14_panel_same_encounter" -> (c14 _),
-    "c14b_panel_distinct_encounters" -> (c14b _)
+    "c14b_panel_distinct_encounters" -> (c14b _),
+    "c23_patient_set_panel" -> (c23 _)
   )
 
   private val C13_SQL =
@@ -236,6 +256,26 @@ object Panels {
       |ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // c13's panels evaluated only over members of c01's patient set —
+    // the IN-subquery is the saved previous result
+    "c23_patient_set_panel" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN (event_type = 'purchase' AND value >= 100.0)
+        |   OR event_type = 'click' THEN 1 END) AS p0,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        | AND user_id IN (
+        |  SELECT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY user_id
+        |  HAVING (COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+        |    OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
+        |   AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+        |   AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0)
+        |GROUP BY user_id
+        |HAVING p0 >= 3 AND p1 = 0
+        |ORDER BY user_id""".stripMargin,
     "c13_panel_cohort_api" -> C13_SQL,
     // identical definition, identical results — only the storage layout
     // (and the resulting shuffle-free plan) differs

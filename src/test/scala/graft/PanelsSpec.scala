@@ -173,6 +173,18 @@ class PanelsSpec extends SparkSpec {
     }
   }
 
+  test("patient-set composition intersects cohorts with unchanged counts") {
+    val standalone = Panels.c13(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val set = graft.operators.Cohort.c01(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val composed = Panels.c23(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    // membership = intersection; panel counts identical to standalone
+    assert(composed.keySet == (standalone.keySet intersect set))
+    composed.foreach { case (u, row) => assert(row == standalone(u)) }
+  }
+
   test("the API reproduces c01 when given c01's definition") {
     val cd = CohortDef(Seq(
       Panel(Seq(Concept("signup"), Concept("view"))),
