@@ -235,13 +235,52 @@ object Panels {
       graft.operators.Cohort.c01(s, d).select("user_id"))
       .transform(Gate.ordered("user_id"))
 
+  // -- c24: patient_dimension panel constraints --------------------------
+
+  /** i2b2 demographic predicates over the patient dimension (an i2b2
+    * panel can mix patient_dimension concepts — age range, gender,
+    * vital status — with fact concepts; cf. the CRC star schema in the
+    * reference's database image). Here `customer` plays
+    * patient_dimension: market segment ≈ demographic group, nation ≈
+    * geography, account balance ≈ a numeric patient attribute.
+    */
+  case class PatientFilter(segmentIn: Option[Seq[String]] = None,
+      nationIn: Option[Seq[Long]] = None, minBalance: Option[Double] = None,
+      maxBalance: Option[Double] = None)
+
+  /** Compile a demographic filter to its qualifying patient-key set.
+    * The dimension is small relative to facts, so downstream
+    * composition via [[cohortWithPatientSet]] broadcasts it — the fact
+    * scan never joins the dimension row-by-row at 100 TB.
+    */
+  def patients(patientDim: DataFrame, pf: PatientFilter): DataFrame = Seq(
+    pf.segmentIn.map(vs => col("c_mktsegment").isin(vs: _*)),
+    pf.nationIn.map(vs => col("c_nationkey").isin(vs: _*)),
+    pf.minBalance.map(col("c_acctbal") >= _),
+    pf.maxBalance.map(col("c_acctbal") < _))
+    .flatten.foldLeft(patientDim)(_ filter _)
+    .select(col("c_custkey").as("user_id"))
+
+  // c13's fact panels restricted to three demographic segments with a
+  // non-negative balance — a strict, non-empty subset of c13 at both
+  // test SFs (PanelsSpec proves membership = intersection).
+  val c24Filter: PatientFilter = PatientFilter(
+    segmentIn = Some(Seq("AUTOMOBILE", "BUILDING", "MACHINERY")),
+    minBalance = Some(0.0))
+
+  def c24(s: SparkSession, d: String): DataFrame =
+    cohortWithPatientSet(events(s, d), c13Def,
+      patients(customer(s, d), c24Filter))
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
     "c13c_panel_prebucketed" -> (c13c _),
     "c14_panel_same_encounter" -> (c14 _),
     "c14b_panel_distinct_encounters" -> (c14b _),
-    "c23_patient_set_panel" -> (c23 _)
+    "c23_patient_set_panel" -> (c23 _),
+    "c24_panel_demographic" -> (c24 _)
   )
 
   private val C13_SQL =
@@ -273,6 +312,22 @@ object Panels {
         |    OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
         |   AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
         |   AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0)
+        |GROUP BY user_id
+        |HAVING p0 >= 3 AND p1 = 0
+        |ORDER BY user_id""".stripMargin,
+    // c13's fact panels over patients passing the demographic filter —
+    // the IN-subquery is the compiled patient_dimension constraint
+    "c24_panel_demographic" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN (event_type = 'purchase' AND value >= 100.0)
+        |   OR event_type = 'click' THEN 1 END) AS p0,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        | AND user_id IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        |   AND c_acctbal >= 0.0)
         |GROUP BY user_id
         |HAVING p0 >= 3 AND p1 = 0
         |ORDER BY user_id""".stripMargin,

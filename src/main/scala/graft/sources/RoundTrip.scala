@@ -261,6 +261,34 @@ object RoundTrip {
     obs.get
   }
 
+  /** XML round-trip of `orders` — the reference's document-ingest
+    * format face: clinical encounters arrive as XML documents (CDA)
+    * that the importer parses into typed fact rows (cf. the AKTIN
+    * importer stack assembled by the reference's WildFly image,
+    * /root/reference/generated/compose.yml). Spark 4's native XML
+    * source runs that parse distributed and schema-first (never
+    * rowTag inference — a schema-inference pass over 100 TB of
+    * documents is an extra full scan). Explicit timestampFormat on
+    * both write and read keeps the text form engine-deterministic;
+    * the date surfaces as a formatted string so the oracle compares
+    * exact text on both engines.
+    */
+  def src10(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val path = s"$scratch/src10_xml"
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "order")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .save(path)
+    s.read.schema(src.schema)
+      .option("rowTag", "order")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .format("xml").load(path)
+      .withColumn("o_orderdate",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
@@ -270,7 +298,8 @@ object RoundTrip {
     "src06_orc_roundtrip" -> (src06 _),
     "src07_schema_evolution" -> (src07 _),
     "src08_upsert_latest" -> (src08 _),
-    "src09_corrupt_records" -> (src09 _)
+    "src09_corrupt_records" -> (src09 _),
+    "src10_xml_roundtrip" -> (src10 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -315,6 +344,11 @@ object RoundTrip {
     "src09_corrupt_records" ->
       s"""SELECT COUNT(*) AS n_good, CAST(7 AS BIGINT) AS n_bad,
          | ${graft.Det.sqlDsum("c_acctbal")} AS sum_bal
-         |FROM customer""".stripMargin
+         |FROM customer""".stripMargin,
+    "src10_xml_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        | o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -185,6 +185,22 @@ class PanelsSpec extends SparkSpec {
     composed.foreach { case (u, row) => assert(row == standalone(u)) }
   }
 
+  test("demographic constraint keeps a strict non-empty cohort subset") {
+    // sf0.01 (the gate's SF): sf0.001's one-member cohort can't show
+    // a strict AND non-empty subset at once
+    val dir = "/root/testdata/sf0.01"
+    val standalone = Panels.c13(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val qualifying = Panels.patients(
+      graft.Tables.customer(spark, dir), Panels.c24Filter)
+      .collect().map(_.getLong(0)).toSet
+    val composed = Panels.c24(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(composed.keySet == (standalone.keySet intersect qualifying))
+    assert(composed.nonEmpty && composed.size < standalone.size)
+    composed.foreach { case (u, row) => assert(row == standalone(u)) }
+  }
+
   test("the API reproduces c01 when given c01's definition") {
     val cd = CohortDef(Seq(
       Panel(Seq(Concept("signup"), Concept("view"))),

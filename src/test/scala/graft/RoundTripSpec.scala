@@ -20,6 +20,38 @@ class RoundTripSpec extends SparkSpec {
     orig.zip(back).foreach { case (o, b) => assert(o == b) }
   }
 
+  test("xml round-trip escapes markup characters and keeps nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("num", DoubleType)))
+    // markup metacharacters, an entity-looking literal, and a null —
+    // the adversarial content a CDA feed actually contains
+    val rows = Seq(
+      Row(1L, "a < b && c > d", 1.25),
+      Row(2L, "quote \" apos ' &amp; raw", -0.5),
+      Row(3L, null, 3.5))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = s"${graft.Scratch.dir}/src10_escape_test"
+    df.write.mode("overwrite").format("xml").option("rowTag", "r").save(path)
+    val back = spark.read.schema(schema).option("rowTag", "r")
+      .format("xml").load(path).orderBy("id").collect()
+    assert(back.toSeq == rows)
+  }
+
+  test("xml round-trip of orders preserves every value exactly") {
+    val orig = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", org.apache.spark.sql.functions
+        .date_format(org.apache.spark.sql.functions.col("o_orderdate"),
+          "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("o_orderkey").collect()
+    val back = RoundTrip.src10(spark, sfDir).collect()
+    assert(back.length == orig.length)
+    orig.zip(back).foreach { case (o, b) => assert(o == b) }
+  }
+
   test("src03 bucketed join reads both sides without a shuffle") {
     val df = RoundTrip.src03(spark, sfDir)
     df.collect()
