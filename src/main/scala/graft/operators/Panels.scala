@@ -273,6 +273,51 @@ object Panels {
       patients(customer(s, d), c24Filter))
       .transform(Gate.ordered("user_id"))
 
+  // -- c25: anchored temporal panels -------------------------------------
+
+  /** i2b2 temporal query builder: panels evaluated RELATIVE to a
+    * per-patient anchor event ("within N days after the FIRST
+    * occurrence of X") rather than a fixed calendar window. The CRC
+    * builds these as anchor-derivation + constrained panels; here the
+    * anchor (first matching ts) is a whole-partition window min over
+    * user_id, the relative window is a filter against it, and the
+    * panel compile is the same conditional-aggregate pass — the window
+    * and the aggregation share ONE shuffle on user_id (PanelsSpec
+    * asserts a single Exchange), so the anchored form costs exactly
+    * what a calendar-window cohort costs at 100 TB.
+    */
+  def anchoredCohort(eventsDf: DataFrame, anchor: Concept, days: Int,
+      panels: Seq[Panel]): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val anchored = eventsDf
+      .withColumn("anchor_ts",
+        min(when(conceptMatch(anchor), col("ts"))).over(w))
+      .filter(col("anchor_ts").isNotNull &&
+        col("ts") >= col("anchor_ts") &&
+        col("ts") < col("anchor_ts") + expr(s"INTERVAL '$days' DAY"))
+    val panelCols = panels.zipWithIndex.map { case (p, i) =>
+      count(when(p.concepts.map(conceptMatch).reduce(_ || _), 1)).as(s"p$i")
+    }
+    val qualifies = panels.zipWithIndex.map { case (p, i) =>
+      if (p.negated) col(s"p$i") === 0 else col(s"p$i") >= p.minOccurrences
+    }.reduce(_ && _)
+    anchored
+      .groupBy(col("user_id"))
+      .agg(date_format(min(col("anchor_ts")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor"),
+        panelCols: _*)
+      .filter(qualifies)
+  }
+
+  // "within one week of first signup: at least 2 substantial purchases
+  // and at least 5 clicks" — non-vacuous at every test SF
+  def c25(s: SparkSession, d: String): DataFrame =
+    anchoredCohort(events(s, d), Concept("signup"), 7, Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(50.0))),
+        minOccurrences = 2),
+      Panel(Seq(Concept("click")), minOccurrences = 5)))
+      .transform(Gate.ordered("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
@@ -280,7 +325,8 @@ object Panels {
     "c14_panel_same_encounter" -> (c14 _),
     "c14b_panel_distinct_encounters" -> (c14b _),
     "c23_patient_set_panel" -> (c23 _),
-    "c24_panel_demographic" -> (c24 _)
+    "c24_panel_demographic" -> (c24 _),
+    "c25_anchored_panels" -> (c25 _)
   )
 
   private val C13_SQL =
@@ -330,6 +376,23 @@ object Panels {
         |   AND c_acctbal >= 0.0)
         |GROUP BY user_id
         |HAVING p0 >= 3 AND p1 = 0
+        |ORDER BY user_id""".stripMargin,
+    // anchor = first signup; panels counted inside [anchor, anchor+7d)
+    "c25_anchored_panels" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS anchor_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id,
+        | strftime(min(a.anchor_ts), '%Y-%m-%d %H:%M:%S.%f') AS anchor,
+        | COUNT(CASE WHEN event_type = 'purchase' AND value >= 50.0
+        |   THEN 1 END) AS p0,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS p1
+        |FROM events e JOIN a USING (user_id)
+        |WHERE a.anchor_ts IS NOT NULL AND e.ts >= a.anchor_ts
+        | AND e.ts < a.anchor_ts + INTERVAL 7 DAY
+        |GROUP BY e.user_id
+        |HAVING p0 >= 2 AND p1 >= 5
         |ORDER BY user_id""".stripMargin,
     "c13_panel_cohort_api" -> C13_SQL,
     // identical definition, identical results — only the storage layout

@@ -214,6 +214,32 @@ object TextAnalysis {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- t10: corpus-statistic token commonness ----------------------------
+  // Quality filtering against CORPUS-derived statistics (the step after
+  // t02's per-document heuristics): per document, the average corpus
+  // frequency of its tokens — garbled/OCR-noise docs score near 1
+  // (tokens seen nowhere else), boilerplate scores huge. Two passes over
+  // the token stream, both distributed: one groupBy(token) builds the
+  // unigram table (map-side partial agg shrinks it before the shuffle),
+  // one shuffle join tags each token with its count. The join — not a
+  // per-token window — is deliberate: AQE can split a skewed join key
+  // (stop-words at 100 TB), while a window over a stop-word's partition
+  // cannot be split. All-integer accumulation; the ONE double division
+  // at the end is exact-rounded on any engine.
+  def t10(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_n"))
+    toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tok_n")).as("sum_freq"))
+      .withColumn("avg_tok_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -223,13 +249,27 @@ object TextAnalysis {
     "t06_mixture_sample" -> (t06 _),
     "t07_pack_sequences" -> (t07 _),
     "t08_pii_redaction" -> (t08 _),
-    "t09_dedup_repeats" -> (t09 _)
+    "t09_dedup_repeats" -> (t09 _),
+    "t10_token_commonness" -> (t10 _)
   )
 
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT discipline: SUM -> BIGINT cast; the division mirrors
+    // Spark's cast-to-double-then-divide exactly
+    "t10_token_commonness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |freq AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(tok_n) AS BIGINT) AS sum_freq,
+        | CAST(SUM(tok_n) AS DOUBLE) / COUNT(*) AS avg_tok_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t09_dedup_repeats" ->
       """SELECT doc_id, len(toks) AS n_before, len(cleaned) AS n_after,
         | array_to_string(cleaned, ' ') AS cleaned

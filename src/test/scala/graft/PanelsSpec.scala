@@ -185,6 +185,44 @@ class PanelsSpec extends SparkSpec {
     composed.foreach { case (u, row) => assert(row == standalone(u)) }
   }
 
+  test("anchored panels count only inside [first anchor, anchor+N days)") {
+    import spark.implicits._
+    val f = Seq(
+      // user 1: signup day 5; purchase day 3 (BEFORE anchor, excluded),
+      // purchases days 6+7 (in window), purchase day 13 (>= anchor+7d,
+      // excluded) -> p0 = 2, qualifies
+      ev(1, 1, 5, "signup"), ev(1, 2, 3, "purchase"),
+      ev(1, 3, 6, "purchase"), ev(1, 4, 7, "purchase"),
+      ev(1, 5, 13, "purchase"),
+      // user 2: two signups — anchor is the FIRST (day 2), so the day-10
+      // purchase is outside [day2, day9) even though it is within 7
+      // days of the second signup (day 8) -> p0 = 1, fails
+      ev(2, 6, 2, "signup"), ev(2, 7, 8, "signup"),
+      ev(2, 8, 10, "purchase"), ev(2, 9, 3, "purchase"),
+      // user 3: no signup at all -> no anchor, never qualifies
+      ev(3, 10, 1, "purchase"), ev(3, 11, 2, "purchase")
+    ).toDF()
+    val out = Panels.anchoredCohort(f, Concept("signup"), 7,
+      Seq(Panel(Seq(Concept("purchase")), minOccurrences = 2)))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L))
+    val p0 = out.filter($"user_id" === 1L).collect()(0)
+      .getAs[Long]("p0")
+    assert(p0 == 2, "pre-anchor and post-window purchases must not count")
+  }
+
+  test("anchored panels pay one shuffle: window and agg share user_id") {
+    val df = Panels.anchoredCohort(
+      Tables.events(spark, sfDir), Concept("signup"), 7,
+      Seq(Panel(Seq(Concept("purchase")), minOccurrences = 2)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"anchor window and panel agg must share one user_id shuffle:\n$plan")
+  }
+
   test("demographic constraint keeps a strict non-empty cohort subset") {
     // sf0.01 (the gate's SF): sf0.001's one-member cohort can't show
     // a strict AND non-empty subset at once

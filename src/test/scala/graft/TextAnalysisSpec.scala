@@ -29,6 +29,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t10 matches a reference unigram computation exactly") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getString(1) }
+    val freq = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, occ) => t -> occ.length.toLong }
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val sumFreq = toks.map(freq).sum
+      id -> ((toks.length.toLong, sumFreq, sumFreq.toDouble / toks.length))
+    }.toMap
+    val got = TextAnalysis.t10(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, s, a) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("sum_freq") == s)
+      // identical IEEE division on identical integers: exact equality
+      assert(r.getAs[Double]("avg_tok_freq") == a)
+    }
+  }
+
   test("t09 collapses consecutive duplicates only, preserving order") {
     val rows = TextAnalysis.t09(spark, sfDir).collect()
     assert(rows.nonEmpty)
