@@ -247,8 +247,9 @@ object Cohort {
   // per-section COUNT(DISTINCT) into HLL++ without touching this code.
   /** Each fact row's (section, key) report memberships — the shared
     * heart of the batch report (c18) and the continuous streaming
-    * report (graft.streaming.EventStreams.reportStream). `ts` rides
-    * along so the streaming form can window + watermark on it.
+    * report (graft.streaming.EventStreams.dailyReportStream, whose
+    * exact batch twin is the st04 gate entry). `ts` rides along so the
+    * streaming form can window + watermark on it.
     */
   def reportSections(ev: DataFrame): DataFrame =
     ev.select(col("user_id"), col("ts"), explode(array(

@@ -288,6 +288,9 @@ object Panels {
     */
   def anchoredCohort(eventsDf: DataFrame, anchor: Concept, days: Int,
       panels: Seq[Panel]): DataFrame = {
+    require(!panels.exists(_.perEncounter),
+      "anchored compile counts facts, not encounters — combine " +
+        "withEncounters + cohort(EncounterScope) for per-visit bounds")
     val w = Window.partitionBy("user_id")
     val anchored = eventsDf
       .withColumn("anchor_ts",

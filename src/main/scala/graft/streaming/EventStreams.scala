@@ -218,6 +218,21 @@ object EventStreams {
   def dailyReportStream(stream: DataFrame): DataFrame =
     dailyReport(stream.withWatermark("ts", "2 hours"))
 
+  /** Exact batch twin of the daily report — the `queries` entry (SQL
+    * oracle): countDistinct where the continuous form holds sketches,
+    * the same exact→approx split st01 makes. StreamingSpec pins the
+    * group keys and event counts of the two forms to each other, so
+    * the oracle transitively checks the stream's sectioning too.
+    */
+  def st04(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cohort.reportSections(events(s, d))
+      .groupBy(window(col("ts"), "1 day"), col("section"), col("sec_key"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("day_start"),
+        col("section"), col("sec_key"), col("n_events"), col("n_users"))
+      .transform(Gate.ordered("day_start", "section", "sec_key"))
+
   // ------------------------------------------------- exactly-once sink
   /** Idempotent per-batch writer: the micro-batch lands as an overwrite
     * of its own `batch_id=<n>` partition (dynamic partition overwrite),
@@ -254,7 +269,8 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),
-    "st03_stream_attribution_join" -> (st03 _)
+    "st03_stream_attribution_join" -> (st03 _),
+    "st04_stream_daily_report" -> (st04 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -276,6 +292,20 @@ object EventStreams {
         |  ON c.user_id = v.user_id
         | AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
-        |ORDER BY click_id, view_id""".stripMargin
+        |ORDER BY click_id, view_id""".stripMargin,
+    // c18's section explode with a day dimension: tumbling 1-day
+    // windows align to UTC date_trunc
+    "st04_stream_daily_report" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f')
+        |  AS day_start,
+        | section, sec_key, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        | SELECT user_id, ts, 'hour' AS section, strftime(ts, '%H') AS sec_key
+        |  FROM events
+        | UNION ALL SELECT user_id, ts, 'weekday', dayname(ts) FROM events
+        | UNION ALL SELECT user_id, ts, 'month', strftime(ts, '%Y-%m') FROM events
+        | UNION ALL SELECT user_id, ts, 'concept', event_type FROM events)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

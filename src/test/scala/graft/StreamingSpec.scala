@@ -241,6 +241,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 exact twin agrees with the continuous report on keys and counts") {
+    val exact = EventStreams.st04(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val sketched = EventStreams.dailyReport(
+      Tables.events(spark, sfDir)
+        .select("ts", "user_id", "event_id", "event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // identical groups and exact event counts; only the user-distinct
+    // column trades exact for sketch
+    assert(exact == sketched)
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
