@@ -398,6 +398,35 @@ object Cohort {
       .transform(Gate.ordered("site"))
   }
 
+  // -- c27: patient timeline export (the i2b2 PDO timeline face) ---------
+  // The CRC's patient-data-object export renders each patient's
+  // observations as an ORDERED clinical timeline. Spark shape: ONE
+  // shuffle on user_id serves both the per-user window (row_number +
+  // whole-partition count — the groupBy that follows reuses the window's
+  // hash partitioning, so no second Exchange) and the aggregation; the
+  // rank filter caps the collected prefix at TIMELINE_CAP events per
+  // patient BEFORE collect_list, so no aggregation buffer ever holds an
+  // unbounded event list — the 10M-event outlier patient costs 20 rows,
+  // not an OOM. Full ordering is recovered by array_sort on (rn, type)
+  // structs; n_events still counts ALL events.
+  private[graft] val TIMELINE_CAP = 20
+
+  def c27(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(byUser).as("n_events"))
+      .filter(col("rn") <= TIMELINE_CAP)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(rn, event_type))),
+                  x -> x.event_type), '>')""").as("timeline"))
+      .transform(Gate.ordered("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -418,7 +447,8 @@ object Cohort {
     "c19_cohort_export" -> (c19 _),
     "c20_report_incremental" -> (c20 _),
     "c21_concept_subtree" -> (c21 _),
-    "c22_federated_counts" -> (c22 _)
+    "c22_federated_counts" -> (c22 _),
+    "c27_patient_timeline" -> (c27 _)
   )
 
   private def nOfSql(t: String) =
@@ -537,6 +567,19 @@ object Cohort {
     // HUGEINT discipline on the TOTAL row's SUM (c09 lesson); 'TOTAL'
     // sorts before 'site_*' identically under both engines' binary
     // collation ('T' < 's')
+    // same (ts, event_id) ordering; the rank filter caps the rendered
+    // prefix at TIMELINE_CAP on both sides, n_events counts everything
+    "c27_patient_timeline" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        | FROM events)
+        |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+        | string_agg(event_type, '>' ORDER BY rn) FILTER (WHERE rn <= 20)
+        |  AS timeline
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "c22_federated_counts" ->
       s"""WITH site AS (
         | SELECT 'site_' || CAST(c_nationkey AS VARCHAR) AS site,

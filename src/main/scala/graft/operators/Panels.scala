@@ -35,10 +35,16 @@ object Panels {
 
   /** One concept predicate: event type + optional value constraints
     * (numeric range [minValue, maxValue) on `value`; categorical
-    * code-equality against the `props.k` coded value).
+    * code-equality against the `props.k` coded value) + an optional
+    * modifier-SUBTREE constraint (i2b2 modifier_dimension: facts carry a
+    * modifier_cd, modifiers live in a path hierarchy, and a panel
+    * concept may require its facts' modifier to fall under a path
+    * prefix — "diagnosis X WITH modifier under \\MOD\\principal\\").
+    * Requires a `modifier_path` column (cf. withModifiers).
     */
   case class Concept(eventType: String, minValue: Option[Double] = None,
-      maxValue: Option[Double] = None, codeIn: Option[Seq[String]] = None)
+      maxValue: Option[Double] = None, codeIn: Option[Seq[String]] = None,
+      modifierPrefix: Option[String] = None)
 
   /** OR of concepts with an occurrence bound, or a NOT-panel (zero
     * matching events). `perEncounter` counts occurrences as DISTINCT
@@ -65,7 +71,8 @@ object Panels {
     c.minValue.map(col("value") >= _),
     c.maxValue.map(col("value") < _),
     c.codeIn.map(vs =>
-      get_json_object(col("props"), "$.k").isin(vs: _*)))
+      get_json_object(col("props"), "$.k").isin(vs: _*)),
+    c.modifierPrefix.map(p => col("modifier_path").startsWith(p)))
     .flatten.reduce(_ && _)
 
   /** Derive a visit (encounter) id by 30-minute-gap sessionization — the
@@ -229,6 +236,51 @@ object Panels {
     cohort(withEncounters(events(s, d)), c14bDef)
       .transform(Gate.ordered("user_id"))
 
+  // -- c26: modifier-dimension constraints -------------------------------
+
+  /** The modifier dimension as a (modifier_cd, modifier_path) frame —
+    * i2b2's modifier_dimension is exactly such a small static mapped
+    * table (cf. the CRC star schema in the reference's database image).
+    * Here the fact's coded value (`props.k`, the same code c13b treats
+    * as tval_char) doubles as modifier_cd, and the hierarchy groups
+    * codes by decade: code k lives at `/mod/g<k/10>/<k>/`. Paths end
+    * with '/' so a subtree prefix can never match across a path-
+    * component boundary (the i2b2 trailing-backslash convention).
+    */
+  def modifierDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to 99).map(k => (k.toString, s"/mod/g${k / 10}/$k/"))
+      .toDF("modifier_cd", "modifier_path")
+  }
+
+  /** Attach `modifier_path` to a fact frame via a BROADCAST left join
+    * against the (tiny) modifier dimension — the 100 TB fact scan never
+    * shuffles for it. Facts whose code is absent from the dimension get
+    * a null path: every modifier constraint fails on them (they still
+    * satisfy unconstrained concepts), mirroring i2b2's inner modifier
+    * join semantics without dropping the fact row for other panels.
+    */
+  def withModifiers(eventsDf: DataFrame, dim: DataFrame): DataFrame =
+    eventsDf.join(
+      broadcast(dim),
+      get_json_object(col("props"), "$.k") === dim("modifier_cd"),
+      "left")
+      .drop("modifier_cd")
+
+  // "at least 2 purchases whose modifier falls under /mod/g3/ (codes
+  // 30-39), and at least one click" over January — a panel mixing a
+  // modifier-constrained concept with a plain one.
+  val c26Def: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("purchase", modifierPrefix = Some("/mod/g3/"))),
+        minOccurrences = 2),
+      Panel(Seq(Concept("click")))),
+    from = Some("2024-01-01"), until = Some("2024-02-01"))
+
+  def c26(s: SparkSession, d: String): DataFrame =
+    cohort(withModifiers(events(s, d), modifierDim(s)), c26Def)
+      .transform(Gate.ordered("user_id"))
+
   // -- c23: query-in-query — c13's definition over c01's patient set -----
   def c23(s: SparkSession, d: String): DataFrame =
     cohortWithPatientSet(events(s, d), c13Def,
@@ -329,7 +381,8 @@ object Panels {
     "c14b_panel_distinct_encounters" -> (c14b _),
     "c23_patient_set_panel" -> (c23 _),
     "c24_panel_demographic" -> (c24 _),
-    "c25_anchored_panels" -> (c25 _)
+    "c25_anchored_panels" -> (c25 _),
+    "c26_panel_modifiers" -> (c26 _)
   )
 
   private val C13_SQL =
@@ -396,6 +449,21 @@ object Panels {
         | AND e.ts < a.anchor_ts + INTERVAL 7 DAY
         |GROUP BY e.user_id
         |HAVING p0 >= 2 AND p1 >= 5
+        |ORDER BY user_id""".stripMargin,
+    // the modifier path is reconstructed inline from the code exactly as
+    // modifierDim lays it out, and the constraint is the same prefix test
+    "c26_panel_modifiers" ->
+      """SELECT user_id, p0, p1 FROM (
+        | SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'purchase'
+        |    AND starts_with('/mod/g'
+        |      || (CAST(props->>'$.k' AS INT) // 10) || '/'
+        |      || (props->>'$.k') || '/', '/mod/g3/') THEN 1 END) AS p0,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS p1
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        | GROUP BY user_id)
+        |WHERE p0 >= 2 AND p1 >= 1
         |ORDER BY user_id""".stripMargin,
     "c13_panel_cohort_api" -> C13_SQL,
     // identical definition, identical results — only the storage layout

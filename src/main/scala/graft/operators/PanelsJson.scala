@@ -30,7 +30,8 @@ object PanelsJson {
 
   private case class ConceptDto(eventType: String,
       minValue: Option[Double] = None, maxValue: Option[Double] = None,
-      codeIn: Option[Seq[String]] = None)
+      codeIn: Option[Seq[String]] = None,
+      modifierPrefix: Option[String] = None)
   private case class PanelDto(concepts: Seq[ConceptDto],
       minOccurrences: Option[Long] = None, negated: Option[Boolean] = None,
       perEncounter: Option[Boolean] = None)
@@ -43,7 +44,8 @@ object PanelsJson {
   private val cohortKeys = Set("panels", "from", "until", "scope")
   private val panelKeys =
     Set("concepts", "minOccurrences", "negated", "perEncounter")
-  private val conceptKeys = Set("eventType", "minValue", "maxValue", "codeIn")
+  private val conceptKeys =
+    Set("eventType", "minValue", "maxValue", "codeIn", "modifierPrefix")
 
   /** Reject unknown keys: json4s extraction silently ignores them, and a
     * typo'd "negate" would flip a NOT-panel into a positive one with no
@@ -86,7 +88,8 @@ object PanelsJson {
         require(p.concepts.nonEmpty, "a panel needs >= 1 concept")
         Panel(
           concepts = p.concepts.map(c =>
-            Concept(c.eventType, c.minValue, c.maxValue, c.codeIn)),
+            Concept(c.eventType, c.minValue, c.maxValue, c.codeIn,
+              c.modifierPrefix)),
           minOccurrences = p.minOccurrences.getOrElse(1L),
           negated = p.negated.getOrElse(false),
           perEncounter = p.perEncounter.getOrElse(false))
@@ -100,7 +103,9 @@ object PanelsJson {
       c.minValue.map(v => "minValue" -> (JDouble(v): JValue)),
       c.maxValue.map(v => "maxValue" -> (JDouble(v): JValue)),
       c.codeIn.map(vs =>
-        "codeIn" -> (JArray(vs.toList.map(JString(_))): JValue))).flatten)
+        "codeIn" -> (JArray(vs.toList.map(JString(_))): JValue)),
+      c.modifierPrefix.map(p =>
+        "modifierPrefix" -> (JString(p): JValue))).flatten)
     def panel(p: Panel): JObject = JObject(List(
       Some("concepts" -> (JArray(p.concepts.toList.map(concept)): JValue)),
       Some("minOccurrences" -> (JLong(p.minOccurrences): JValue)),

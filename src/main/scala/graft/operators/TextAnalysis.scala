@@ -240,6 +240,44 @@ object TextAnalysis {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- t11: train/eval contamination detection ---------------------------
+  // Decontamination, the step every training pipeline runs before
+  // reporting eval numbers: find val/test documents (t05's content-
+  // addressed split) that share enough word-3-gram shingles with ANY
+  // single train document to indicate leakage. Scale shape is d02's
+  // inverted index, but the self-join is replaced by the asymmetric
+  // train x eval join — candidate cost is |eval shingles| x bounded
+  // bucket size, never corpus x corpus. The same DF_CAP-style stop-
+  // shingle drop bounds bucket sizes (a 100 TB corpus's "the end"
+  // shingle would otherwise pair every eval doc with every train doc),
+  // and the index joins on the 8-byte xxhash64, not the string (a 64-bit
+  // collision can only nudge a shared count — the d02 caveat applies).
+  private[graft] val CONTAM_DF_CAP = 50
+  private[graft] val CONTAM_MIN_SHARED = 5
+
+  def t11(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("split"),
+        explode(shingles3("w")).as("shingle"))
+      .select(col("doc_id"), col("split"), xxhash64(col("shingle")).as("h"))
+    val common = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > CONTAM_DF_CAP).select("h")
+    val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
+    val train = ci.filter(col("split") === "train")
+      .select(col("h"), col("doc_id").as("train_id"))
+    ci.filter(col("split") =!= "train")
+      .join(train, "h")
+      .groupBy(col("doc_id"), col("split"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= CONTAM_MIN_SHARED)
+      .groupBy(col("doc_id"), col("split"))
+      .agg(countDistinct(col("train_id")).as("n_contaminating"),
+        max(col("shared")).as("max_shared"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -250,13 +288,39 @@ object TextAnalysis {
     "t07_pack_sequences" -> (t07 _),
     "t08_pii_redaction" -> (t08 _),
     "t09_dedup_repeats" -> (t09 _),
-    "t10_token_commonness" -> (t10 _)
+    "t10_token_commonness" -> (t10 _),
+    "t11_contamination" -> (t11 _)
   )
 
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    // exact-string shingles on the oracle side (the engine joins on
+    // xxhash64 — the d02 collision caveat); same split CASE as t05
+    "t11_contamination" ->
+      s"""WITH sh AS (
+         | SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |   AS shingle
+         | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |    THEN 'train'
+         |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |    THEN 'val'
+         |   ELSE 'test' END AS split FROM documents),
+         |ci AS (SELECT sh.doc_id, shingle, split FROM sh JOIN sp USING (doc_id)
+         | WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $CONTAM_DF_CAP)),
+         |m AS (
+         | SELECT e.doc_id, e.split, t.doc_id AS train_id, COUNT(*) AS shared
+         | FROM ci e JOIN ci t ON e.shingle = t.shingle
+         |  AND t.split = 'train' AND e.split <> 'train'
+         | GROUP BY 1, 2, 3 HAVING COUNT(*) >= $CONTAM_MIN_SHARED)
+         |SELECT doc_id, split, COUNT(DISTINCT train_id) AS n_contaminating,
+         | CAST(MAX(shared) AS BIGINT) AS max_shared
+         |FROM m GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // HUGEINT discipline: SUM -> BIGINT cast; the division mirrors
     // Spark's cast-to-double-then-divide exactly
     "t10_token_commonness" ->

@@ -119,6 +119,36 @@ class CohortSpec extends SparkSpec {
       s"TOTAL must come from the cached site rows:\n$plan")
   }
 
+  test("c27 timeline is the (ts, event_id)-ordered capped prefix, one shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = Cohort.c27(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // independent naive reimplementation on the driver
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      (u, rows.length.toLong,
+        ordered.take(Cohort.TIMELINE_CAP).mkString(">"))
+    }
+    assert(got == expected)
+    assert(expected.exists(_._2 > Cohort.TIMELINE_CAP),
+      "cap must actually bite at this SF or the test is vacuous")
+    // window + groupBy must share ONE user_id shuffle (the gate sort is
+    // a range exchange, not hashpartitioning)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"timeline window and agg must share one user_id shuffle:\n$plan")
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

@@ -68,6 +68,38 @@ class PanelsSpec extends SparkSpec {
     assert(users == Set(1L))
   }
 
+  test("modifier subtree constraint filters on the joined modifier path") {
+    import spark.implicits._
+    val f = Seq(
+      // user 1: purchase with code 35 -> path /mod/g3/35/ -> qualifies
+      (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, """{"k": 35}"""),
+      // user 2: purchase code 45 -> /mod/g4/45/ — outside the subtree
+      (2L, 2L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, """{"k": 45}"""),
+      // user 3: code "3" -> /mod/g0/3/ — a '/mod/g3' prefix WITHOUT the
+      // trailing slash would wrongly match '/mod/g3...'? no: g0 != g3;
+      // the real boundary case is code 3 vs subtree g3 — must NOT match
+      (3L, 3L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, """{"k": 3}"""),
+      // user 4: code absent from the dimension -> null path, constraint
+      // fails, but the unconstrained click panel still sees the row
+      (4L, 4L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 10.0, """{"k": 1000}"""),
+      (4L, 5L, Timestamp.valueOf("2024-01-01 12:05:00"), "click", 1.0, """{"k": 35}""")
+    ).toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val withMod = Panels.withModifiers(f, Panels.modifierDim(spark))
+    val constrained = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", modifierPrefix = Some("/mod/g3/"))))))
+    assert(Panels.cohort(withMod, constrained)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // user 4's unknown code must not drop the row for OTHER panels
+    val clicks = CohortDef(Seq(Panel(Seq(Concept("click")))))
+    assert(Panels.cohort(withMod, clicks)
+      .collect().map(_.getLong(0)).toSet == Set(4L))
+    // the dimension join must be broadcast — no fact shuffle for it
+    val plan = Panels.cohort(withMod, constrained)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"modifier dim must broadcast:\n$plan")
+  }
+
   test("encounter scope excludes concepts split across visits") {
     import spark.implicits._
     val f = Seq(
@@ -150,7 +182,8 @@ class PanelsSpec extends SparkSpec {
     // per-encounter occurrence, window, encounter scope
     val cd = CohortDef(Seq(
       Panel(Seq(Concept("purchase", minValue = Some(50.0),
-        maxValue = Some(150.0), codeIn = Some(Seq("1", "2")))),
+        maxValue = Some(150.0), codeIn = Some(Seq("1", "2")),
+        modifierPrefix = Some("/mod/g3/"))),
         minOccurrences = 2, perEncounter = true),
       Panel(Seq(Concept("error")), negated = true)),
       from = Some("2024-01-01"), until = Some("2024-01-15"),

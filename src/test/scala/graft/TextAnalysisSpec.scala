@@ -29,6 +29,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t11 flags every oracle-checked near-dup pair that crosses the split") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.t11(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    // the same content-addressed split t05 uses
+    val split = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          .as("h"))
+      .collect().map { r =>
+        val h = r.getString(1)
+        r.getLong(0) ->
+          (if (h < "cd") "train" else if (h < "e6") "val" else "test")
+      }.toMap
+    rows.foreach { case (id, (sp, n, shared)) =>
+      assert(split(id) == sp && sp != "train",
+        s"doc $id: flagged split $sp vs derived ${split(id)}")
+      assert(n >= 1 && shared >= TextAnalysis.CONTAM_MIN_SHARED)
+    }
+    // chain to d02's oracle-checked pairs: a jaccard>=0.7 pair with one
+    // side in train and the other in val/test IS leakage and must be
+    // flagged (d02 pairs share >= MIN_SHARED sub-cap shingles by its
+    // candidate contract, and both operators use the same cap)
+    val crossing = graft.operators.Dedup.d02(spark, sfDir).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (split(a), split(b)) match {
+          case ("train", s) if s != "train" => Some(b)
+          case (s, "train") if s != "train" => Some(a)
+          case _ => None
+        }
+      }.toSet
+    assert(crossing.nonEmpty, "need >= 1 crossing near-dup pair at this SF")
+    crossing.foreach(id =>
+      assert(rows.contains(id), s"near-dup eval doc $id must be flagged"))
+  }
+
   test("t10 matches a reference unigram computation exactly") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
