@@ -376,6 +376,53 @@ object Dedup {
       .transform(Gate.ordered("vec_a", "vec_b"))
   }
 
+  // -- d07: substring-containment dedup ----------------------------------
+  // Truncation/snippet duplicates — a shorter document appearing VERBATIM
+  // inside a longer one (article + its teaser, a page + its AMP copy) —
+  // are near-dups Jaccard under-scores: a 10% snippet of a long doc has
+  // jaccard ~0.1 and sails past d02/d03. Candidates come from the same
+  // df-capped inverted index as d02 (>= MIN_SHARED sub-cap shared
+  // shingles — DedupSpec asserts every true containment pair clears the
+  // gate on this corpus: the inner doc is >= 128 chars, so its shingles
+  // alone exceed the bound); the verify is an exact char-level
+  // `contains` on the candidate pair's texts — bounded candidate count
+  // makes the string scan linear in corpus size at 100 TB, never
+  // all-pairs. Equal-length containment is exact duplication — d01's
+  // job — so the pair contract is strictly shorter-inside-longer.
+  def d07(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val common = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
+      .select("h")
+    val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
+    val cand = ci.toDF("h", "doc_a")
+      .join(ci.toDF("h", "doc_b"), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+      .filter(col("n_cap") >= MIN_SHARED)
+      .select("doc_a", "doc_b")
+    val texts = documents(s, d).select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("doc_a", "text_a"), "doc_a")
+      .join(texts.toDF("doc_b", "text_b"), "doc_b")
+      .filter(length(col("text_a")) =!= length(col("text_b")))
+      .select(
+        when(length(col("text_a")) < length(col("text_b")), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_inner"),
+        when(length(col("text_a")) < length(col("text_b")), col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_outer"),
+        when(length(col("text_a")) < length(col("text_b")), col("text_a"))
+          .otherwise(col("text_b")).as("t_inner"),
+        when(length(col("text_a")) < length(col("text_b")), col("text_b"))
+          .otherwise(col("text_a")).as("t_outer"))
+      .filter(col("t_outer").contains(col("t_inner")))
+      .select(col("doc_inner"), col("doc_outer"),
+        length(col("t_inner")).as("len_inner"),
+        length(col("t_outer")).as("len_outer"))
+      .transform(Gate.ordered("doc_inner", "doc_outer"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
@@ -384,7 +431,8 @@ object Dedup {
     "d04_dedup_simhash" -> (d04 _),
     "d04b_dedup_simhash_wide" -> (d04b _),
     "d05_dedup_embedding" -> (d05 _),
-    "d06_dedup_clusters" -> (d06 _)
+    "d06_dedup_clusters" -> (d06 _),
+    "d07_dedup_containment" -> (d07 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -423,6 +471,34 @@ object Dedup {
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,
+    // d02's candidate gate verbatim, then the exact char-level
+    // containment check on the pair's texts (shorter inside longer)
+    "d07_dedup_containment" ->
+      s"""WITH $SQL_SHINGLES,
+         |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
+         | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
+         |cand AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM ci a JOIN ci b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING COUNT(*) >= $MIN_SHARED)
+         |SELECT doc_inner, doc_outer,
+         | len(t_inner) AS len_inner, len(t_outer) AS len_outer
+         |FROM (
+         | SELECT
+         |  CASE WHEN len(ta.text) < len(tb.text) THEN doc_a ELSE doc_b END
+         |   AS doc_inner,
+         |  CASE WHEN len(ta.text) < len(tb.text) THEN doc_b ELSE doc_a END
+         |   AS doc_outer,
+         |  CASE WHEN len(ta.text) < len(tb.text) THEN ta.text ELSE tb.text END
+         |   AS t_inner,
+         |  CASE WHEN len(ta.text) < len(tb.text) THEN tb.text ELSE ta.text END
+         |   AS t_outer
+         | FROM cand
+         |  JOIN documents ta ON ta.doc_id = doc_a
+         |  JOIN documents tb ON tb.doc_id = doc_b
+         | WHERE len(ta.text) <> len(tb.text))
+         |WHERE position(t_inner IN t_outer) > 0
+         |ORDER BY doc_inner, doc_outer""".stripMargin,
     // connected components over d02's pairs via a recursive CTE:
     // min reachable id == component representative
     "d06_dedup_clusters" ->

@@ -266,6 +266,23 @@ object EventStreams {
         writeSessionBatch(batch, batchId, outDir))
       .start()
 
+  // ------------------------------------------------------ streaming dedup
+  /** Ingest-time exact dedup — d01 as a continuous query: keep the FIRST
+    * document seen per content hash across micro-batches. State is
+    * BOUNDED by the watermark: a hash is remembered for the horizon and
+    * then evicted, which is exactly the guarantee an incremental feed
+    * needs (double-imports and replays arrive close together; a
+    * legitimate re-publication months later is a new document). The
+    * batch twin of the decision is d01's keep-min-id groupBy — the spec
+    * feeds arrivals in doc_id order so "first seen" and "min id"
+    * coincide and the stream's survivors must equal d01's keep set.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("arr_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),

@@ -109,6 +109,27 @@ class DedupSpec extends SparkSpec {
         s"MIN_SHARED=${Dedup.MIN_SHARED} would drop it")
   }
 
+  test("d07 equals brute-force substring containment exactly") {
+    // ground truth by brute force on the driver: every ordered doc pair
+    // with strictly shorter text contained verbatim in the longer
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val truth = (for {
+      (ia, ta) <- texts
+      (ib, tb) <- texts
+      if ta.length < tb.length && tb.contains(ta)
+    } yield (ia, ib, ta.length, tb.length)).toSet
+    val got = Dedup.d07(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(truth.nonEmpty, "corpus must contain planted containment pairs")
+    assert(got == truth,
+      s"missed: ${(truth -- got).take(5)}; spurious: ${(got -- truth).take(5)}")
+    // the candidate gate (>= MIN_SHARED sub-cap shared shingles) loses
+    // nothing on this corpus — asserted by the exact equality above,
+    // which fails if a true pair is pruned before the contains verify
+  }
+
   test("d04 simhash candidates cover the true near-duplicates") {
     val exact = pairSet(Dedup.d02(spark, sfDir))
     val sim = pairSet(Dedup.d04(spark, sfDir))

@@ -255,6 +255,43 @@ class StreamingSpec extends SparkSpec {
     assert(exact == sketched)
   }
 
+  test("streaming dedup keeps d01's survivors across micro-batches") {
+    import spark.implicits._
+    // documents arriving in doc_id order over three micro-batches, PLUS
+    // planted re-imports (same text, new id, later batch) — the corpus
+    // itself has no exact duplicates at this SF, so cross-batch
+    // suppression must be proven on planted ones
+    val originals = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val maxId = originals.map(_._1).max
+    val replays = originals.take(40)
+      .map { case (id, t) => (maxId + 1 + id, t) }
+    val docs = (originals ++ replays).sortBy(_._1)
+      .map { case (id, t) =>
+        (id, t, new java.sql.Timestamp(1700000000000L + id)) }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val named = input.toDF().toDF("doc_id", "text", "arr_ts")
+    val q = EventStreams.dedupStream(named)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val third = (docs.length + 2) / 3
+      docs.grouped(third).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+      val kept = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // batch twin of the decision: keep min doc_id per distinct text
+      val batchKeep = (originals ++ replays).groupBy(_._2)
+        .map { case (_, g) => g.map(_._1).min }.toSet
+      assert(kept == batchKeep,
+        s"missing=${(batchKeep -- kept).take(5)} extra=${(kept -- batchKeep).take(5)}")
+      assert(replays.forall { case (id, _) => !kept.contains(id) },
+        "every planted re-import arrives in a later batch and must be dropped")
+    } finally q.stop()
+  }
+
   test("st02 batch twin equals c09 row-for-row") {
     val twin = EventStreams.st02(spark, sfDir).collect().toSeq
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
