@@ -564,22 +564,22 @@ object Cohort {
          |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
          |JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // HUGEINT discipline on the TOTAL row's SUM (c09 lesson); 'TOTAL'
-    // sorts before 'site_*' identically under both engines' binary
-    // collation ('T' < 's')
     // same (ts, event_id) ordering; the rank filter caps the rendered
     // prefix at TIMELINE_CAP on both sides, n_events counts everything
     "c27_patient_timeline" ->
-      """WITH r AS (
-        | SELECT user_id, event_type,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |   AS rn,
-        |  COUNT(*) OVER (PARTITION BY user_id) AS n_events
-        | FROM events)
-        |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
-        | string_agg(event_type, '>' ORDER BY rn) FILTER (WHERE rn <= 20)
-        |  AS timeline
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""WITH r AS (
+         | SELECT user_id, event_type,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |   AS rn,
+         |  COUNT(*) OVER (PARTITION BY user_id) AS n_events
+         | FROM events)
+         |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+         | string_agg(event_type, '>' ORDER BY rn)
+         |  FILTER (WHERE rn <= $TIMELINE_CAP) AS timeline
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // HUGEINT discipline on the TOTAL row's SUM (c09 lesson); 'TOTAL'
+    // sorts before 'site_*' identically under both engines' binary
+    // collation ('T' < 's')
     "c22_federated_counts" ->
       s"""WITH site AS (
         | SELECT 'site_' || CAST(c_nationkey AS VARCHAR) AS site,

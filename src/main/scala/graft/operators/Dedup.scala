@@ -72,33 +72,40 @@ object Dedup {
   // shingle pair this is an accepted risk.)
   private[graft] val MIN_SHARED = 5
 
-  def d02(s: SparkSession, d: String): DataFrame = {
-    // the index joins/aggregates on the 8-byte shingle hash, not the
-    // ~30-byte string — cheaper shuffle and group comparisons; a 64-bit
-    // collision can only ADD a candidate, which the exact verify rejects
+  /** df-capped candidate pairs (doc_a < doc_b) — the shared candidate
+    * contract of d02 (Jaccard verify) and d07 (containment verify).
+    *
+    * The index joins/aggregates on the 8-byte shingle hash, not the
+    * ~30-byte string — cheaper shuffle and group comparisons; a 64-bit
+    * collision can only ADD a candidate, which each exact verify
+    * rejects. The groupBy doubles as dedup of candidate pairs and
+    * partial-aggregates map-side; the shared-count filter is part of
+    * the contract: a pair qualifies only with >= MIN_SHARED sub-cap
+    * shared shingles (any jaccard>=0.7 pair shares >=0.7*union),
+    * discarding the birthday-collision pairs (a small vocabulary makes
+    * ~27% of ALL doc pairs share >=1 shingle) before an exact verify
+    * touches them.
+    */
+  private def cappedCandidates(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val common = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
       .select("h")
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
-    // groupBy doubles as dedup of candidate pairs and partial-aggregates
-    // map-side; the shared-count filter is part of the contract: a pair
-    // qualifies only with >= MIN_SHARED sub-cap shared shingles (any
-    // jaccard>=0.7 pair shares >=0.7*union), discarding the birthday-
-    // collision pairs (a small vocabulary makes ~27% of ALL doc pairs
-    // share >=1 shingle) before the exact array verify touches them.
-    val cand = ci.toDF("h", "doc_a")
+    ci.toDF("h", "doc_a")
       .join(ci.toDF("h", "doc_b"), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
       .filter(col("n_cap") >= MIN_SHARED)
       .select("doc_a", "doc_b")
+  }
+
+  def d02(s: SparkSession, d: String): DataFrame =
     // exact verify per candidate pair on the FULL shingle sets (array
     // intersection/union — same shape as d03's verify)
-    exactJaccard(cand, setRows(s, d))
+    exactJaccard(cappedCandidates(s, d), setRows(s, d))
       .transform(Gate.ordered("doc_a", "doc_b"))
-  }
 
   // -- d03: MinHash + LSH banding near-dup (the 100 TB dedup path) -------
   // 32 hashes, 8 bands × 4 rows: P(candidate | jaccard=0.98) ≈ 1-1e-9,
@@ -390,20 +397,8 @@ object Dedup {
   // all-pairs. Equal-length containment is exact duplication — d01's
   // job — so the pair contract is strictly shorter-inside-longer.
   def d07(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val common = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
-      .select("h")
-    val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
-    val cand = ci.toDF("h", "doc_a")
-      .join(ci.toDF("h", "doc_b"), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
-      .filter(col("n_cap") >= MIN_SHARED)
-      .select("doc_a", "doc_b")
     val texts = documents(s, d).select(col("doc_id"), col("text"))
-    cand
+    cappedCandidates(s, d)
       .join(texts.toDF("doc_a", "text_a"), "doc_a")
       .join(texts.toDF("doc_b", "text_b"), "doc_b")
       .filter(length(col("text_a")) =!= length(col("text_b")))

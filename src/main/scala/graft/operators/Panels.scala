@@ -66,6 +66,21 @@ object Panels {
   case class CohortDef(panels: Seq[Panel], from: Option[String] = None,
       until: Option[String] = None, scope: Scope = PatientScope)
 
+  /** Fail fast with an actionable message when a definition carries
+    * modifier constraints but the fact frame was never joined through
+    * [[withModifiers]] — otherwise the compile dies later with an
+    * unresolved-column error deep inside the aggregate (the same
+    * loud-but-misleading failure PanelsJson's strict keys guard
+    * against for typos).
+    */
+  private[graft] def requireModifierSupport(df: DataFrame,
+      panels: Seq[Panel]): Unit =
+    require(
+      !panels.exists(_.concepts.exists(_.modifierPrefix.isDefined)) ||
+        df.columns.contains("modifier_path"),
+      "modifierPrefix constraints need a modifier_path column — pass " +
+        "the fact frame through withModifiers(events, modifierDim) first")
+
   private[graft] def conceptMatch(c: Concept): Column = Seq(
     Some(col("event_type") === c.eventType),
     c.minValue.map(col("value") >= _),
@@ -102,6 +117,7 @@ object Panels {
     * the qualifying visits.
     */
   def cohort(eventsDf: DataFrame, cd: CohortDef): DataFrame = {
+    requireModifierSupport(eventsDf, cd.panels)
     val windowed = Seq(
       cd.from.map(f => col("ts") >= lit(f).cast("timestamp")),
       cd.until.map(u => col("ts") < lit(u).cast("timestamp")))
@@ -343,6 +359,8 @@ object Panels {
     require(!panels.exists(_.perEncounter),
       "anchored compile counts facts, not encounters — combine " +
         "withEncounters + cohort(EncounterScope) for per-visit bounds")
+    requireModifierSupport(eventsDf,
+      Panel(Seq(anchor)) +: panels)
     val w = Window.partitionBy("user_id")
     val anchored = eventsDf
       .withColumn("anchor_ts",

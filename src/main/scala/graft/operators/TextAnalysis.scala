@@ -252,11 +252,18 @@ object TextAnalysis {
   // shingle would otherwise pair every eval doc with every train doc),
   // and the index joins on the 8-byte xxhash64, not the string (a 64-bit
   // collision can only nudge a shared count — the d02 caveat applies).
-  private[graft] val CONTAM_DF_CAP = 50
-  private[graft] val CONTAM_MIN_SHARED = 5
+  // The thresholds ARE d02's — referenced, not re-declared, so a tune of
+  // the dedup gate cannot silently diverge the contamination gate
+  // (TextAnalysisSpec chains t11 to d02's pairs on this basis).
+  private[graft] val CONTAM_DF_CAP = Dedup.DF_CAP
+  private[graft] val CONTAM_MIN_SHARED = Dedup.MIN_SHARED
 
   def t11(s: SparkSession, d: String): DataFrame = {
+    // repartition before the explode: single-file parquet = ONE input
+    // partition, and AQE sizes by bytes so it cannot see the ~90x
+    // shingle amplification (the docsRepart trap d02's index avoids)
     val sh = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
         tokens(col("text")).as("w"))
       .select(col("doc_id"), col("split"),

@@ -31,6 +31,7 @@ object CohortStreams {
 
   /** Per-event panel membership flags as one codegen'd projection. */
   def panelFlags(events: DataFrame, cd: CohortDef): DataFrame = {
+    Panels.requireModifierSupport(events, cd.panels)
     val windowed = Seq(
       cd.from.map(f => col("ts") >= lit(f).cast("timestamp")),
       cd.until.map(u => col("ts") < lit(u).cast("timestamp")))

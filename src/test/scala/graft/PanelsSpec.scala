@@ -98,6 +98,13 @@ class PanelsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"modifier dim must broadcast:\n$plan")
+    // a modifier definition against a frame that never went through
+    // withModifiers must fail fast with an actionable message, not an
+    // unresolved-column error deep in the aggregate
+    val err = intercept[IllegalArgumentException] {
+      Panels.cohort(f, constrained)
+    }
+    assert(err.getMessage.contains("withModifiers"))
   }
 
   test("encounter scope excludes concepts split across visits") {

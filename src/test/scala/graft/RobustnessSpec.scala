@@ -26,6 +26,28 @@ class RobustnessSpec extends SparkSpec {
     assert(Panels.cohort(enc, cd.copy(scope = EncounterScope)).count() == 0)
   }
 
+  test("modifier-constrained panels tolerate empty facts and empty dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val cd = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", modifierPrefix = Some("/mod/g3/"))))))
+    val emptyWithProps = emptyEvents.withColumn("props",
+      lit(null).cast("string"))
+    assert(Panels.cohort(
+      Panels.withModifiers(emptyWithProps, Panels.modifierDim(spark)), cd)
+      .count() == 0)
+    // an EMPTY modifier dimension: every constraint fails (null path),
+    // unconstrained panels still work
+    val facts = Seq(
+      (1L, 1L, t("12:00"), "purchase", 10.0, """{"k": 35}"""))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val emptyDim = Panels.modifierDim(spark).limit(0)
+    val joined = Panels.withModifiers(facts, emptyDim)
+    assert(Panels.cohort(joined, cd).count() == 0)
+    assert(Panels.cohort(joined,
+      CohortDef(Seq(Panel(Seq(Concept("purchase")))))).count() == 1)
+  }
+
   test("asofJoin handles an empty side gracefully") {
     import spark.implicits._
     val left = Seq((1L, 10L, t("12:00"))).toDF("user_id", "event_id", "ts")

@@ -267,9 +267,11 @@ class StreamingSpec extends SparkSpec {
     val maxId = originals.map(_._1).max
     val replays = originals.take(40)
       .map { case (id, t) => (maxId + 1 + id, t) }
-    val docs = (originals ++ replays).sortBy(_._1)
-      .map { case (id, t) =>
-        (id, t, new java.sql.Timestamp(1700000000000L + id)) }
+    // arr_ts by ordinal position, not raw id: the arrival span must stay
+    // inside the 1-hour suppression horizon regardless of id density
+    val docs = (originals ++ replays).sortBy(_._1).zipWithIndex
+      .map { case ((id, t), i) =>
+        (id, t, new java.sql.Timestamp(1700000000000L + i * 1000L)) }
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val named = input.toDF().toDF("doc_id", "text", "arr_ts")
     val q = EventStreams.dedupStream(named)
