@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cohort.queries ++ Panels.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Temporal.queries ++
+      Temporal.queries ++ Pipeline.queries ++
       graft.sources.RoundTrip.queries ++ graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,6 +21,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Cohort.oracle ++ Panels.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Temporal.oracle ++
+      Temporal.oracle ++ Pipeline.oracle ++
       graft.sources.RoundTrip.oracle ++ graft.streaming.EventStreams.oracle
 }

@@ -437,7 +437,10 @@ object Dedup {
       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r)""".stripMargin
 
-  private val D02_SQL =
+  /** d02's full oracle — also the edge source for d06's components and
+    * Pipeline.p01's dedup stage.
+    */
+  private[graft] val D02_SQL =
     s"""WITH $SQL_SHINGLES,
        |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
        | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
@@ -457,6 +460,21 @@ object Dedup {
        | FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
        |  JOIN cnt cb ON cb.doc_id = doc_b)
        |WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d06's connected-components CTE chain (requires WITH RECURSIVE);
+    * yields `d06(doc_id, keep_id)` for every doc in a near-dup cluster.
+    * Shared with Pipeline.p01's oracle.
+    */
+  private[graft] lazy val D06_CTES =
+    s"""d02_pairs AS ($D02_SQL),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM d02_pairs
+       | UNION SELECT doc_b, doc_a FROM d02_pairs),
+       |reach(id, r) AS (
+       | SELECT a, a FROM edges
+       | UNION
+       | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |d06 AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
+       | GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -497,15 +515,8 @@ object Dedup {
     // connected components over d02's pairs via a recursive CTE:
     // min reachable id == component representative
     "d06_dedup_clusters" ->
-      s"""WITH RECURSIVE d02_pairs AS ($D02_SQL),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM d02_pairs
-         | UNION SELECT doc_b, doc_a FROM d02_pairs),
-         |reach(id, r) AS (
-         | SELECT a, a FROM edges
-         | UNION
-         | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH RECURSIVE $D06_CTES
+         |SELECT doc_id, keep_id FROM d06 ORDER BY 1""".stripMargin,
     // d03/d04 are rows-only (hash-seeded candidate generation is not
     // SQL-expressible in DuckDB); their exact-verification semantics are
     // pinned by ScalaTests against d02's oracle-checked pairs instead.

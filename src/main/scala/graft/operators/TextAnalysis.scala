@@ -86,7 +86,7 @@ object TextAnalysis {
   // drift between the 100 TB run and the validation extract. (Spark's
   // sample()/sampleBy are seed+partitioning dependent: unusable for a
   // reproducible split contract.)
-  private def splitOf(idCol: Column): Column = {
+  private[graft] def splitOf(idCol: Column): Column = {
     val h = substring(md5(idCol.cast("string").cast("binary")), 1, 2)
     when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
   }
@@ -302,6 +302,34 @@ object TextAnalysis {
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
+  /** The t05 split rule as a SQL expression over a doc_id column — ONE
+    * definition shared by every oracle that partitions by split (t05,
+    * t11, Pipeline.p01), so the rule cannot silently fork.
+    */
+  private[graft] val SPLIT_CASE_SQL =
+    """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |   THEN 'train'
+      |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |   THEN 'val'
+      |  ELSE 'test' END""".stripMargin
+
+  /** t02's per-document scoring as a reusable subquery
+    * (doc_id, n_tokens, distinct_ratio, stop_ratio, quality).
+    */
+  private[graft] val T02_SCORED_SQL =
+    s"""(SELECT doc_id, n_tokens,
+       |  ROUND(distinct_ratio, 6) AS distinct_ratio,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(least(1.0, n_tokens / 100.0) * (0.5 + 0.5 * distinct_ratio)
+       |   * (1.0 - 0.2 * stop_ratio), 6) AS quality
+       | FROM (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+       |   CAST(${sqlHits(stopwords("en"))} AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+       |  FROM documents))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // exact-string shingles on the oracle side (the engine joins on
     // xxhash64 — the d02 collision caveat); same split CASE as t05
@@ -312,11 +340,7 @@ object TextAnalysis {
          | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r),
          |sp AS (SELECT doc_id,
-         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-         |    THEN 'train'
-         |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-         |    THEN 'val'
-         |   ELSE 'test' END AS split FROM documents),
+         |  $SPLIT_CASE_SQL AS split FROM documents),
          |ci AS (SELECT sh.doc_id, shingle, split FROM sh JOIN sp USING (doc_id)
          | WHERE shingle NOT IN (
          |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $CONTAM_DF_CAP)),
@@ -374,18 +398,8 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     },
     "t02_quality_score" ->
-      s"""SELECT doc_id, n_tokens,
-         | ROUND(distinct_ratio, 6) AS distinct_ratio,
-         | ROUND(stop_ratio, 6) AS stop_ratio,
-         | ROUND(least(1.0, n_tokens / 100.0) * (0.5 + 0.5 * distinct_ratio)
-         |  * (1.0 - 0.2 * stop_ratio), 6) AS quality
-         |FROM (
-         | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
-         |  CAST(${sqlHits(stopwords("en"))} AS DOUBLE)
-         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
-         | FROM documents)
+      s"""SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, quality
+         |FROM $T02_SCORED_SQL
          |ORDER BY doc_id""".stripMargin,
     "t03_token_stats" ->
       """SELECT doc_id,
@@ -421,16 +435,11 @@ object TextAnalysis {
     },
     // identical md5-hex thresholding in DuckDB -> identical split
     "t05_train_split" ->
-      """SELECT split, COUNT(*) AS n_docs,
-        | CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
-        | COUNT(DISTINCT lang) AS n_langs
-        |FROM (SELECT *,
-        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-        |    THEN 'train'
-        |   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-        |    THEN 'val'
-        |   ELSE 'test' END AS split
-        | FROM documents)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""SELECT split, COUNT(*) AS n_docs,
+         | CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+         | COUNT(DISTINCT lang) AS n_langs
+         |FROM (SELECT *, $SPLIT_CASE_SQL AS split
+         | FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
