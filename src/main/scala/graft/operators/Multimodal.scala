@@ -143,10 +143,50 @@ object Multimodal {
       .transform(Gate.ordered("doc_id", "frame_no"))
   }
 
+  // -- m04: audio-style windowing with activity gating -------------------
+  // The audio-ingest shape differs from video's in two ways m02 doesn't
+  // exercise: windows OVERLAP (hop < window, standard for spectral
+  // features) and low-energy windows are dropped before feature
+  // extraction (voice-activity gating — most of a raw audio corpus is
+  // silence, and shipping it to the encoder wastes the 100 TB budget).
+  // Codec-free stand-ins: the "signal" is the text's byte stream, window
+  // "energy" is the mean ascii value over the window, and the activity
+  // gate keeps windows above a fixed threshold. Every value is
+  // oracle-checked; the explode is the real plumbing (a windows table
+  // partitionable independently of its source assets).
+  private val WIN = 128
+  private val HOP = 64
+  // corpus window energies span ~54-97 with median ~94 (mean ascii of
+  // word text); 93 gates out the low-energy tail (~10-15%) without
+  // being vacuous in either direction — MultimodalSpec asserts both
+  // sides of the gate are non-empty
+  private val ENERGY_MIN = 93.0
+
+  def m04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0L, greatest((length(text) - $WIN) div $HOP, 0))"))
+          .as("win_no"))
+      .select(col("doc_id"), col("win_no"),
+        expr(s"substring(text, win_no * $HOP + 1, $WIN)").as("w"))
+      // unrolled codegen'd byte sum over the space-padded window (the
+      // m03 discipline — HOF lambdas evaluate interpreted); integer sum
+      // divided once in double is exact-rounded on both engines. Corpus
+      // docs are >= WIN chars so the pad never fires in practice; it
+      // exists to keep every ascii() position defined.
+      .select(col("doc_id"), col("win_no"),
+        length(col("w")).as("win_chars"),
+        ((1 to WIN).map(i => ascii(substring(rpad(col("w"), WIN, " "), i, 1)))
+          .reduce(_ + _).cast("double") / WIN).as("energy"))
+      .filter(col("energy") >= ENERGY_MIN)
+      .transform(Gate.ordered("doc_id", "win_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
-    "m03_frame_features" -> (m03 _)
+    "m03_frame_features" -> (m03 _),
+    "m04_audio_windows" -> (m04 _)
   )
 
   /** m01 is rows-only: xxhash64-derived stub fields are not
@@ -169,6 +209,24 @@ object Multimodal {
          |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r)
          |ORDER BY doc_id, frame_no""".stripMargin
     },
+    // the byte sum is integer-exact on both engines, so DuckDB's list
+    // fold and Spark's unrolled codegen chain agree bit-for-bit after
+    // the single double division (a 128-term `+` chain exceeds DuckDB's
+    // expression-binder recursion limit, hence the list form here)
+    "m04_audio_windows" ->
+      s"""SELECT doc_id, win_no, win_chars, energy FROM (
+         | SELECT doc_id, i AS win_no,
+         |  length(w) AS win_chars,
+         |  CAST(list_sum(list_transform(string_split(rpad(w, $WIN, ' '), ''),
+         |    c -> ascii(c))) AS DOUBLE) / $WIN AS energy
+         | FROM (
+         |  SELECT doc_id, i,
+         |   substring(text, CAST(i * $HOP + 1 AS INT), $WIN) AS w
+         |  FROM documents,
+         |   LATERAL (SELECT unnest(range(0,
+         |     greatest((len(text) - $WIN) // $HOP, 0) + 1)) AS i) r))
+         |WHERE energy >= $ENERGY_MIN
+         |ORDER BY doc_id, win_no""".stripMargin,
     "m02_frame_sample" ->
       s"""SELECT doc_id, i AS frame_no,
          | md5(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))

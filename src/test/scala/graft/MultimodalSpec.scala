@@ -42,6 +42,38 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  test("m04 windows overlap by WIN-HOP chars and the activity gate bites") {
+    val rows = Multimodal.m04(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // energies bounded by the printable-ascii range of the corpus
+    rows.foreach { r =>
+      val e = r.getAs[Double]("energy")
+      assert(e >= 93.0 && e < 127.0, s"energy $e out of range")
+      val wc = r.getAs[Int]("win_chars")
+      assert(wc >= 1 && wc <= 128, s"win_chars $wc out of range")
+    }
+    // the gate must actually drop windows: ungated count strictly larger
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val unggated = texts.values
+      .map(t => math.max((t.length - 128) / 64, 0) + 1).sum
+    assert(rows.length < unggated,
+      s"activity gate dropped nothing ($unggated windows)")
+    // overlap property recomputed on the driver: window k of a doc is
+    // text.substring(k*HOP, k*HOP+WIN), so consecutive windows share
+    // WIN-HOP chars; spot-check energies against a naive recompute
+    rows.take(200).foreach { r =>
+      val (id, k) = (r.getLong(0), r.getLong(1).toInt)
+      val raw = texts(id).drop(k * 64).take(128)
+      assert(r.getAs[Int]("win_chars") == raw.length,
+        s"doc $id win $k length mismatch")
+      val naive = raw.padTo(128, ' ').map(_.toInt).sum.toDouble / 128
+      assert(math.abs(naive - r.getAs[Double]("energy")) < 1e-9,
+        s"doc $id win $k energy mismatch")
+    }
+  }
+
   test("m03 features are bounded byte-sums, one row per sampled frame") {
     val feats = Multimodal.m03(spark, sfDir).collect()
     assert(feats.length.toLong == Multimodal.m02(spark, sfDir).count(),
