@@ -102,9 +102,14 @@ object Multimodal {
   private val FRAME = 64
   private val STRIDE_CHARS = 256
 
-  /** The shared strided frame sampler: (doc_id, frame_no, frame). */
+  /** The shared strided frame sampler: (doc_id, frame_no, frame).
+    * Repartition BEFORE the explode with a pinned count: single-file
+    * parquet is one input partition, and AQE sizes by bytes so it
+    * cannot see the amplification (the docsRepart trap).
+    */
   private def frames(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(expr(
           s"sequence(0L, greatest(length(text) div $STRIDE_CHARS, 1) - 1)"))
@@ -164,6 +169,9 @@ object Multimodal {
 
   def m04(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // pinned-count repartition before the ~len/HOP explode (the same
+      // single-input-partition trap frames() documents)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(expr(
           s"sequence(0L, greatest((length(text) - $WIN) div $HOP, 0))"))

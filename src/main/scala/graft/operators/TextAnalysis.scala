@@ -201,6 +201,9 @@ object TextAnalysis {
       // keeps the row — make the not-null contract explicit on BOTH
       // sides (oracle mirrors the filter) instead of corpus-dependent
       .filter(col("text").isNotNull)
+      // pinned-count repartition before the ~tokens/doc explode (the
+      // single-input-partition trap — AQE can't see the amplification)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .withColumn("prev", lag(col("tok"), 1).over(w))
       .withColumn("keep", col("prev").isNull || col("tok") =!= col("prev"))
@@ -229,6 +232,8 @@ object TextAnalysis {
   def t10(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .filter(col("text").isNotNull)
+      // same pinned repartition-before-explode as t09/t11
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_n"))
     toks.join(freq, "tok")
