@@ -42,11 +42,14 @@ object Dedup {
   // One shuffle on the 128-bit content hash; keeps the smallest doc_id of
   // each identical-content group. At 100 TB this is the cheapest possible
   // dedup: map-side partial agg collapses per-partition copies first.
-  def d01(s: SparkSession, d: String): DataFrame =
+  /** Unsorted core — composed by Pipeline.p01. */
+  private[graft] def d01Core(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .transform(Gate.ordered("keep_id"))
+
+  def d01(s: SparkSession, d: String): DataFrame =
+    d01Core(s, d).transform(Gate.ordered("keep_id"))
 
   // -- d02: word-3-gram Jaccard near-dup pairs ---------------------------
   // Inverted-index join with a DOCUMENT-FREQUENCY CAP on candidate
@@ -101,11 +104,14 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  def d02(s: SparkSession, d: String): DataFrame =
+  /** Unsorted core — the edge source for d06's components. */
+  private[graft] def d02Core(s: SparkSession, d: String): DataFrame =
     // exact verify per candidate pair on the FULL shingle sets (array
     // intersection/union — same shape as d03's verify)
     exactJaccard(cappedCandidates(s, d), setRows(s, d))
-      .transform(Gate.ordered("doc_a", "doc_b"))
+
+  def d02(s: SparkSession, d: String): DataFrame =
+    d02Core(s, d).transform(Gate.ordered("doc_a", "doc_b"))
 
   // -- d03: MinHash + LSH banding near-dup (the 100 TB dedup path) -------
   // 32 hashes, 8 bands × 4 rows: P(candidate | jaccard=0.98) ≈ 1-1e-9,
@@ -324,8 +330,9 @@ object Dedup {
   // convergence check; lineage is checkpointed per iteration.
   private val CC_MAX_ITER = 50
 
-  def d06(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02(s, d).select(col("doc_a"), col("doc_b"))
+  /** Unsorted core — composed by Pipeline.p01. */
+  private[graft] def d06Core(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02Core(s, d).select(col("doc_a"), col("doc_b"))
     // LINEAGE TRUNCATION is load-bearing for every iterative DataFrame
     // algorithm: without the checkpoint, iteration k's plan embeds TWO
     // copies of iteration k-1 (join left + union right) — the analyzed
@@ -357,8 +364,10 @@ object Dedup {
     require(converged,
       s"label propagation did not converge within $CC_MAX_ITER iterations")
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
-      .transform(Gate.ordered("doc_id"))
   }
+
+  def d06(s: SparkSession, d: String): DataFrame =
+    d06Core(s, d).transform(Gate.ordered("doc_id"))
 
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
@@ -437,10 +446,8 @@ object Dedup {
       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r)""".stripMargin
 
-  /** d02's full oracle — also the edge source for d06's components and
-    * Pipeline.p01's dedup stage.
-    */
-  private[graft] val D02_SQL =
+  /** d02's full oracle — consumed externally only via D06_CTES. */
+  private val D02_SQL =
     s"""WITH $SQL_SHINGLES,
        |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
        | SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $DF_CAP)),
@@ -465,7 +472,7 @@ object Dedup {
     * yields `d06(doc_id, keep_id)` for every doc in a near-dup cluster.
     * Shared with Pipeline.p01's oracle.
     */
-  private[graft] lazy val D06_CTES =
+  private[graft] val D06_CTES =
     s"""d02_pairs AS ($D02_SQL),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM d02_pairs
        | UNION SELECT doc_b, doc_a FROM d02_pairs),
@@ -476,11 +483,19 @@ object Dedup {
        |d06 AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
        | GROUP BY 1)""".stripMargin
 
+  /** d01's keep decision as a reusable subquery
+    * (content_hash, keep_id, n_copies) — shared with Pipeline.p01 so
+    * the exact-dedup rule has one definition on the oracle side too.
+    */
+  private[graft] val D01_GROUPS_SQL =
+    """(SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      | FROM documents GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
-        | COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      s"""SELECT content_hash, keep_id, n_copies
+         |FROM $D01_GROUPS_SQL g ORDER BY keep_id""".stripMargin,
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,

@@ -183,9 +183,10 @@ object Multimodal {
       // divided once in double is exact-rounded on both engines. Corpus
       // docs are >= WIN chars so the pad never fires in practice; it
       // exists to keep every ascii() position defined.
+      .withColumn("wp", rpad(col("w"), WIN, " "))
       .select(col("doc_id"), col("win_no"),
         length(col("w")).as("win_chars"),
-        ((1 to WIN).map(i => ascii(substring(rpad(col("w"), WIN, " "), i, 1)))
+        ((1 to WIN).map(i => ascii(substring(col("wp"), i, 1)))
           .reduce(_ + _).cast("double") / WIN).as("energy"))
       .filter(col("energy") >= ENERGY_MIN)
       .transform(Gate.ordered("doc_id", "win_no"))

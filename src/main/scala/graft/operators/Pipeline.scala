@@ -33,10 +33,13 @@ object Pipeline {
 
   def p01(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
-    val quality = TextAnalysis.t02(s, d)
+    // the UNSORTED stage cores: composing the gate-facing operators
+    // would bake their verify-path orderBys into the plan as global
+    // range-shuffle sorts of intermediates the joins then discard
+    val quality = TextAnalysis.t02Core(s, d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val exactKeep = Dedup.d01(s, d).select(col("keep_id").as("doc_id"))
-    val nearDrop = Dedup.d06(s, d)
+    val exactKeep = Dedup.d01Core(s, d).select(col("keep_id").as("doc_id"))
+    val nearDrop = Dedup.d06Core(s, d)
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
     docs
       .join(quality, "doc_id")
@@ -63,8 +66,8 @@ object Pipeline {
       s"""WITH RECURSIVE ${Dedup.D06_CTES},
          |q AS (SELECT doc_id, n_tokens, quality
          |  FROM ${TextAnalysis.T02_SCORED_SQL} sc),
-         |d01keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(text)),
+         |d01keep AS (SELECT keep_id AS doc_id
+         |  FROM ${Dedup.D01_GROUPS_SQL} g),
          |kept AS (
          |  SELECT d.doc_id, d.lang, q.n_tokens,
          |   ${TextAnalysis.SPLIT_CASE_SQL} AS split

@@ -36,7 +36,10 @@ object TextAnalysis {
   // -- t02: document quality score ---------------------------------------
   // Length, lexical diversity and stopword saturation combined into one
   // bounded score — the standard cheap pre-training quality filter.
-  def t02(s: SparkSession, d: String): DataFrame =
+  /** Unsorted scoring core — composed by Pipeline.p01, where a gate
+    * sort on an intermediate result would be wasted work.
+    */
+  private[graft] def t02Core(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
@@ -51,7 +54,9 @@ object TextAnalysis {
         round(least(lit(1.0), col("n_tokens") / 100.0) *
           (lit(0.5) + lit(0.5) * col("distinct_ratio")) *
           (lit(1.0) - lit(0.2) * col("stop_ratio")), 6).as("quality"))
-      .transform(Gate.ordered("doc_id"))
+
+  def t02(s: SparkSession, d: String): DataFrame =
+    t02Core(s, d).transform(Gate.ordered("doc_id"))
 
   // -- t03: token statistics ---------------------------------------------
   // Whitespace tokens plus a BPE-ish subword segmentation (consonant/vowel
