@@ -454,6 +454,67 @@ object Similarity {
       querySubs(s, d), queryVec(s, d))
   }
 
+  // -- s05: k-NN JOIN (batch ANN serving) --------------------------------
+  // The per-query operators above answer ONE vector at a time; the batch
+  // shape — "for every vector in a probe set, its top-k neighbours" —
+  // is the k-NN JOIN an embedding pipeline actually runs (link every new
+  // document to its nearest corpus members). s05 is the exact form over
+  // a FIXED small probe set: a broadcast nested-loop against the probe
+  // frame is intrinsic to exact kNN (every corpus vector scores against
+  // every probe, O(N·|Q|)) and stays linear in the corpus while the
+  // probe set is bounded; the per-probe top-k is a rank-filtered window.
+  // s05b is the scale path for LARGE probe sets: the persisted LSH
+  // bucket index turns candidate generation into an equi-join on
+  // (tbl, bucket) — no nested loop anywhere — and the exact re-rank
+  // touches only collided pairs.
+  private[graft] val KNN_PROBE_IDS: Seq[Long] = (0 until 10).map(_ * 50L)
+
+  private def probeFrame(s: SparkSession, d: String): DataFrame =
+    broadcast(embeddings(s, d)
+      .filter(col("vec_id").isin(KNN_PROBE_IDS: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        dotFixed("embedding", "embedding", DIM).as("qnrm")))
+
+  /** Shared rank-filtered-window tail: (q_id, vec_id, cos) → top-k per
+    * probe with the deterministic (cos desc, vec_id) tie order.
+    */
+  private def topKPerProbe(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+      .transform(graft.Gate.ordered("q_id", "rk"))
+  }
+
+  def s05(s: SparkSession, d: String): DataFrame =
+    topKPerProbe(embeddings(s, d)
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(probeFrame(s, d))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+
+  def s05b(s: SparkSession, d: String): DataFrame = {
+    val idx = s.table(ensureAnnIndex(s, d))
+    val pIdx = broadcast(idx
+      .filter(col("vec_id").isin(KNN_PROBE_IDS: _*))
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket")))
+    val cand = idx.join(pIdx, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    topKPerProbe(embeddings(s, d)
+      .join(cand, Seq("vec_id"))
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .join(probeFrame(s, d), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -506,7 +567,9 @@ object Similarity {
     "s03_ann_ivf" -> (s03 _),
     "s03b_ann_ivf_prebuilt" -> (s03b _),
     "s04_ann_pq" -> (s04 _),
-    "s04b_ann_pq_prebuilt" -> (s04b _)
+    "s04b_ann_pq_prebuilt" -> (s04b _),
+    "s05_knn_join_exact" -> (s05 _),
+    "s05b_knn_join_lsh" -> (s05b _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,6 +587,25 @@ object Similarity {
          |  (${sqlDotFixed("a.v", "q.v", 64)}) / sqrt(a.nrm * q.nrm) AS cos
          | FROM e a JOIN e q ON q.vec_id = $QUERY_VEC
          | WHERE a.vec_id <> $QUERY_VEC)
-         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+         |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
+    // same unrolled fixed-order dot -> bit-equal cosines, so the
+    // (cos DESC, vec_id) rank order matches row-for-row
+    "s05_knn_join_exact" -> {
+      val ids = KNN_PROBE_IDS.mkString(", ")
+      s"""WITH e AS (
+         | SELECT vec_id, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings),
+         |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
+         |  WHERE vec_id IN ($ids)),
+         |scored AS (
+         | SELECT p.q_id, e.vec_id,
+         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         | FROM e, p WHERE e.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+         |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+    }
   )
 }

@@ -11,12 +11,18 @@ class PlanHygieneSpec extends SparkSpec {
   // BroadcastNestedLoopJoin with a single-row build side, by design:
   // c10's funnel scalar and the ANN operators' (qv, qnrm) query frames.
   // Each is audited in docs/plans/ — a 1-row build is O(N), not O(N²).
+  // s05_knn_join_exact is the one bounded exception: its build side is
+  // the FIXED 10-probe frame (exact kNN is intrinsically corpus×probes;
+  // O(N·10) is linear in the corpus). The LSH variant s05b is the
+  // large-probe-set path and must NOT appear here — it candidates via
+  // an equi-join on the persisted bucket index.
   private val scalarCross = Set(
     "c10_funnel",
     "s01_ann_bruteforce",
     "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
-    "s04_ann_pq", "s04b_ann_pq_prebuilt")
+    "s04_ann_pq", "s04b_ann_pq_prebuilt",
+    "s05_knn_join_exact")
 
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

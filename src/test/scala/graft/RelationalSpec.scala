@@ -122,7 +122,7 @@ class RelationalSpec extends SparkSpec {
       "d04_dedup_simhash", "d04b_dedup_simhash_wide",
       "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
-      "s04_ann_pq", "s04b_ann_pq_prebuilt",
+      "s04_ann_pq", "s04b_ann_pq_prebuilt", "s05b_knn_join_lsh",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
       "c20_report_incremental")

@@ -100,6 +100,28 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("graft_pq_codes"), "must read the persisted codes")
   }
 
+  test("s05b LSH knn join: mean recall@10 >= 0.7 vs exact, no nested loop") {
+    val exact = Similarity.s05(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val lsh = Similarity.s05b(spark, sfDir)
+    val approx = lsh.collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    assert(exact.keySet == Similarity.KNN_PROBE_IDS.toSet)
+    val recalls = exact.map { case (q, ids) =>
+      (ids & approx.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 = $mean per-probe $recalls")
+    // the batch path must candidate via the bucket equi-join — the
+    // nested loop is only licensed for the fixed-probe exact twin
+    val plan = lsh.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"s05b must not plan a nested loop:\n$plan")
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,
