@@ -506,9 +506,12 @@ object Similarity {
     val cand = idx.join(pIdx, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
+    // self-dot BEFORE the pair-expanding candidate join: a vector
+    // colliding with m probes must pay its 64-term norm once, not m
+    // times (the cosineFromNorms contract)
     topKPerProbe(embeddings(s, d)
-      .join(cand, Seq("vec_id"))
       .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .join(cand, Seq("vec_id"))
       .join(probeFrame(s, d), "q_id")
       .select(col("q_id"), col("vec_id"),
         cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"),
