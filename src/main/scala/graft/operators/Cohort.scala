@@ -398,6 +398,30 @@ object Cohort {
       .transform(Gate.ordered("site"))
   }
 
+  // -- c28: banded numeric-attribute breakdown (the i2b2 age-range face) -
+  // The CRC's other standard breakdown: cohort patient counts per BAND
+  // of a numeric patient attribute (age ranges 0-9, 10-17, ...; here
+  // account balance plays the numeric attribute, as in c24). Same
+  // broadcast-dimension shape as c17; the CASE banding is shared
+  // verbatim with the oracle, and band labels are zero-padded so binary
+  // collation orders them identically on both engines.
+  private def balanceBand: Column =
+    when(col("c_acctbal") < 0, "negative")
+      .when(col("c_acctbal") < 2500, "00000-2499")
+      .when(col("c_acctbal") < 5000, "02500-4999")
+      .when(col("c_acctbal") < 7500, "05000-7499")
+      .otherwise("07500+")
+
+  def c28(s: SparkSession, d: String): DataFrame =
+    c01(s, d).select(col("user_id"))
+      .join(broadcast(customer(s, d).select("c_custkey", "c_acctbal")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(balanceBand.as("band"))
+      // one row per cohort member after the dimension-key join, so a
+      // plain count IS the distinct patient count (the c17 argument)
+      .agg(count(lit(1)).as("n_patients"))
+      .orderBy("band")
+
   // -- c27: patient timeline export (the i2b2 PDO timeline face) ---------
   // The CRC's patient-data-object export renders each patient's
   // observations as an ORDERED clinical timeline. Spark shape: ONE
@@ -448,7 +472,8 @@ object Cohort {
     "c20_report_incremental" -> (c20 _),
     "c21_concept_subtree" -> (c21 _),
     "c22_federated_counts" -> (c22 _),
-    "c27_patient_timeline" -> (c27 _)
+    "c27_patient_timeline" -> (c27 _),
+    "c28_cohort_bands" -> (c28 _)
   )
 
   private def nOfSql(t: String) =
@@ -554,6 +579,25 @@ object Cohort {
         |ORDER BY user_id""".stripMargin,
     "c17_demographic_breakdown" ->
       s"""SELECT c_mktsegment, COUNT(DISTINCT user_id) AS n_patients
+         |FROM (
+         | SELECT user_id FROM events
+         | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         | GROUP BY user_id
+         | HAVING (COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+         |   OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
+         |  AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+         |  AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0) coh
+         |JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CASE banding mirrors balanceBand verbatim; zero-padded labels
+    // sort identically under both engines' binary collation
+    "c28_cohort_bands" ->
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+         |  WHEN c_acctbal < 2500 THEN '00000-2499'
+         |  WHEN c_acctbal < 5000 THEN '02500-4999'
+         |  WHEN c_acctbal < 7500 THEN '05000-7499'
+         |  ELSE '07500+' END AS band,
+         | COUNT(*) AS n_patients
          |FROM (
          | SELECT user_id FROM events
          | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'

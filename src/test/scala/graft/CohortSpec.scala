@@ -149,6 +149,18 @@ class CohortSpec extends SparkSpec {
       s"timeline window and agg must share one user_id shuffle:\n$plan")
   }
 
+  test("c28 bands partition the c01 cohort exactly") {
+    val rows = Cohort.c28(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val labels = Set("negative", "00000-2499", "02500-4999",
+      "05000-7499", "07500+")
+    assert(rows.map(_._1).toSet.subsetOf(labels))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // every cohort member has a customer row (user ids are customer
+    // keys), so the band counts must sum to the cohort size exactly
+    assert(rows.map(_._2).sum == Cohort.c01(spark, sfDir).count())
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)
