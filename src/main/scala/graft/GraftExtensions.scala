@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions.RollingFingerprint
 
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fingerprintFunction)
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectTableFunction(GraftExtensions.cohortTableFunction)
     ext.injectOptimizerRule(_ => ApproxAtScale)
   }
 }
@@ -71,6 +72,58 @@ object GraftExtensions {
         }.reduceLeft(Add(_, _))
       case _ => throw new IllegalArgumentException(
         s"graft_dot takes (array, array, dim-literal), got ${children.size} args")
+    }
+  )
+
+  /** `graft_cohort('<PanelsJson doc>'[, '<factView>'])` — the panel
+    * compiler as a SQL TABLE FUNCTION, closing the reference's primary
+    * user-facing face: i2b2 analysts submit cohort definitions through
+    * the webclient and get result sets back without writing engine
+    * code (cf. /root/reference/generated/compose.yml httpd/wildfly).
+    * Here the same wire document (PanelsJson — the i2b2
+    * query_definition role) is placed directly in SQL:
+    *
+    * {{{
+    * SELECT * FROM graft_cohort(
+    *   '{"panels":[{"concepts":[{"eventType":"click"}]}]}')
+    * }}}
+    *
+    * The builder parses the definition at resolution time and splices
+    * in the SAME one-pass `Panels.cohort` logical plan the Scala API
+    * compiles — one fact scan, one conditional aggregate; SQL users
+    * get the identical plan, not a reimplementation. The fact source
+    * defaults to a view named `events` (cf. Tables.registerViews) and
+    * can be any view/table with the events schema. Encounter-scoped
+    * definitions auto-derive `encounter_id` via the 30-min
+    * sessionization when the source lacks the column. Both arguments
+    * must be string literals — the definition shapes the PLAN (one
+    * aggregate column per panel), so it cannot vary per row.
+    */
+  val cohortTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_cohort"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cohort"),
+    (children: Seq[Expression]) => {
+      def strLit(e: Expression, name: String): String = e match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_cohort: $name must be a string literal, got $other")
+      }
+      val (json, factView) = children match {
+        case Seq(j)    => (strLit(j, "definition"), "events")
+        case Seq(j, t) => (strLit(j, "definition"), strLit(t, "factView"))
+        case _ => throw new IllegalArgumentException(
+          s"graft_cohort takes (definitionJson[, factView]), got ${children.size} args")
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cd = graft.operators.PanelsJson.parse(json)
+      val facts = spark.table(factView)
+      val needEnc = cd.scope == graft.operators.Panels.EncounterScope ||
+        cd.panels.exists(_.perEncounter)
+      val base = if (needEnc && !facts.columns.contains("encounter_id"))
+        graft.operators.Panels.withEncounters(facts)
+      else facts
+      graft.operators.Panels.cohort(base, cd).queryExecution.logical
     }
   )
 

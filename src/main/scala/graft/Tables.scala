@@ -43,6 +43,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Every test table, by its SQL-facing name. `events` is the
+    * CONVERTED frame (ts as timestamp), so SQL users see the same
+    * schema the Scala operators do.
+    */
+  private val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region _), "nation" -> (nation _),
+    "customer" -> (customer _), "supplier" -> (supplier _),
+    "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
+
+  /** Register every test table as a temp view — the SQL analyst's front
+    * door (the reference's users reach the warehouse through the i2b2
+    * webclient's SQL face, cf. /root/reference/generated/compose.yml;
+    * a graft deployment would register its lake tables in a metastore,
+    * which these session-local views stand in for).
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    all.foreach { case (n, fn) => fn(s, d).createOrReplaceTempView(n) }
 }
 
 /** Scratch-space layout shared by every operator that persists derived

@@ -80,8 +80,12 @@ object Dedup {
     *
     * The index joins/aggregates on the 8-byte shingle hash, not the
     * ~30-byte string — cheaper shuffle and group comparisons; a 64-bit
-    * collision can only ADD a candidate, which each exact verify
-    * rejects. The groupBy doubles as dedup of candidate pairs and
+    * collision can only ADD a candidate. d02's Jaccard verify rejects
+    * any such extra pair; d07's containment verify would KEEP a
+    * collision-added pair that happens to be a true containment while
+    * the string-based oracle gate excludes it — an accepted one-sided
+    * divergence risk at ~2^-64 per shingle pair, not a correctness
+    * guarantee. The groupBy doubles as dedup of candidate pairs and
     * partial-aggregates map-side; the shared-count filter is part of
     * the contract: a pair qualifies only with >= MIN_SHARED sub-cap
     * shared shingles (any jaccard>=0.7 pair shares >=0.7*union),
@@ -371,10 +375,12 @@ object Dedup {
 
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
-  // (IVF/k-means assignment in a real pipeline), so the join is
-  // per-bucket, never all-pairs. Cosines use the unrolled fixed-order
-  // double dot (VectorFunctions.dotFixed) — deterministic on any
-  // partitioning, bit-equal to the oracle's identical expression.
+  // so the candidate generation is SQL-expressible and the cosine math
+  // can be oracle-checked bit-for-bit; d05b below is the production
+  // wiring of the same verify over REAL k-means cells. Cosines use the
+  // unrolled fixed-order double dot (VectorFunctions.dotFixed) —
+  // deterministic on any partitioning, bit-equal to the oracle's
+  // identical expression.
   def d05(s: SparkSession, d: String): DataFrame = {
     // self-dots computed once per VECTOR, before the join — at n² pairs
     // recomputing them per pair would be 2/3 of all decimal work; the
@@ -384,6 +390,43 @@ object Dedup {
     e.toDF("vec_a", "label", "emb_a", "nrm_a")
       .join(e.toDF("vec_b", "label", "emb_b", "nrm_b"), "label")
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineFromNormsFixed("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
+          .as("cos"))
+      .filter(col("cos") >= COSINE_T)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .transform(Gate.ordered("vec_a", "vec_b"))
+  }
+
+  // -- d05b: embedding near-dup over REAL coarse quantization ------------
+  // d05's verify with the `label` stand-in replaced by the persisted IVF
+  // dedup cells (Similarity.ensureIvfDedupCells: DEDUP_K k-means
+  // centroids, every vector multi-assigned to its DEDUP_ASSIGN nearest —
+  // multi-assignment is the "same + adjacent cells" probe). Candidates
+  // come from a cid equi-join on the cid-bucketed cells table; the raw
+  // vectors are touched only by the exact fixed-order cosine verify.
+  // Honest scale note for THIS corpus: the test embeddings are iid
+  // random vectors, so pairs at the 0.4 threshold are the random tail —
+  // no quantizer separates them from non-pairs (measured candidate
+  // fraction ~0.9 at any useful recall). The operator's pruning power is
+  // real in the production regime it exists for (actual near-dups at
+  // cos >= 0.9 share cells with near-certainty while random pairs
+  // don't); DEDUP_K/DEDUP_ASSIGN are the cluster-sizing knobs (at 100 TB
+  // K grows with corpus size so per-cell join buckets stay bounded).
+  // DedupSpec pins recall >= 0.95 vs the brute-force truth AND vs d05's
+  // oracle-checked pairs, plus a no-label-column plan assert.
+  def d05b(s: SparkSession, d: String): DataFrame = {
+    val cells = s.table(Similarity.ensureIvfDedupCells(s, d))
+    val cand = cells.toDF("vec_a", "cid")
+      .join(cells.toDF("vec_b", "cid"), "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", dotFixed("embedding", "embedding", 64))
+    cand
+      .join(e.toDF("vec_a", "emb_a", "nrm_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b", "nrm_b"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosineFromNormsFixed("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
           .as("cos"))
@@ -405,6 +448,12 @@ object Dedup {
   // makes the string scan linear in corpus size at 100 TB, never
   // all-pairs. Equal-length containment is exact duplication — d01's
   // job — so the pair contract is strictly shorter-inside-longer.
+  // KNOWN FALSE-NEGATIVE CLASS (a corpus property, not a guarantee): a
+  // true containment whose shared shingles are mostly ABOVE DF_CAP — a
+  // boilerplate-heavy snippet — has < MIN_SHARED sub-cap shared
+  // shingles and is silently missed. DedupSpec asserts this never
+  // happens on THIS corpus; a boilerplate-dominated corpus needs a
+  // lower DF_CAP or a d08-style fingerprint gate.
   def d07(s: SparkSession, d: String): DataFrame = {
     val texts = documents(s, d).select(col("doc_id"), col("text"))
     cappedCandidates(s, d)
@@ -435,6 +484,7 @@ object Dedup {
     "d04_dedup_simhash" -> (d04 _),
     "d04b_dedup_simhash_wide" -> (d04b _),
     "d05_dedup_embedding" -> (d05 _),
+    "d05b_dedup_embedding_ivf" -> (d05b _),
     "d06_dedup_clusters" -> (d06 _),
     "d07_dedup_containment" -> (d07 _)
   )

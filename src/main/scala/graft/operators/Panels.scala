@@ -391,10 +391,28 @@ object Panels {
       Panel(Seq(Concept("click")), minOccurrences = 5)))
       .transform(Gate.ordered("user_id"))
 
+  // -- c29: the SQL front door -------------------------------------------
+  // The reference's analysts reach the CRC in SQL (i2b2 webclient →
+  // CRC cells, cf. compose.yml httpd/wildfly services); graft's
+  // equivalent is the graft_cohort TABLE FUNCTION (GraftExtensions): a
+  // PanelsJson wire document placed inside ordinary SQL, compiled at
+  // resolution time into the SAME one-pass Panels.cohort plan — no
+  // Scala anywhere in the user's query. c29 runs c13's exact
+  // definition through the SQL surface over the registered views; the
+  // oracle is c13's, so the SQL face is proven hash-identical to the
+  // API face.
+  def c29(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.registerViews(s, d)
+    val doc = PanelsJson.toJson(c13Def).replace("'", "''")
+    s.sql(s"SELECT * FROM graft_cohort('$doc')")
+      .transform(Gate.ordered("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
     "c13c_panel_prebucketed" -> (c13c _),
+    "c29_sql_cohort" -> (c29 _),
     "c14_panel_same_encounter" -> (c14 _),
     "c14b_panel_distinct_encounters" -> (c14b _),
     "c23_patient_set_panel" -> (c23 _),
@@ -487,6 +505,9 @@ object Panels {
     // identical definition, identical results — only the storage layout
     // (and the resulting shuffle-free plan) differs
     "c13c_panel_prebucketed" -> C13_SQL,
+    // identical definition submitted through the graft_cohort SQL table
+    // function — the front door must hash-match the API compile
+    "c29_sql_cohort" -> C13_SQL,
     "c13b_panel_value_constraints" -> {
       val codes = (1 to 10).map(c => s"'$c'").mkString(", ")
       s"""SELECT user_id,

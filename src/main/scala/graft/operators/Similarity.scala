@@ -201,17 +201,18 @@ object Similarity {
           sqrt(dotFixed("c", "c", DIM) * dotFixed("embedding", "embedding", DIM)))
           .as("score"))
 
-  /** K centroids after IVF_ITERS Lloyd iterations, as (cid, c). */
-  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+  /** K centroids after `iters` Lloyd iterations, as (cid, c). */
+  private[graft] def ivfCentroids(s: SparkSession, d: String,
+      k: Int = IVF_K, iters: Int = IVF_ITERS): DataFrame = {
     val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     // deterministic seeding: the K lowest vec_ids (TakeOrdered — no
     // assumption that the id domain is dense or zero-based)
-    var cent: DataFrame = e.orderBy("vec_id").limit(IVF_K)
+    var cent: DataFrame = e.orderBy("vec_id").limit(k)
       .select((row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy("vec_id")) - 1).as("cid"), col("embedding").as("c"))
-    for (_ <- 1 to IVF_ITERS) {
+    for (_ <- 1 to iters) {
       // hard assignment: max_by with a (score, -cid) struct — partial-
       // aggregatable (no window sort) and deterministically tie-broken
       val assigned = cellScores(e, cent)
@@ -293,6 +294,44 @@ object Similarity {
         .saveAsTable(cellsT)
     }
     (cellsT, centT)
+  }
+
+  // -- IVF dedup cells: coarse quantization for embedding NEAR-DUP -------
+  // Dedup.d05b's candidate index — the pair-mining face of IVF: a
+  // dedicated k-means cell assignment where each vector lands in its
+  // DEDUP_ASSIGN nearest cells (multi-assignment IS the "same +
+  // adjacent cells" probe: a pair can meet iff their cell sets
+  // intersect). More cells than the ANN index (16 vs 8) keeps per-cell
+  // join buckets smaller; more assignments keep boundary pairs
+  // together. Persisted bucketed by cid, so the candidate self-join is
+  // co-located (the src03 technique) and the query plan never touches
+  // the raw vectors until the exact verify.
+  private[graft] val DEDUP_K = 16
+  private[graft] val DEDUP_ASSIGN = 5
+
+  /** Build-if-absent the persisted dedup cell assignment (vec_id, cid);
+    * returns the table name.
+    */
+  def ensureIvfDedupCells(s: SparkSession, d: String): String = {
+    val cellsT = s"graft_ivf_dedup_cells_${sanitize(d)}"
+    if (!s.catalog.tableExists(cellsT)) {
+      val cent = ivfCentroids(s, d, DEDUP_K, IVF_ITERS).cache()
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
+      cellScores(e, cent)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= DEDUP_ASSIGN)
+        .select("vec_id", "cid")
+        .write.mode("overwrite")
+        .bucketBy(8, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivf_dedup_cells/${sanitize(d)}")
+        .saveAsTable(cellsT)
+      cent.unpersist()
+    }
+    cellsT
   }
 
   def s03b(s: SparkSession, d: String): DataFrame = {

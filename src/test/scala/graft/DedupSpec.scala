@@ -173,4 +173,47 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.4)
     }
   }
+
+  test("d05b quantized near-dup: recall vs brute force and d05, label shortcut gone") {
+    // brute-force truth: the SAME left-to-right double summation as
+    // dotFixed, so pair membership at the threshold is bit-identical
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val truth = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      if dot(va, vb) / math.sqrt(nrm(a) * nrm(b)) >= 0.4
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty)
+
+    val q = Dedup.d05b(spark, sfDir)
+    val got = q.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // precision is exact by construction (every candidate is verified
+    // with the exact cosine): no pair outside the truth set
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall vs brute force $recall")
+    // and the oracle-checked twin's pairs (d05 = same-label subset of
+    // the truth) are recovered too — the spec chain to the SQL gate
+    val d05pairs = Dedup.d05(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recall05 = (got & d05pairs).size.toDouble / d05pairs.size.max(1)
+    assert(recall05 >= 0.95, s"recall vs d05 $recall05")
+    // the plan reads the persisted cells table and never references the
+    // label stand-in column
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ivf_dedup_cells"),
+      "candidates must come from the persisted IVF dedup cells")
+    assert(!plan.toLowerCase.contains("label"),
+      s"the label stand-in must be gone from the plan:\n$plan")
+  }
 }

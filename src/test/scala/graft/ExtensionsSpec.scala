@@ -99,6 +99,54 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.approx")
   }
 
+  test("graft_cohort table function runs a c13-shaped cohort entirely in SQL") {
+    import graft.operators.{Panels, PanelsJson}
+    Tables.registerViews(spark, sfDir)
+    val doc = PanelsJson.toJson(Panels.c13Def).replace("'", "''")
+    // pure SQL, no Scala in the query: the analyst face
+    val viaSql = spark.sql(
+      s"SELECT user_id, p0, p1 FROM graft_cohort('$doc') ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = Panels.c13(spark, sfDir)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+    // the spliced plan is the SAME one-pass compile: exactly one
+    // Aggregate over the fact scan, no self-joins
+    val aggs = spark.sql(s"SELECT * FROM graft_cohort('$doc')")
+      .queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1, s"expected the one-pass panel aggregate, got $aggs")
+  }
+
+  test("graft_cohort supports encounter scope and an explicit fact view") {
+    import graft.operators.{Panels, PanelsJson}
+    Tables.registerViews(spark, sfDir)
+    // c14's encounter-scoped definition: the TVF must auto-derive
+    // encounter_id (the source view has no such column)
+    val doc = PanelsJson.toJson(Panels.c14Def).replace("'", "''")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_cohort('$doc', 'events') ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = Panels.c14(spark, sfDir).orderBy("user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("graft_cohort rejects malformed calls loudly") {
+    Tables.registerViews(spark, sfDir)
+    // non-literal definition: the definition shapes the plan, so it
+    // cannot come from a column
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cohort(upper('x'))").collect())
+    assert(e1.getMessage.contains("string literal"))
+    // a typo'd key must fail parsing (PanelsJson strict keys), not
+    // silently change semantics
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_cohort('{"panels":[{"concepts":[{"eventType":"click"}],"negate":true}]}')""")
+      .collect())
+    assert(e2.getMessage.contains("unknown field"))
+  }
+
   test("spark.graft.approx=true rewrites COUNT(DISTINCT) to HyperLogLog++") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     def q(): DataFrame = events.groupBy("event_type")

@@ -120,6 +120,7 @@ class RelationalSpec extends SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
       "d04_dedup_simhash", "d04b_dedup_simhash_wide",
+      "d05b_dedup_embedding_ivf",
       "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
       "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
       "s04_ann_pq", "s04b_ann_pq_prebuilt", "s05b_knn_join_lsh",
