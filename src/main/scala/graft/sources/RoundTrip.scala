@@ -289,6 +289,123 @@ object RoundTrip {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  // -- src12: Avro round-trip --------------------------------------------
+  // The remaining wire format of the importer face: Avro is THE
+  // schema'd row-oriented interchange format incremental feeds arrive
+  // in (schema travels with the file, generations evolve by field
+  // name). Spark 4 ships the Avro FileFormat inside spark-sql, but
+  // this distribution does not service-register the "avro" short name
+  // — the fully-qualified FileFormat class is the documented fallback
+  // path for exactly this case, so the format string is the class
+  // name, not a reimplementation. Schema-first on read like every
+  // round-trip here (the writer's embedded schema is NOT trusted to
+  // type the table; the catalog schema is). Timestamps round-trip as
+  // Avro timestamp-micros — lossless for this corpus (µs precision).
+  private[graft] val AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def src12(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d)
+    val path = s"$scratch/src12_avro"
+    src.write.mode("overwrite").format(AVRO_FMT).save(path)
+    s.read.schema(src.schema).format(AVRO_FMT).load(path)
+      .withColumn("l_shipdate",
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+      .transform(Gate.ordered("l_orderkey", "l_linenumber"))
+  }
+
+  // -- src11: patient-data deletion / retraction -------------------------
+  // The reference's import-management face includes DELETING patient
+  // data (the AKTIN DWH admin manages and removes imports — wildfly
+  // `/aktin/admin` in /root/reference/generated/compose.yml; GDPR
+  // erasure is the per-patient form). Over an immutable partitioned
+  // lake, erasure is a BOUNDED REWRITE, never a full one:
+  //
+  //   1. discover the partitions actually holding the patients' facts
+  //      (the one full-layout read — pushed user_id filter, so parquet
+  //      row-group stats/bloom skip everything else);
+  //   2. anti-join ONLY those partitions against the patient set and
+  //      stage the remainder;
+  //   3. swap the touched partition DIRECTORIES (delete + rename) —
+  //      untouched partitions' files are never opened, let alone
+  //      rewritten (RoundTripSpec proves byte-identity), and a fully
+  //      erased day's directory disappears;
+  //   4. return a per-partition audit (n_before / n_after / n_deleted).
+  //
+  // Replay is a no-op by construction: a second run finds no touched
+  // partitions and writes nothing (spec asserts the file listing is
+  // bit-stable). At 100 TB the rewrite cost is proportional to the
+  // days the patients visited, not to the table.
+
+  /** Delete every fact of `patients` from the day-partitioned `layout`.
+    * Returns the audit frame (day, n_before, n_after, n_deleted) over
+    * the touched partitions (empty when nothing matched).
+    */
+  def deletePatients(s: SparkSession, layout: String,
+      patients: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val facts = s.read.parquet(layout)
+    // one pushed-filter pass: per-day deletion counts = the touched set
+    val deleted = facts.filter(col("user_id").isin(patients: _*))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_deleted")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val days = deleted.keys.toSeq.sorted
+    if (days.nonEmpty) {
+      // partition-pruned: only touched days are read from here on
+      val touched = facts.filter(col("day").cast("string").isin(days: _*))
+      val before = touched.groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // stage the remainder, then swap directories — the layout itself
+      // is never read and overwritten in one job
+      val staging = s"$layout.staging"
+      touched.filter(!col("user_id").isin(patients: _*))
+        .write.mode("overwrite").partitionBy("day").parquet(staging)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(layout).getFileSystem(conf)
+      days.foreach { day =>
+        val dst = new org.apache.hadoop.fs.Path(s"$layout/day=$day")
+        val src = new org.apache.hadoop.fs.Path(s"$staging/day=$day")
+        fs.delete(dst, true)
+        // a fully-erased day has no remainder — its directory just goes
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      days.map(day => (day, before(day), before(day) - deleted(day),
+        deleted(day))).toDF("day", "n_before", "n_after", "n_deleted")
+    } else
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("day", "n_before", "n_after", "n_deleted")
+  }
+
+  /** The erasure request under the gate: fixed patient set (including
+    * ids with no facts at small SFs — an erasure request for an unknown
+    * patient must be a safe no-op).
+    */
+  private[graft] val ERASE_USERS: Seq[Long] = Seq(7L, 13L, 42L, 77L, 123L)
+
+  private val lakeBuilt = scala.collection.mutable.Set[String]()
+
+  def src11(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val layout = s"$scratch/src11_lake/${graft.Scratch.tag(d)}"
+    // (re)build once per JVM so the query is deterministic on replay:
+    // build -> erase -> aggregate; later calls in the same JVM find the
+    // erasure already applied and delete nothing
+    if (!lakeBuilt.contains(layout)) {
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(layout)
+      lakeBuilt += layout
+    }
+    deletePatients(s, layout, ERASE_USERS).count() // apply the erasure
+    s.read.parquet(layout)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .transform(Gate.ordered("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
@@ -299,7 +416,9 @@ object RoundTrip {
     "src07_schema_evolution" -> (src07 _),
     "src08_upsert_latest" -> (src08 _),
     "src09_corrupt_records" -> (src09 _),
-    "src10_xml_roundtrip" -> (src10 _)
+    "src10_xml_roundtrip" -> (src10 _),
+    "src11_patient_erasure" -> (src11 _),
+    "src12_avro_roundtrip" -> (src12 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -324,6 +443,15 @@ object RoundTrip {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the post-erasure lake must equal the source with the patient set
+    // anti-joined out — NOT IN is the erasure's ground truth
+    "src11_patient_erasure" -> {
+      val ids = ERASE_USERS.mkString(", ")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+         | COUNT(DISTINCT user_id) AS n_users
+         |FROM events WHERE user_id NOT IN ($ids)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "src06_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
@@ -349,6 +477,11 @@ object RoundTrip {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
         | o_orderpriority
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "src12_avro_roundtrip" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        | strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

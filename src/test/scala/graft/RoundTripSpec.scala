@@ -188,4 +188,125 @@ class RoundTripSpec extends SparkSpec {
     assert(scan.contains("day"), s"day filter must prune partitions:\n$scan")
     assert(df.count() == 7, "one row per day in the first week")
   }
+
+  test("src11 erases only touched partitions byte-identically elsewhere, idempotent") {
+    import org.apache.spark.sql.functions._
+    val layout = s"${graft.Scratch.dir}/src11_spec/${graft.Scratch.tag(sfDir)}"
+    // partition finer than the gate's daily layout (every user is active
+    // every day at this SF — daily partitions would ALL be touched and
+    // the byte-identity assertion would be vacuous)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd-HH"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(layout)
+    val patients = Seq(7L, 13L, 42L) // 42 has no facts at this SF
+    val touchedDays = ev.filter(col("user_id").isin(patients: _*))
+      .select("day").distinct().collect().map(_.getString(0)).toSet
+    val untouchedDays = ev.select("day").distinct().collect()
+      .map(_.getString(0)).toSet -- touchedDays
+    assert(touchedDays.nonEmpty && untouchedDays.nonEmpty,
+      "the spec needs both touched and untouched partitions to bite")
+
+    // file snapshot: every data file path -> its full content hash
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(layout))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath ->
+          java.util.Arrays.hashCode(
+            java.nio.file.Files.readAllBytes(f.toPath)).toLong)
+        .toMap
+    }
+    val beforeSnap = snapshot()
+
+    val audit = RoundTrip.deletePatients(spark, layout, patients)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // audit covers exactly the touched days, numbers consistent
+    assert(audit.keySet == touchedDays)
+    val expectDeleted = ev.filter(col("user_id").isin(patients: _*))
+      .groupBy("day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((day, (nb, na, nd)) <- audit) {
+      assert(nd == expectDeleted(day), s"$day deleted")
+      assert(nb - na == nd, s"$day before-after")
+    }
+    // the erased users are gone, everything else intact
+    val after = spark.read.parquet(layout)
+    assert(after.filter(col("user_id").isin(patients: _*)).isEmpty)
+    assert(after.count() == ev.count() - expectDeleted.values.sum)
+    // untouched partitions: same files, byte-identical; touched: rewritten
+    val afterSnap = snapshot()
+    val unPrefixes = untouchedDays.map(d => s"$layout/day=$d/")
+    def untouchedOf(m: Map[String, Long]) =
+      m.filter { case (p, _) => unPrefixes.exists(p.startsWith) }
+    assert(untouchedOf(afterSnap) == untouchedOf(beforeSnap),
+      "untouched partition files must not be rewritten")
+    assert(afterSnap.keySet.filter(p =>
+        touchedDays.exists(d => p.startsWith(s"$layout/day=$d/")))
+      .forall(p => !beforeSnap.contains(p) || beforeSnap(p) != afterSnap(p)),
+      "touched partitions must have been rewritten")
+    // replay: no touched partitions remain -> empty audit, files bit-stable
+    val audit2 = RoundTrip.deletePatients(spark, layout, patients)
+    assert(audit2.isEmpty)
+    assert(snapshot() == afterSnap, "replay must not rewrite anything")
+  }
+
+  test("avro round-trip preserves schema and every value exactly") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.lineitem(spark, sfDir)
+    val back = RoundTrip.src12(spark, sfDir)
+    assert(back.count() == src.count())
+    // every non-date column value-identical; the date column formatted
+    val a = src
+      .withColumn("l_shipdate",
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(a == b)
+  }
+
+  test("avro generations evolve by field name: old files surface late columns as null") {
+    import org.apache.spark.sql.functions._
+    val path = s"${graft.Scratch.dir}/src12_evolution"
+    val gen1 = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").filter(col("o_orderkey") < 100)
+    val gen2 = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+    gen1.write.mode("overwrite").format(RoundTrip.AVRO_FMT).save(path)
+    gen2.write.mode("append").format(RoundTrip.AVRO_FMT).save(path)
+    // schema-first read across BOTH generations: resolution is by field
+    // NAME (the Avro contract), so gen1 rows surface the late column as
+    // null — no historical rewrite, same src07 guarantee for parquet
+    val all = spark.read.schema(gen2.schema).format(RoundTrip.AVRO_FMT)
+      .load(path)
+    assert(all.count() == gen1.count() + gen2.count())
+    assert(all.filter(col("o_orderkey") < 100)
+      .filter(col("o_orderstatus").isNotNull).isEmpty,
+      "gen1 rows must surface the late column as null")
+    assert(all.filter(col("o_orderkey") >= 100)
+      .filter(col("o_orderstatus").isNull).isEmpty,
+      "gen2 rows keep their values")
+  }
+
+  test("deletePatients removes a fully-erased day's directory entirely") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val layout = s"${graft.Scratch.dir}/src11_fullday"
+    Seq(
+      (1L, 7L, "a", "2024-01-01"), (2L, 7L, "b", "2024-01-01"),
+      (3L, 9L, "c", "2024-01-02"), (4L, 7L, "d", "2024-01-02"))
+      .toDF("event_id", "user_id", "event_type", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(layout)
+    val audit = RoundTrip.deletePatients(spark, layout, Seq(7L))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit == Map("2024-01-01" -> 0L, "2024-01-02" -> 1L))
+    // day 1 held only the erased patient's facts: its directory is gone
+    assert(!new java.io.File(s"$layout/day=2024-01-01").exists())
+    val left = spark.read.parquet(layout)
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+    assert(left == Set((3L, 9L)))
+  }
 }
