@@ -476,6 +476,84 @@ object Dedup {
       .transform(Gate.ordered("doc_inner", "doc_outer"))
   }
 
+  // -- d08: shared-passage (partial-overlap) dedup -----------------------
+  // The case d01..d07 all miss: two OTHERWISE-DISTINCT documents sharing
+  // a long verbatim passage (crawl boilerplate, quoted paragraphs, wire
+  // copy) — Jaccard under-scores it (d02), it is not containment (d07).
+  // Shape: an ANCHOR index instead of all-pairs LCS —
+  //
+  //   1. anchor windows: the W-char substring starting at every TOKEN
+  //      START (content-positioned, so the same passage yields the same
+  //      anchor strings in both docs regardless of where it sits);
+  //   2. df-cap the anchor index exactly like d02's shingle gate (a
+  //      boilerplate anchor in k docs would create a k² bucket);
+  //   3. candidates = occurrence pairs joined ON THE ANCHOR STRING
+  //      itself — equality IS the exact verify, no hash gap (at 100 TB
+  //      the join key would be xxhash64(anchor) with the string kept as
+  //      an in-bucket verify; the 64-byte key is fine at test SF and
+  //      keeps the operator bit-identical to the SQL oracle);
+  //   4. merge anchors into PROVEN shared spans: occurrences with the
+  //      same position delta whose starts are <= W apart overlap, and
+  //      overlapping verified windows prove the whole union is shared —
+  //      a gaps-and-islands pass per (pair, delta), no extra string
+  //      compare needed.
+  //
+  // Output: the longest proven shared span per pair (>= W by
+  // construction). Detection guarantee: any shared passage of length
+  // >= W + maxTokenLen + 1 contains a full in-passage token-start
+  // window and is found; shorter ones (or sub-W passages) are out of
+  // contract. Every stage is SQL-expressible, so unlike the
+  // hash-seeded d03/d04 this candidate generator is ORACLE-CHECKED
+  // end to end. All shuffles are keyed and df-cap-bounded — linear in
+  // corpus size, never all-pairs.
+  private[graft] val D08_W = 64
+  private[graft] val D08_DF_CAP = 50
+
+  /** d08 over an arbitrary documents frame — spec entry for planted
+    * passages.
+    */
+  private[graft] def d08Of(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val anchors = toks
+      .withColumn("pos",
+        (coalesce(sum(length(col("tok")) + 1).over(wDoc), lit(0)) + 1)
+          .cast("long"))
+      .filter(col("pos") + (D08_W - 1) <= length(col("text")))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substr(text, pos, $D08_W)").as("a"))
+    val common = anchors.groupBy(col("a"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > D08_DF_CAP).select("a")
+    val ci = anchors.join(broadcast(common), Seq("a"), "left_anti")
+    val occ = ci.toDF("a", "doc_a", "pos_a")
+      .join(ci.toDF("a", "doc_b", "pos_b"), "a")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("delta"))
+    val wPair = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    val spans = occ
+      .withColumn("prev", lag(col("pos_a"), 1).over(wPair))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") - col("prev") > D08_W, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("brk"))
+        .over(wPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("isl"))
+      .agg((max(col("pos_a")) + D08_W - min(col("pos_a"))).as("span"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span")).as("max_span"))
+      .transform(Gate.ordered("doc_a", "doc_b"))
+  }
+
+  def d08(s: SparkSession, d: String): DataFrame =
+    d08Of(s, documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
@@ -486,7 +564,8 @@ object Dedup {
     "d05_dedup_embedding" -> (d05 _),
     "d05b_dedup_embedding_ivf" -> (d05b _),
     "d06_dedup_clusters" -> (d06 _),
-    "d07_dedup_containment" -> (d07 _)
+    "d07_dedup_containment" -> (d07 _),
+    "d08_dedup_shared_passage" -> (d08 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -577,6 +656,47 @@ object Dedup {
          | WHERE len(ta.text) <> len(tb.text))
          |WHERE position(t_inner IN t_outer) > 0
          |ORDER BY doc_inner, doc_outer""".stripMargin,
+    // the IDENTICAL anchor/df-cap/delta-island pipeline in SQL: token
+    // start offsets by cumulative token lengths, W-char anchors joined
+    // on the string, islands per (pair, delta) with a lag/sum pass
+    "d08_dedup_shared_passage" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |toks AS (
+         | SELECT doc_id, text, w, CAST(i AS BIGINT) AS i
+         | FROM tk, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+         |apos AS (
+         | SELECT doc_id, text,
+         |  1 + CAST(COALESCE(SUM(len(w[i]) + 1) OVER (
+         |   PARTITION BY doc_id ORDER BY i
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |   AS pos
+         | FROM toks),
+         |anchors AS (
+         | SELECT doc_id, pos, substr(text, CAST(pos AS INT), $D08_W) AS a
+         | FROM apos WHERE pos + ${D08_W - 1} <= len(text)),
+         |ci AS (SELECT * FROM anchors WHERE a NOT IN (
+         | SELECT a FROM anchors GROUP BY a
+         | HAVING COUNT(DISTINCT doc_id) > $D08_DF_CAP)),
+         |occ AS (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  x.pos AS pos_a, x.pos - y.pos AS delta
+         | FROM ci x JOIN ci y ON x.a = y.a AND x.doc_id < y.doc_id),
+         |lagged AS (
+         | SELECT doc_a, doc_b, delta, pos_a, LAG(pos_a) OVER (
+         |  PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS prev
+         | FROM occ),
+         |isl AS (
+         | SELECT doc_a, doc_b, delta, pos_a, SUM(
+         |  CASE WHEN prev IS NULL OR pos_a - prev > $D08_W THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS g
+         | FROM lagged),
+         |spans AS (
+         | SELECT doc_a, doc_b,
+         |  CAST(MAX(pos_a) + $D08_W - MIN(pos_a) AS BIGINT) AS span
+         | FROM isl GROUP BY doc_a, doc_b, delta, g)
+         |SELECT doc_a, doc_b, MAX(span) AS max_span
+         |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // connected components over d02's pairs via a recursive CTE:
     // min reachable id == component representative
     "d06_dedup_clusters" ->

@@ -174,6 +174,80 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // longest common substring by dynamic programming — the independent
+  // ground truth for d08 (O(|a||b|), driver-side, candidate pairs only)
+  private def lcsLen(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length) {
+      var prev = 0
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
+        if (dp(j) > best) best = dp(j)
+        prev = cur
+      }
+    }
+    best
+  }
+
+  test("d08 spans are real shared substrings; containment pairs are recalled") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.d08(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "corpus has near-dup docs sharing >=64-char runs")
+    // precision: every reported span is bounded by the true longest
+    // common substring (the span is PROVEN shared, never overstated)
+    for (((a, b), span) <- got) {
+      assert(span >= Dedup.D08_W)
+      val lcs = lcsLen(texts(a), texts(b))
+      assert(span <= lcs, s"($a,$b): claimed span $span > true LCS $lcs")
+    }
+    // recall, chained to the oracle-checked twin: a d07 containment pair
+    // shares the whole inner text — wherever it clears the detection
+    // guarantee (len >= W + maxTokenLen + 1), d08 must report it
+    val maxTok = texts.values.flatMap(_.split(" ")).map(_.length).max
+    val guaranteed = Dedup.d07(spark, sfDir).collect()
+      .filter(_.getAs[Int]("len_inner") >= Dedup.D08_W + maxTok + 1)
+      .map(r => (r.getAs[Long]("doc_inner"), r.getAs[Long]("doc_outer")))
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    assert(guaranteed.nonEmpty, "spec needs at least one guaranteed pair")
+    for (p <- guaranteed)
+      assert(got.contains(p), s"containment pair $p missed by d08")
+  }
+
+  test("d08 on planted passages: detects >= W-char overlaps, ignores shorter ones") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi" // 83 chars, all tokens <= 7
+    assert(passage.length >= Dedup.D08_W + 7 + 1)
+    val short = "uno dos tres cuatro cinco seis siete" // 36 chars < W
+    assert(short.length < Dedup.D08_W)
+    val d1 = s"intro words here $passage tail piece"
+    val d2 = s"completely different heading text $passage other ending"
+    val docs = Seq(
+      1L -> d1, 2L -> d2,
+      3L -> s"xx $short yy", 4L -> s"zz $short ww",
+      5L -> d1,
+      6L -> "nothing shared with anyone else at all truly disjoint content")
+      .toDF("doc_id", "text")
+    val got = Dedup.d08Of(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exactly the passage-sharing pairs — no sub-W pair, no strangers
+    assert(got.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    for (((a, b), span) <- got) {
+      val la = Seq(d1, d2, s"xx $short yy", s"zz $short ww", d1)
+      val lcs = lcsLen(la(a.toInt - 1), la(b.toInt - 1))
+      assert(span >= Dedup.D08_W && span <= lcs,
+        s"($a,$b): span $span outside [64, $lcs]")
+    }
+    // the identical pair's span covers essentially the whole document
+    assert(got((1L, 5L)) >= d1.length - 12,
+      s"identical docs must yield a near-full span, got ${got((1L, 5L))}")
+  }
+
   test("d05b quantized near-dup: recall vs brute force and d05, label shortcut gone") {
     // brute-force truth: the SAME left-to-right double summation as
     // dotFixed, so pair membership at the threshold is bit-identical
