@@ -29,6 +29,15 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** The bench_last.json overwrite decision, pure for testing: a
+    * contended run may only replace a record that is itself stamped
+    * contended (or nothing at all); a clean run always records. A
+    * missing stamp in `existing` reads as clean (pre-r6 files).
+    */
+  private[graft] def shouldRecord(contended: Boolean,
+      existing: Option[String]): Boolean =
+    !contended || existing.forall(_.contains("\"contended\":true"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf2Dir = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
@@ -122,13 +131,12 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("docs/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      // a contended run never replaces a cleaner record: overwrite only
-      // if this run is clean, or the existing record is itself stamped
-      // contended (a missing stamp is treated as clean — pre-r6 files)
-      val existingContended = java.nio.file.Files.exists(p) &&
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          .contains("\"contended\":true")
-      if (!contended || existingContended || !java.nio.file.Files.exists(p))
+      // a contended run never replaces a cleaner record
+      val existing =
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else None
+      if (shouldRecord(contended, existing))
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       else
         System.err.println(s"[bench] CONTENDED run (load $load1 on $machineCores cores) — docs/bench_last.json keeps the earlier cleaner record")

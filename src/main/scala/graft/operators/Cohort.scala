@@ -35,7 +35,12 @@ object Cohort {
   // restricted to a one-week observation window (i2b2 panels carry date
   // constraints; the window also makes the NOT-error panel non-vacuous:
   // over the full month every user has errors).
-  def c01(s: SparkSession, d: String): DataFrame =
+  /** Unsorted core — composed by c17/c19/c28 and Panels.c23 (the gate
+    * sort exists only for c01's own oracle hash; a composer's groupBy
+    * or semi-join would discard the order while still paying the
+    * range shuffle on the verify path — the t02Core/d01Core pattern).
+    */
+  private[graft] def c01Core(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
         col("ts") < lit("2024-01-08").cast("timestamp"))
@@ -43,7 +48,9 @@ object Cohort {
       .agg(nOf("signup"), nOf("view"), nOf("purchase"), nOf("error"))
       .filter((col("n_signup") >= 1 || col("n_view") >= 1) &&
         col("n_purchase") >= 2 && col("n_error") === 0)
-      .transform(Gate.ordered("user_id"))
+
+  def c01(s: SparkSession, d: String): DataFrame =
+    c01Core(s, d).transform(Gate.ordered("user_id"))
 
   // -- c02: temporal sequencing: first signup strictly before first purchase
   def c02(s: SparkSession, d: String): DataFrame =
@@ -197,7 +204,7 @@ object Cohort {
   // broadcast (patients are few relative to facts); the cohort itself
   // is one conditional-aggregate pass.
   def c17(s: SparkSession, d: String): DataFrame =
-    c01(s, d).select(col("user_id"))
+    c01Core(s, d).select(col("user_id"))
       .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
@@ -280,7 +287,7 @@ object Cohort {
   // "give me the raw rows of these 10k patients".
   def c19(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .join(broadcast(c01(s, d).select("user_id")), Seq("user_id"), "left_semi")
+      .join(broadcast(c01Core(s, d).select("user_id")), Seq("user_id"), "left_semi")
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), TS_FMT).as("ts"),
         col("event_type"), col("value"))
@@ -413,7 +420,7 @@ object Cohort {
       .otherwise("07500+")
 
   def c28(s: SparkSession, d: String): DataFrame =
-    c01(s, d).select(col("user_id"))
+    c01Core(s, d).select(col("user_id"))
       .join(broadcast(customer(s, d).select("c_custkey", "c_acctbal")),
         col("user_id") === col("c_custkey"))
       .groupBy(balanceBand.as("band"))

@@ -334,32 +334,32 @@ object Dedup {
   // convergence check; lineage is checkpointed per iteration.
   private val CC_MAX_ITER = 50
 
-  /** Unsorted core — composed by Pipeline.p01. */
-  private[graft] def d06Core(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted core — composed by Pipeline.p01. The checkpointer is the
+    * deployment knob (graft.Checkpointing): local for single-JVM runs,
+    * ReliableCheckpointer(hdfsDir) on a cluster — spec-proven to reach
+    * identical labels.
+    */
+  private[graft] def d06Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
     val pairs = d02Core(s, d).select(col("doc_a"), col("doc_b"))
     // LINEAGE TRUNCATION is load-bearing for every iterative DataFrame
     // algorithm: without the checkpoint, iteration k's plan embeds TWO
     // copies of iteration k-1 (join left + union right) — the analyzed
     // plan doubles per iteration and Catalyst grinds to a halt around
     // k=8. Materialize the edge list once and each label generation.
-    // (On a cluster use reliable checkpoint()/persisted tables; local
-    // checkpoint is the single-JVM form.)
-    val edges = pairs
+    val edges = cp(pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cp(edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < CC_MAX_ITER) {
       val viaNeighbor = edges.toDF("nb", "id")
         .join(labels.toDF("nb", "nl"), "nb")
         .select(col("id"), col("nl").as("label"))
-      val next = viaNeighbor.unionByName(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = cp(viaNeighbor.unionByName(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       converged = next.toDF("id", "l2").join(labels, "id")
         .filter(col("l2") =!= col("label")).isEmpty
       labels = next

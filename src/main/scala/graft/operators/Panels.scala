@@ -300,7 +300,7 @@ object Panels {
   // -- c23: query-in-query — c13's definition over c01's patient set -----
   def c23(s: SparkSession, d: String): DataFrame =
     cohortWithPatientSet(events(s, d), c13Def,
-      graft.operators.Cohort.c01(s, d).select("user_id"))
+      graft.operators.Cohort.c01Core(s, d).select("user_id"))
       .transform(Gate.ordered("user_id"))
 
   // -- c24: patient_dimension panel constraints --------------------------

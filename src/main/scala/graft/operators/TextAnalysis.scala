@@ -160,19 +160,37 @@ object TextAnalysis {
   // Training corpora are scrubbed of emails/phones before use. The test
   // corpus is synthetic and clean, so each doc first gains a
   // deterministic contact line derived from doc_id (the oracle rebuilds
-  // it exactly), then the redactor strips every match and counts what it
-  // removed. Patterns stay in the common Java-regex/RE2 subset so Spark
+  // it exactly) carrying FIVE phone shapes — international with country
+  // code and space/dash grouping, NANP parenthesized area code, and
+  // dash-/dot-separated 10-digit forms — then the redactor strips every
+  // match and counts what it removed. Patterns stay in the common
+  // Java-regex/RE2 subset (no lookaround, no backreferences) so Spark
   // and DuckDB agree byte-for-byte; the whole pass is regexp_* builtins
   // — codegen'd, one scan, trivially parallel at any corpus size.
   private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PHONE_RE = "\\+1-555-[0-9]{4}"
+  // alternation of well-formed shapes, NOT one loose digit-soup pattern:
+  // a scrubber that matches any digit run would eat quantities/years.
+  //  1. +<cc> <groups>: +44 20 7946 0958, +1-555-0142, +49-30-1234-567
+  //  2. (NNN) NNN-NNNN / (NNN)NNN NNNN
+  //  3. NNN-NNN-NNNN / NNN.NNN.NNNN
+  private val PHONE_RE =
+    "\\+[0-9]{1,3}[- ][0-9]{2,4}([- ][0-9]{3,4}){1,3}" +
+      "|\\([0-9]{3}\\)[ -]?[0-9]{3}[- ][0-9]{4}" +
+      "|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
   def t08(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .withColumn("d4",
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      .withColumn("d3",
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"))
       .withColumn("pii_text", concat(col("text"),
         lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@example.com or +1-555-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        lit("@example.com or +1-555-"), col("d4"),
+        lit(" or (555) 014-"), col("d4"),
+        lit(" or 555-"), col("d3"), lit("-0"), col("d3"),
+        lit(" or +44 20 7946 "), col("d4"),
+        lit(" or 555."), col("d3"), lit(".9"), col("d3")))
       .select(col("doc_id"),
         regexp_count(col("pii_text"), lit(EMAIL_RE)).as("n_emails"),
         regexp_count(col("pii_text"), lit(PHONE_RE)).as("n_phones"),
@@ -393,9 +411,15 @@ object TextAnalysis {
          |   '$PHONE_RE', '[PHONE]', 'g') AS redacted
          |FROM (SELECT doc_id,
          |  text || ' Contact user' || CAST(doc_id AS VARCHAR)
-         |   || '@example.com or +1-555-'
-         |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
-         | FROM documents)
+         |   || '@example.com or +1-555-' || d4
+         |   || ' or (555) 014-' || d4
+         |   || ' or 555-' || d3 || '-0' || d3
+         |   || ' or +44 20 7946 ' || d4
+         |   || ' or 555.' || d3 || '.9' || d3 AS pii_text
+         | FROM (SELECT doc_id, text,
+         |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS d4,
+         |   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS d3
+         |  FROM documents))
          |ORDER BY doc_id""".stripMargin,
     "t01_langid" -> {
       val scores = LANGS.map(l => s"${sqlHits(stopwords(l))} AS score_$l").mkString(",\n ")

@@ -276,6 +276,13 @@ object EventStreams {
     * batch twin of the decision is d01's keep-min-id groupBy — the spec
     * feeds arrivals in doc_id order so "first seen" and "min id"
     * coincide and the stream's survivors must equal d01's keep set.
+    *
+    * Intra-batch caveat: "first seen" is deterministic only ACROSS
+    * micro-batches — within one batch `dropDuplicatesWithinWatermark`
+    * keeps an arbitrary row per key, so the min-id equivalence holds
+    * only when duplicates never co-arrive in a single batch (the spec
+    * arranges exactly that; a feed that can co-deliver duplicates
+    * needs a per-batch min-id pre-aggregation in foreachBatch first).
     */
   def dedupStream(docs: DataFrame): DataFrame =
     docs

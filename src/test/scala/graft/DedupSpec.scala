@@ -165,6 +165,20 @@ class DedupSpec extends SparkSpec {
       s"diff=${(got.toSet -- expected.toSet) ++ (expected.toSet -- got.toSet)}")
   }
 
+  test("d06 reaches identical labels under local and reliable checkpointing") {
+    val local = Dedup.d06Core(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = s"${graft.Scratch.dir}/cp_d06"
+    val reliable = Dedup
+      .d06Core(spark, sfDir, graft.ReliableCheckpointer(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+    // the reliable strategy really wrote through the checkpoint dir
+    val f = new java.io.File(dir)
+    assert(f.exists && f.listFiles().nonEmpty,
+      "reliable checkpointing must materialize into the given directory")
+  }
+
   test("d05 embedding pairs are symmetric-free and above threshold") {
     val rows = Dedup.d05(spark, sfDir).collect()
     assert(rows.nonEmpty)

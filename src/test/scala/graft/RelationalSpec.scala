@@ -116,6 +116,19 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench's contention gate never lets a contended run replace a cleaner record") {
+    // clean runs always record
+    assert(Bench.shouldRecord(contended = false, None))
+    assert(Bench.shouldRecord(contended = false, Some("""{"contended":true}""")))
+    assert(Bench.shouldRecord(contended = false, Some("""{"contended":false}""")))
+    // contended runs record only over nothing or another contended run
+    assert(Bench.shouldRecord(contended = true, None))
+    assert(Bench.shouldRecord(contended = true, Some("""{"contended":true}""")))
+    assert(!Bench.shouldRecord(contended = true, Some("""{"contended":false}""")))
+    // a pre-gate record with no stamp reads as clean — keep it
+    assert(!Bench.shouldRecord(contended = true, Some("""{"value":58.5}""")))
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",

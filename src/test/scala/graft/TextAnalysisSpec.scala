@@ -112,8 +112,14 @@ class TextAnalysisSpec extends SparkSpec {
     val rows = TextAnalysis.t08(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Int]("n_emails") >= 1, "planted email must be detected")
-      assert(r.getAs[Int]("n_phones") >= 1, "planted phone must be detected")
+      // the corpus text is digit-free, so the planted contact line is
+      // the only match source: exactly 1 email and all 5 phone shapes
+      // (international +cc grouped, NANP parenthesized, dash- and
+      // dot-separated) must be found — a pattern regression that drops
+      // a shape fails here, not just in aggregate
+      assert(r.getAs[Int]("n_emails") == 1, "planted email must be detected")
+      assert(r.getAs[Int]("n_phones") == 5,
+        s"all 5 planted phone shapes must be detected, got ${r.getAs[Int]("n_phones")}")
       val red = r.getAs[String]("redacted")
       assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
     }
