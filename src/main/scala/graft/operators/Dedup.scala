@@ -378,20 +378,28 @@ object Dedup {
   // so the candidate generation is SQL-expressible and the cosine math
   // can be oracle-checked bit-for-bit; d05b below is the production
   // wiring of the same verify over REAL k-means cells. Cosines use the
-  // unrolled fixed-order double dot (VectorFunctions.dotFixed) —
-  // deterministic on any partitioning, bit-equal to the oracle's
-  // identical expression.
+  // fixed-order double dot in its loop-codegen'd form
+  // (VectorFunctions.vecDot / FloatVecDot) — deterministic on any
+  // partitioning, bit-equal to the oracle's unrolled expression
+  // (identical left-to-right accumulation; VecDotSpec pins it).
   def d05(s: SparkSession, d: String): DataFrame = {
     // self-dots computed once per VECTOR, before the join — at n² pairs
     // recomputing them per pair would be 2/3 of all decimal work; the
     // pairwise dot is the unrolled codegen'd form (embeddings are 64-dim)
     val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", dotFixed("embedding", "embedding", 64))
-    e.toDF("vec_a", "label", "emb_a", "nrm_a")
-      .join(e.toDF("vec_b", "label", "emb_b", "nrm_b"), "label")
+      .withColumn("nrm", vecDot("embedding", "embedding", 64))
+    // single-file input = ONE partition, and the broadcast join keeps
+    // the stream side's partitioning — without this repartition every
+    // per-bucket pair expansion (and its 64-term cosines) runs in a
+    // single task (measured 4.7 s at sf0.1; 0.9 s spread over the
+    // cores). Same trap as s02's bucket index, pair-expansion edition.
+    val eSpread = e
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    eSpread.toDF("vec_a", "label", "emb_a", "nrm_a")
+      .join(broadcast(e.toDF("vec_b", "label", "emb_b", "nrm_b")), "label")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosineFromNormsFixed("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
+        cosineFromNormsLoop("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
           .as("cos"))
       .filter(col("cos") >= COSINE_T)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
@@ -415,23 +423,41 @@ object Dedup {
   // K grows with corpus size so per-cell join buckets stay bounded).
   // DedupSpec pins recall >= 0.95 vs the brute-force truth AND vs d05's
   // oracle-checked pairs, plus a no-label-column plan assert.
+  // Join SHAPE matters more than the pair count here: the vectors ride
+  // the cid self-join and the cosine + threshold run INSIDE the join's
+  // projection, so the ~n²/K candidate pairs are never materialized or
+  // re-joined — only the tiny ≥τ survivor set reaches the distinct
+  // (which collapses pairs meeting in several shared cells). A first
+  // cut that built the distinct pair list and re-joined the embeddings
+  // twice shuffled 1.6 M array payloads instead. Parallelism comes
+  // from the STREAM side: repartitioned over all cores by vec_id, with
+  // the (few-MB at test SF) build side broadcast — otherwise the whole
+  // pair expansion runs in as many tasks as there are distinct cells.
+  // On a cluster the layout does this job: cells bucketed by cid with
+  // K sized so each cell is bounded, the per-cid join exchange-free,
+  // parallelism = bucket count.
   def d05b(s: SparkSession, d: String): DataFrame = {
     val cells = s.table(Similarity.ensureIvfDedupCells(s, d))
-    val cand = cells.toDF("vec_a", "cid")
-      .join(cells.toDF("vec_b", "cid"), "cid")
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", dotFixed("embedding", "embedding", 64))
-    cand
-      .join(e.toDF("vec_a", "emb_a", "nrm_a"), "vec_a")
-      .join(e.toDF("vec_b", "emb_b", "nrm_b"), "vec_b")
+      .withColumn("nrm", vecDot("embedding", "embedding", 64))
+    val cv = cells.join(e, "vec_id")
+    val cvSpread = cv
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    cvSpread.toDF("vec_a", "cid", "emb_a", "nrm_a")
+      .join(broadcast(cv.toDF("vec_b", "cid", "emb_b", "nrm_b")), "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      // cosineFromNormsLoop, not ...Fixed: Catalyst inlines this
+      // expression into up to three operators (null filter, threshold
+      // filter, projection) — with the unrolled form that's ~9 s of
+      // expression walking over 3M pairs; the loop form is bit-equal
+      // and ~free (measured: 9.3 s -> ~2 s for the whole query)
       .select(col("vec_a"), col("vec_b"),
-        cosineFromNormsFixed("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
+        cosineFromNormsLoop("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
           .as("cos"))
       .filter(col("cos") >= COSINE_T)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .distinct()
       .transform(Gate.ordered("vec_a", "vec_b"))
   }
 

@@ -530,11 +530,16 @@ object Similarity {
 
   def s05(s: SparkSession, d: String): DataFrame =
     topKPerProbe(embeddings(s, d)
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      // vecDot/cosineFromNormsLoop: bit-equal to the unrolled form the
+      // oracle mirrors, but evaluated as one tight loop — this path
+      // scores corpus x probes pairs, where the ~770-node unrolled
+      // expression's per-evaluation walk dominates (see FloatVecDot)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(probeFrame(s, d))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
           DIM).as("cos")))
 
   def s05b(s: SparkSession, d: String): DataFrame = {
@@ -549,11 +554,11 @@ object Similarity {
     // colliding with m probes must pay its 64-term norm once, not m
     // times (the cosineFromNorms contract)
     topKPerProbe(embeddings(s, d)
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .join(cand, Seq("vec_id"))
       .join(probeFrame(s, d), "q_id")
       .select(col("q_id"), col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
           DIM).as("cos")))
   }
 
