@@ -80,8 +80,9 @@ object GraftExtensions {
     * user-facing face: i2b2 analysts submit cohort definitions through
     * the webclient and get result sets back without writing engine
     * code (cf. /root/reference/generated/compose.yml httpd/wildfly).
-    * Here the same wire document (PanelsJson — the i2b2
-    * query_definition role) is placed directly in SQL:
+    * Here the same wire document — either dialect: PanelsXml (the
+    * i2b2 query_definition's native XML shape) or PanelsJson (the
+    * service face) — is placed directly in SQL:
     *
     * {{{
     * SELECT * FROM graft_cohort(
@@ -116,7 +117,11 @@ object GraftExtensions {
           s"graft_cohort takes (definitionJson[, factView]), got ${children.size} args")
       }
       val spark = org.apache.spark.sql.SparkSession.active
-      val cd = graft.operators.PanelsJson.parse(json)
+      // both wire dialects: the i2b2-native XML (PanelsXml — the
+      // reference's query_definition shape) and the JSON service face
+      val cd =
+        if (json.trim.startsWith("<")) graft.operators.PanelsXml.parse(json)
+        else graft.operators.PanelsJson.parse(json)
       val facts = spark.table(factView)
       val needEnc = cd.scope == graft.operators.Panels.EncounterScope ||
         cd.panels.exists(_.perEncounter)

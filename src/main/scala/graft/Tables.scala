@@ -59,10 +59,22 @@ object Tables {
     * door (the reference's users reach the warehouse through the i2b2
     * webclient's SQL face, cf. /root/reference/generated/compose.yml;
     * a graft deployment would register its lake tables in a metastore,
-    * which these session-local views stand in for).
+    * which these session-local views stand in for). Once per
+    * (session, dir): repeated SQL queries must not re-pay ten schema
+    * reads, and a second dir re-registers (last one wins, like
+    * switching databases).
     */
+  private val viewsRegistered =
+    scala.collection.mutable.Set[(SparkSession, String)]()
+
   def registerViews(s: SparkSession, d: String): Unit =
-    all.foreach { case (n, fn) => fn(s, d).createOrReplaceTempView(n) }
+    viewsRegistered.synchronized {
+      if (!viewsRegistered.contains((s, d))) {
+        all.foreach { case (n, fn) => fn(s, d).createOrReplaceTempView(n) }
+        viewsRegistered.retain(_._1 ne s) // a dir switch invalidates
+        viewsRegistered += ((s, d))
+      }
+    }
 }
 
 /** Scratch-space layout shared by every operator that persists derived

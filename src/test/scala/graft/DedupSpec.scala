@@ -232,6 +232,23 @@ class DedupSpec extends SparkSpec {
       assert(got.contains(p), s"containment pair $p missed by d08")
   }
 
+  test("d08b prebuilt-index passages equal d08 with no anchor rebuild in-plan") {
+    val live = Dedup.d08(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pre = Dedup.d08b(spark, sfDir)
+    val got = pre.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == live)
+    // the persisted-index path must not re-tokenize or re-anchor: no
+    // Generate (posexplode) and no documents scan in the plan
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"anchor index rebuilt in-query:\n$plan")
+    assert(plan.contains("graft_anchor_idx"), "must read the persisted index")
+    assert(!plan.contains("documents.parquet"),
+      "the prebuilt path must not touch the documents table")
+  }
+
   test("d08 on planted passages: detects >= W-char overlaps, ignores shorter ones") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota " +

@@ -118,6 +118,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(aggs.size == 1, s"expected the one-pass panel aggregate, got $aggs")
   }
 
+  test("graft_cohort accepts the i2b2-shaped XML dialect too") {
+    import graft.operators.{Panels, PanelsXml}
+    Tables.registerViews(spark, sfDir)
+    val doc = PanelsXml.toXml(Panels.c13Def).replace("'", "''")
+    val viaXml = spark.sql(
+      s"SELECT user_id, p0, p1 FROM graft_cohort('$doc') ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = Panels.c13(spark, sfDir).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaXml.nonEmpty && viaXml == viaApi)
+  }
+
   test("graft_cohort supports encounter scope and an explicit fact view") {
     import graft.operators.{Panels, PanelsJson}
     Tables.registerViews(spark, sfDir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Panels, PanelsJson}
+import graft.operators.{Panels, PanelsJson, PanelsXml}
 import graft.operators.Panels.{Concept, CohortDef, EncounterScope, Panel}
 import java.sql.Timestamp
 
@@ -211,6 +211,43 @@ class PanelsSpec extends SparkSpec {
       PanelsJson.parse("""{ "panels": [ { "concepts": [
         | { "eventTyp": "error" } ] } ] }""".stripMargin)
     }
+  }
+
+  test("cohort definitions round-trip through the i2b2-shaped XML dialect") {
+    // same full-coverage definition as the JSON round-trip
+    val cd = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(50.0),
+        maxValue = Some(150.0), codeIn = Some(Seq("1", "2")),
+        modifierPrefix = Some("/mod/g3/"))),
+        minOccurrences = 2, perEncounter = true),
+      Panel(Seq(Concept("error")), negated = true)),
+      from = Some("2024-01-01"), until = Some("2024-01-15"),
+      scope = EncounterScope)
+    assert(PanelsXml.parse(PanelsXml.toXml(cd)) == cd)
+    assert(PanelsXml.parse(PanelsXml.toXml(Panels.c13Def)) == Panels.c13Def)
+    assert(PanelsXml.parse(PanelsXml.toXml(Panels.c13bDef)) == Panels.c13bDef)
+    // typo'd ATTRIBUTE is an error, not a silently positive NOT-panel
+    intercept[IllegalArgumentException] {
+      PanelsXml.parse(
+        """<cohort><panel negate="true">
+          |<concept eventType="error"/></panel></cohort>""".stripMargin)
+    }
+    // unknown element and bad scope rejected too
+    intercept[IllegalArgumentException] {
+      PanelsXml.parse(
+        "<cohort><panel><item eventType=\"x\"/></panel></cohort>")
+    }
+    intercept[IllegalArgumentException] {
+      PanelsXml.parse(
+        """<cohort scope="galaxy"><panel>
+          |<concept eventType="x"/></panel></cohort>""".stripMargin)
+    }
+    // both wire dialects compile to the same cohort
+    val viaXml = Panels.cohort(Tables.events(spark, sfDir),
+      PanelsXml.parse(PanelsXml.toXml(Panels.c13Def)))
+      .collect().map(_.getLong(0)).toSet
+    val direct = Panels.c13(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(viaXml == direct && viaXml.nonEmpty)
   }
 
   test("patient-set composition intersects cohorts with unchanged counts") {
