@@ -38,9 +38,10 @@ case object LocalCheckpointer extends Checkpointer {
 final case class ReliableCheckpointer(dir: String) extends Checkpointer {
   def apply(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    // setCheckpointDir appends a per-app UUID subdir — match on prefix
-    // so repeated calls reuse one directory instead of minting more
-    if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+    // setCheckpointDir resolves to a scheme-qualified URI and appends a
+    // per-app UUID subdir — substring-match so repeated calls reuse one
+    // directory instead of minting more
+    if (!sc.getCheckpointDir.exists(_.contains(dir)))
       sc.setCheckpointDir(dir)
     df.checkpoint()
   }

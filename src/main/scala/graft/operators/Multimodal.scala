@@ -136,7 +136,8 @@ object Multimodal {
   private val FEAT_CHUNKS = 8
   private val CHUNK = FRAME / FEAT_CHUNKS
 
-  def m03(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted core — composed by p02 (the c01Core pattern). */
+  private def m03Core(s: SparkSession, d: String): DataFrame = {
     val feats = (0 until FEAT_CHUNKS).map { c =>
       (0 until CHUNK).map(i =>
         ascii(substring(col("fr"), c * CHUNK + i + 1, 1))).reduce(_ + _)
@@ -145,7 +146,51 @@ object Multimodal {
     frames(s, d)
       .withColumn("fr", rpad(col("frame"), FRAME, " "))
       .select(col("doc_id") +: col("frame_no") +: feats: _*)
-      .transform(Gate.ordered("doc_id", "frame_no"))
+  }
+
+  def m03(s: SparkSession, d: String): DataFrame =
+    m03Core(s, d).transform(Gate.ordered("doc_id", "frame_no"))
+
+  // -- p02: the multimodal pipeline composed end to end ------------------
+  // m03's header claims its rows "feed the s01–s04 stack unchanged";
+  // p02 PROVES the bridge as one declarative query: asset → strided
+  // frames → per-frame features → k-NN of every PROBE-asset frame
+  // against every other asset's frames ("find the assets containing
+  // footage similar to this clip's"). Scoring is ALL-INTEGER dot and
+  // norms (features are small ascii sums, far under 2^23) with exactly
+  // one double division and sqrt per scored pair — bit-stable on both
+  // engines, so rank order and the oracle hash agree exactly; ties
+  // break by (doc_id, frame_no). The probe side is ONE asset's few
+  // frames (broadcast — s05's bounded-probe shape, O(frames·corpus));
+  // the large-probe-set scale path is s05b's persisted-index form.
+  private val P02_K = 5
+  private val P02_PROBE = 0L
+
+  def p02(s: SparkSession, d: String): DataFrame = {
+    val sq = (p: String) =>
+      (0 until FEAT_CHUNKS).map(i => col(s"$p$i") * col(s"$p$i")).reduce(_ + _)
+    val f = m03Core(s, d)
+    val corpus = f.filter(col("doc_id") =!= P02_PROBE)
+      .withColumn("nrm", sq("f"))
+    val probe = broadcast(f.filter(col("doc_id") === P02_PROBE)
+      .select(col("frame_no").as("q_frame") +:
+        (0 until FEAT_CHUNKS).map(i => col(s"f$i").as(s"q$i")): _*)
+      .withColumn("qnrm", sq("q")))
+    val dot = (0 until FEAT_CHUNKS).map(i => col(s"f$i") * col(s"q$i"))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_frame")
+      .orderBy(col("cos").desc, col("doc_id"), col("frame_no"))
+    corpus.crossJoin(probe)
+      .select(col("q_frame"), col("doc_id"), col("frame_no"),
+        (dot.cast("double") /
+          sqrt(col("nrm").cast("double") * col("qnrm").cast("double")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= P02_K)
+      .select(col("q_frame"), col("rk"), col("doc_id"), col("frame_no"),
+        round(col("cos"), 6).as("cosine"))
+      .transform(Gate.ordered("q_frame", "rk"))
   }
 
   // -- m04: audio-style windowing with activity gating -------------------
@@ -195,28 +240,59 @@ object Multimodal {
     "m01_multimodal_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_frame_features" -> (m03 _),
-    "m04_audio_windows" -> (m04 _)
+    "m04_audio_windows" -> (m04 _),
+    "p02_multimodal_ann" -> (p02 _)
   )
 
   /** m01 is rows-only: xxhash64-derived stub fields are not
     * DuckDB-expressible; schema/determinism are pinned by MultimodalSpec.
     */
+  /** m03's feature derivation as a reusable CTE body (everything up to
+    * the final ORDER BY) — shared verbatim by the m03 and p02 oracles
+    * so the encoder stand-in has ONE SQL definition.
+    */
+  private val M03_FEATS_SQL = {
+    val featSql = (0 until FEAT_CHUNKS).map { c =>
+      (0 until CHUNK).map(i => s"ascii(substring(fr, ${c * CHUNK + i + 1}, 1))")
+        .mkString("(", " + ", s") AS f$c")
+    }.mkString(",\n ")
+    s"""SELECT doc_id, i AS frame_no,
+       | $featSql
+       |FROM (
+       | SELECT doc_id, i,
+       |  rpad(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME),
+       |   $FRAME, ' ') AS fr
+       | FROM documents,
+       |  LATERAL (SELECT unnest(range(0,
+       |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "m03_frame_features" -> {
-      val featSql = (0 until FEAT_CHUNKS).map { c =>
-        (0 until CHUNK).map(i => s"ascii(substring(fr, ${c * CHUNK + i + 1}, 1))")
-          .mkString("(", " + ", s") AS f$c")
-      }.mkString(",\n ")
-      s"""SELECT doc_id, i AS frame_no,
-         | $featSql
-         |FROM (
-         | SELECT doc_id, i,
-         |  rpad(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME),
-         |   $FRAME, ' ') AS fr
-         | FROM documents,
-         |  LATERAL (SELECT unnest(range(0,
-         |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r)
-         |ORDER BY doc_id, frame_no""".stripMargin
+    "m03_frame_features" ->
+      s"""$M03_FEATS_SQL
+         |ORDER BY doc_id, frame_no""".stripMargin,
+    // the composed bridge: m03's feature CTE verbatim, all-integer
+    // dot/norms, one double division + sqrt per pair — rank order is
+    // bit-stable on both engines
+    "p02_multimodal_ann" -> {
+      val fs = (0 until FEAT_CHUNKS)
+      val nrm = fs.map(i => s"f$i * f$i").mkString(" + ")
+      val dot = fs.map(i => s"c.f$i * p.q$i").mkString(" + ")
+      val qsel = fs.map(i => s"f$i AS q$i").mkString(", ")
+      s"""WITH feats AS ($M03_FEATS_SQL),
+         |n AS (SELECT *, ($nrm) AS nrm FROM feats),
+         |probe AS (SELECT frame_no AS q_frame, $qsel, nrm AS qnrm
+         | FROM n WHERE doc_id = $P02_PROBE),
+         |scored AS (
+         | SELECT p.q_frame, c.doc_id, c.frame_no,
+         |  CAST($dot AS DOUBLE) /
+         |   sqrt(CAST(c.nrm AS DOUBLE) * CAST(p.qnrm AS DOUBLE)) AS cos
+         | FROM n c, probe p WHERE c.doc_id <> $P02_PROBE),
+         |r AS (SELECT q_frame, doc_id, frame_no, cos, ROW_NUMBER() OVER (
+         | PARTITION BY q_frame ORDER BY cos DESC, doc_id, frame_no) AS rk
+         | FROM scored)
+         |SELECT q_frame, rk, doc_id, frame_no, ROUND(cos, 6) AS cosine
+         |FROM r WHERE rk <= $P02_K ORDER BY q_frame, rk""".stripMargin
     },
     // the byte sum is integer-exact on both engines, so DuckDB's list
     // fold and Spark's unrolled codegen chain agree bit-for-bit after

@@ -88,4 +88,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.m03(spark, sfDir).collect().map(_.toSeq).toSeq ==
       feats.map(_.toSeq).toSeq)
   }
+
+  test("p02 ranks every probe frame's k neighbours over OTHER assets only") {
+    val rows = Multimodal.p02(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val probeFrames = Multimodal.m03(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .count()
+    val byFrame = rows.groupBy(_.getLong(0))
+    assert(byFrame.keySet.size == probeFrames,
+      "every probe frame must get a neighbour list")
+    byFrame.values.foreach { g =>
+      // exactly k ranks 1..k, cosines monotone non-increasing, valid range
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val cos = g.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    // the probe asset itself never appears as a neighbour
+    assert(rows.forall(_.getLong(2) != 0L))
+  }
 }

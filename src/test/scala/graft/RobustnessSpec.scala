@@ -104,4 +104,42 @@ class RobustnessSpec extends SparkSpec {
     assert(Temporal.followedBy(onlyA, "signup", "purchase",
       7L * 24 * 3600 * 1000000).count() == 0)
   }
+
+  test("d08 yields nothing on degenerate corpora instead of crashing") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // empty corpus, single doc, and all-short docs (< W chars) have no
+    // candidate anchors at all
+    assert(Dedup.d08Of(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(Dedup.d08Of(spark,
+      Seq(1L -> ("word " * 40)).toDF("doc_id", "text")).count() == 0)
+    assert(Dedup.d08Of(spark,
+      Seq(1L -> "tiny one", 2L -> "tiny one").toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
+  test("patient erasure of an absent patient set is a complete no-op") {
+    import org.apache.spark.sql.functions._
+    val layout = s"${graft.Scratch.dir}/robust_src11"
+    Tables.events(spark, sfDir).limit(200)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(layout)
+    val before = spark.read.parquet(layout).count()
+    // no such patients: empty audit, nothing rewritten
+    val audit = graft.sources.RoundTrip
+      .deletePatients(spark, layout, Seq(999999L))
+    assert(audit.isEmpty)
+    assert(spark.read.parquet(layout).count() == before)
+  }
+
+  test("registerViews points SQL at the LAST registered dir (dir switch)") {
+    Tables.registerViews(spark, sfDir)
+    val n1 = spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0)
+    assert(n1 == Tables.documents(spark, sfDir).count())
+    // re-registering the same dir is a cheap no-op (memoized) but must
+    // keep the views working
+    Tables.registerViews(spark, sfDir)
+    assert(spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0) == n1)
+  }
 }
