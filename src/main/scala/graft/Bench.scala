@@ -131,12 +131,17 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("docs/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      // a contended run never replaces a cleaner record
+      // a contended run never replaces a cleaner record — and a
+      // SPARK_GRAFT_ONLY subset run never writes the official artifact
+      // at all (a focused 1-query iteration must not overwrite the
+      // full-suite record)
       val existing =
         if (java.nio.file.Files.exists(p))
           Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         else None
-      if (shouldRecord(contended, existing))
+      if (only.nonEmpty)
+        System.err.println("[bench] SPARK_GRAFT_ONLY subset — docs/bench_last.json not written")
+      else if (shouldRecord(contended, existing))
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       else
         System.err.println(s"[bench] CONTENDED run (load $load1 on $machineCores cores) — docs/bench_last.json keeps the earlier cleaner record")
