@@ -535,11 +535,11 @@ object Dedup {
   private[graft] val D08_W = 64
   private[graft] val D08_DF_CAP = 50
 
-  /** The df-capped anchor index rows (doc_id, pos, a) for an arbitrary
-    * documents frame — d08's candidate structure, and what d08b
-    * persists.
+  /** UNCAPPED anchor rows (doc_id, pos, a) — what the incremental
+    * index stores (the cap is recomputed from the index at query time
+    * so it stays exact as generations append).
     */
-  private def anchorRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def anchorRowsUncapped(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -547,13 +547,20 @@ object Dedup {
         posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val anchors = toks
+    toks
       .withColumn("pos",
         (coalesce(sum(length(col("tok")) + 1).over(wDoc), lit(0)) + 1)
           .cast("long"))
       .filter(col("pos") + (D08_W - 1) <= length(col("text")))
       .select(col("doc_id"), col("pos"),
         expr(s"substr(text, pos, $D08_W)").as("a"))
+  }
+
+  /** The df-capped anchor index rows for an arbitrary documents frame —
+    * d08's candidate structure, and what d08b persists.
+    */
+  private def anchorRowsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val anchors = anchorRowsUncapped(s, docs)
     val common = anchors.groupBy(col("a"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > D08_DF_CAP).select("a")
@@ -619,6 +626,86 @@ object Dedup {
 
   def d08b(s: SparkSession, d: String): DataFrame =
     passageSpansOf(s.table(ensureAnchorIndex(s, d)))
+
+  // -- incremental anchor index (CDC-style, the appendLshIndex move) -----
+  // d08b's capped index is rebuild-only BY DESIGN: appending to a
+  // capped layout silently drifts the df-cap (an anchor crossing the
+  // cap after an import would stay in the old generations). The
+  // incremental family stores UNCAPPED anchor rows instead and
+  // recomputes the cap set FROM THE INDEX at query time — one pass
+  // over index rows (grouped by the bucketed key, so map-side
+  // collapsed), never a re-tokenization of the corpus; df counts are
+  // additive across generations, so the cap stays exactly the
+  // full-rebuild cap as the corpus grows. Pair discovery for a delta
+  // probes only the anchor buckets the delta occupies — work linear
+  // in the day's import (cf. lshPairsTouching).
+
+  /** Build (overwrite) the UNCAPPED incremental anchor index. */
+  def buildAnchorIndexInc(s: SparkSession, docs: DataFrame, tag: String)
+      : String = {
+    val name = s"graft_anchor_inc_$tag"
+    anchorRowsUncapped(s, docs).write.mode("overwrite")
+      .bucketBy(8, "a").sortBy("a")
+      .option("path", s"$scratch/anchor_inc/$tag")
+      .saveAsTable(name)
+    name
+  }
+
+  /** Append a delta's anchors — the old generations are never re-read,
+    * let alone re-tokenized.
+    */
+  def appendAnchorIndex(s: SparkSession, newDocs: DataFrame, tag: String): Unit = {
+    require(s.catalog.tableExists(s"graft_anchor_inc_$tag"),
+      s"no incremental anchor index '$tag' — run buildAnchorIndexInc first")
+    anchorRowsUncapped(s, newDocs).write.mode("append")
+      .bucketBy(8, "a").sortBy("a")
+      .saveAsTable(s"graft_anchor_inc_$tag")
+  }
+
+  /** Shared-passage pairs INVOLVING a given id set (e.g. today's
+    * import): the delta's anchors probe the full index, the cap is
+    * recomputed from the index (exact under growth), and the span
+    * semantics are d08's.
+    */
+  def passagesTouching(s: SparkSession, tag: String, ids: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = s.table(s"graft_anchor_inc_$tag")
+    val common = idx.groupBy(col("a"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > D08_DF_CAP).select("a")
+    val ci = idx.join(broadcast(common), Seq("a"), "left_anti")
+    val na = ci.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+    val occ = na
+      .select(col("a"), col("doc_id").as("dx"), col("pos").as("px"))
+      .join(ci.select(col("a"), col("doc_id").as("dy"), col("pos").as("py")),
+        "a")
+      .filter(col("dx") =!= col("dy"))
+      // normalize to (doc_a < doc_b) with pos_a/delta defined on doc_a,
+      // exactly as the symmetric join produces; both orientations can
+      // appear when both docs are in the delta — distinct collapses them
+      .select(
+        least(col("dx"), col("dy")).as("doc_a"),
+        greatest(col("dx"), col("dy")).as("doc_b"),
+        when(col("dx") < col("dy"), col("px")).otherwise(col("py")).as("pos_a"),
+        (when(col("dx") < col("dy"), col("px")).otherwise(col("py")) -
+          when(col("dx") < col("dy"), col("py")).otherwise(col("px")))
+          .as("delta"))
+      .distinct()
+    val wPair = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    occ
+      .withColumn("prev", lag(col("pos_a"), 1).over(wPair))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") - col("prev") > D08_W, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("brk"))
+        .over(wPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("isl"))
+      .agg((max(col("pos_a")) + D08_W - min(col("pos_a"))).as("span"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span")).as("max_span"))
+      .transform(Gate.ordered("doc_a", "doc_b"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),

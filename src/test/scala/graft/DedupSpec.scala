@@ -249,6 +249,34 @@ class DedupSpec extends SparkSpec {
       "the prebuilt path must not touch the documents table")
   }
 
+  test("incremental anchor index: append + delta probe equals a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val half = 250L
+    // day 1: index the old corpus; day 2: APPEND the delta — no
+    // re-anchoring of day 1
+    Dedup.buildAnchorIndexInc(spark,
+      docs.filter(col("doc_id") < half), "d08inc")
+    Dedup.appendAnchorIndex(spark,
+      docs.filter(col("doc_id") >= half), "d08inc")
+    val deltaIds = docs.filter(col("doc_id") >= half).select("doc_id")
+    val touching = Dedup.passagesTouching(spark, "d08inc", deltaIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth: the full-rebuild d08 pairs that involve a delta doc
+    // — identical SPANS too, because the recomputed df-cap over the
+    // appended generations equals the full-corpus cap exactly
+    val full = Dedup.d08(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((a, b), _) => a >= half || b >= half }
+    assert(touching == full,
+      s"missing=${full.keySet -- touching.keySet} extra=${touching.keySet -- full.keySet}")
+    assert(touching.nonEmpty, "the spec needs delta-crossing pairs to bite")
+    // appending never creates an index without a base
+    intercept[IllegalArgumentException] {
+      Dedup.appendAnchorIndex(spark, docs.limit(1), "d08inc_nobase")
+    }
+  }
+
   test("d08 on planted passages: detects >= W-char overlaps, ignores shorter ones") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota " +
