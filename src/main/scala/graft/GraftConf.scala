@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Deployment-sizing knobs, surfaced as `spark.graft.*` session confs
+  * (the pattern ApproxAtScale's accuracy knobs established —
+  * GraftExtensions). Index geometry is a CLUSTER property, not a code
+  * property: the bucket count of a persisted index fixes the
+  * parallelism of every co-located self-join over it, and the
+  * quantizer's cell count fixes the per-cell join fan-in — a 1000-
+  * executor deployment sizes both up without recompiling. Defaults are
+  * the repo's long-standing compile-time constants, so behaviour under
+  * default confs is byte-identical to previous rounds.
+  *
+  * Every persisted index ENCODES its layout-affecting parameters in its
+  * table name (see the ensure* builders): two sessions with different
+  * sizing coexist instead of silently sharing one mis-sized layout, and
+  * build-if-absent stays correct across conf changes.
+  *
+  * ExtensionsSpec proves a non-default bucket count builds a distinct
+  * index with identical query results.
+  */
+object GraftConf {
+  /** Bucket count for persisted index tables (LSH bands, IVF cells,
+    * anchor index, PQ codes, pre-bucketed facts). On a cluster: size to
+    * the target scan parallelism of the index's self-/probe-joins.
+    */
+  def indexBuckets(s: SparkSession): Int =
+    s.conf.get("spark.graft.index.buckets", "8").toInt
+
+  /** Bucket count for the IVF *dedup-cells* table specifically: d05b's
+    * pair expansion runs as a co-located bucket-local self-join, so its
+    * parallelism IS this bucket count — default matches local[32];
+    * size to cluster cores in deployment.
+    */
+  def dedupCellBuckets(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.cells.buckets", "32").toInt
+
+  /** k-means cell count of the dedup quantizer (default 16). At scale K
+    * grows with the corpus so per-cell pair counts stay bounded.
+    */
+  def dedupCellsK(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.cells.k", "16").toInt
+
+  /** Multi-assignment width of the dedup quantizer (default 5) — the
+    * "same + adjacent cells" probe; wider catches more boundary pairs.
+    */
+  def dedupCellsAssign(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.cells.assign", "5").toInt
+
+  /** Document-frequency cap of the shingle inverted index (d02/d03/d07
+    * candidate gate; default 50). The oracle SQL under the gate mirrors
+    * the DEFAULT — overriding the conf moves the operator off its
+    * recorded oracle, which is the point: it is an accuracy/cost knob.
+    */
+  def dfCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.dfCap", "50").toInt
+
+  /** Document-frequency cap of the d08 anchor index (default 50).
+    * Applied at QUERY time against the uncapped persisted index, so it
+    * stays exact under incremental growth (Dedup.d08 notes).
+    */
+  def passageDfCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.passageDfCap", "50").toInt
+
+  /** Build-side size ceiling (bytes) for broadcasting a PAIR-JOIN build
+    * side (d05's label twin). Default = Spark's own 10 MB auto-broadcast
+    * default. Corpus-sized sides never fit and fall back to a shuffle
+    * join — the driver-OOM class of plan is unreachable.
+    */
+  def pairBroadcastBytes(s: SparkSession): Long =
+    s.conf.get("spark.graft.pairJoin.broadcastBytes", "10485760").toLong
+
+  /** Broadcast `df` only if its optimizer-estimated size fits under
+    * [[pairBroadcastBytes]]; past the gate it is PINNED to the
+    * sort-merge strategy ("merge" hint) rather than merely unhinted —
+    * a session with a raised autoBroadcastJoinThreshold would
+    * otherwise still size-plan a broadcast of the oversized side. The
+    * hint — not the semantics — is size-gated: both plans compute the
+    * same rows (the cosines are fixed-order, partitioning-independent).
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(pairBroadcastBytes(df.sparkSession))) broadcast(df)
+    else df.hint("merge")
+  }
+}

@@ -97,7 +97,8 @@ object Dedup {
     val sh = shingleIndex(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val common = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > graft.GraftConf.dfCap(s))
       .select("h")
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
     ci.toDF("h", "doc_a")
@@ -196,12 +197,13 @@ object Dedup {
       : (String, String) = {
     val bands = s"graft_lsh_bands_$tag"
     val sets = s"graft_shingle_sets_$tag"
+    val nb = graft.GraftConf.indexBuckets(s)
     bandRowsOf(s, docs).write.mode("overwrite")
-      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .bucketBy(nb, "band", "bucket").sortBy("band", "bucket")
       .option("path", s"$scratch/lsh_bands/$tag")
       .saveAsTable(bands)
     setRowsOf(s, docs).write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
       .option("path", s"$scratch/shingle_sets/$tag")
       .saveAsTable(sets)
     (bands, sets)
@@ -219,17 +221,24 @@ object Dedup {
         s.catalog.tableExists(s"graft_shingle_sets_$tag"),
       s"no complete LSH index '$tag' to append to — run buildLshIndex first " +
         "(appending would create a managed table outside the index layout)")
+    // the index's geometry was fixed at build: an append under a
+    // DIFFERENT spark.graft.index.buckets fails fast on Spark's own
+    // bucket-spec check rather than corrupting the layout
+    val nb = graft.GraftConf.indexBuckets(s)
     bandRowsOf(s, newDocs).write.mode("append")
-      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .bucketBy(nb, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(s"graft_lsh_bands_$tag")
     setRowsOf(s, newDocs).write.mode("append")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
       .saveAsTable(s"graft_shingle_sets_$tag")
   }
 
-  /** Build-if-absent the persisted LSH index for a test-SF dir. */
+  /** Build-if-absent the persisted LSH index for a test-SF dir (tag
+    * encodes the bucket count, so a resized deployment rebuilds instead
+    * of serving the stale geometry).
+    */
   def ensureLshIndex(s: SparkSession, d: String): (String, String) = {
-    val tag = sanitize(d)
+    val tag = s"${sanitize(d)}_b${graft.GraftConf.indexBuckets(s)}"
     if (!s.catalog.tableExists(s"graft_lsh_bands_$tag"))
       buildLshIndex(s, documents(s, d), tag)
     (s"graft_lsh_bands_$tag", s"graft_shingle_sets_$tag")
@@ -395,8 +404,15 @@ object Dedup {
     // cores). Same trap as s02's bucket index, pair-expansion edition.
     val eSpread = e
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // the build side is SIZE-GATED (GraftConf.maybeBroadcast): under
+    // the few-MB test corpus it broadcasts and the stream side keeps
+    // its spread partitioning; past spark.graft.pairJoin.broadcastBytes
+    // it falls back to a shuffle join on label — a corpus-sized side
+    // can never reach the driver. d05b below is the production shape
+    // (co-located bucketed self-join, no broadcast decision at all).
     eSpread.toDF("vec_a", "label", "emb_a", "nrm_a")
-      .join(broadcast(e.toDF("vec_b", "label", "emb_b", "nrm_b")), "label")
+      .join(graft.GraftConf.maybeBroadcast(
+        e.toDF("vec_b", "label", "emb_b", "nrm_b")), "label")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosineFromNormsLoop("emb_a", "emb_b", col("nrm_a"), col("nrm_b"), 64)
@@ -424,28 +440,27 @@ object Dedup {
   // DedupSpec pins recall >= 0.95 vs the brute-force truth AND vs d05's
   // oracle-checked pairs, plus a no-label-column plan assert.
   // Join SHAPE matters more than the pair count here: the vectors ride
-  // the cid self-join and the cosine + threshold run INSIDE the join's
-  // projection, so the ~n²/K candidate pairs are never materialized or
-  // re-joined — only the tiny ≥τ survivor set reaches the distinct
-  // (which collapses pairs meeting in several shared cells). A first
-  // cut that built the distinct pair list and re-joined the embeddings
-  // twice shuffled 1.6 M array payloads instead. Parallelism comes
-  // from the STREAM side: repartitioned over all cores by vec_id, with
-  // the (few-MB at test SF) build side broadcast — otherwise the whole
-  // pair expansion runs in as many tasks as there are distinct cells.
-  // On a cluster the layout does this job: cells bucketed by cid with
-  // K sized so each cell is bounded, the per-cid join exchange-free,
-  // parallelism = bucket count.
+  // the cid self-join (the cells table persists embedding + self-dot
+  // alongside the assignment) and the cosine + threshold run INSIDE
+  // the join's projection, so the ~n²/K candidate pairs are never
+  // materialized or re-joined — only the tiny ≥τ survivor set reaches
+  // the distinct (which collapses pairs meeting in several shared
+  // cells). A first cut that built the distinct pair list and
+  // re-joined the embeddings twice shuffled 1.6 M array payloads
+  // instead. The join is the LAYOUT's join: both sides scan the one
+  // cid-bucketed table, the "merge" hint pins the bucket-local
+  // sort-merge strategy the layout was built for (a size-based planner
+  // would see a small table and broadcast the corpus side — the exact
+  // plan that OOMs the driver at 100 TB), so the pair expansion runs
+  // exchange-free and broadcast-free with parallelism = bucket count
+  // (spark.graft.dedup.cells.buckets, default 32 = local cores; size
+  // to the cluster). DedupSpec asserts the plan: one SortMergeJoin, no
+  // BroadcastExchange, no Exchange over cid.
   def d05b(s: SparkSession, d: String): DataFrame = {
-    val cells = s.table(Similarity.ensureIvfDedupCells(s, d))
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", vecDot("embedding", "embedding", 64))
-    val cv = cells.join(e, "vec_id")
-    val cvSpread = cv
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    cvSpread.toDF("vec_a", "cid", "emb_a", "nrm_a")
-      .join(broadcast(cv.toDF("vec_b", "cid", "emb_b", "nrm_b")), "cid")
+    val cellsT = Similarity.ensureIvfDedupCells(s, d)
+    s.table(cellsT).toDF("vec_a", "cid", "emb_a", "nrm_a")
+      .join(s.table(cellsT).toDF("vec_b", "cid", "emb_b", "nrm_b")
+        .hint("merge"), "cid")
       .filter(col("vec_a") < col("vec_b"))
       // cosineFromNormsLoop, not ...Fixed: Catalyst inlines this
       // expression into up to three operators (null filter, threshold
@@ -563,7 +578,7 @@ object Dedup {
     val anchors = anchorRowsUncapped(s, docs)
     val common = anchors.groupBy(col("a"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > D08_DF_CAP).select("a")
+      .filter(col("df") > graft.GraftConf.passageDfCap(s)).select("a")
     anchors.join(broadcast(common), Seq("a"), "left_anti")
   }
 
@@ -614,11 +629,12 @@ object Dedup {
   // corpus whose boilerplate profile changes rebuilds the index.
   // Results are proven equal to d08 and share d08's oracle.
   def ensureAnchorIndex(s: SparkSession, d: String): String = {
-    val name = s"graft_anchor_idx_${sanitize(d)}"
+    val nb = graft.GraftConf.indexBuckets(s)
+    val name = s"graft_anchor_idx_${sanitize(d)}_b$nb"
     if (!s.catalog.tableExists(name)) {
       anchorRowsOf(s, documents(s, d)).write.mode("overwrite")
-        .bucketBy(8, "a").sortBy("a")
-        .option("path", s"$scratch/anchor_idx/${sanitize(d)}")
+        .bucketBy(nb, "a").sortBy("a")
+        .option("path", s"$scratch/anchor_idx/${sanitize(d)}_b$nb")
         .saveAsTable(name)
     }
     name
@@ -645,7 +661,7 @@ object Dedup {
       : String = {
     val name = s"graft_anchor_inc_$tag"
     anchorRowsUncapped(s, docs).write.mode("overwrite")
-      .bucketBy(8, "a").sortBy("a")
+      .bucketBy(graft.GraftConf.indexBuckets(s), "a").sortBy("a")
       .option("path", s"$scratch/anchor_inc/$tag")
       .saveAsTable(name)
     name
@@ -658,7 +674,7 @@ object Dedup {
     require(s.catalog.tableExists(s"graft_anchor_inc_$tag"),
       s"no incremental anchor index '$tag' — run buildAnchorIndexInc first")
     anchorRowsUncapped(s, newDocs).write.mode("append")
-      .bucketBy(8, "a").sortBy("a")
+      .bucketBy(graft.GraftConf.indexBuckets(s), "a").sortBy("a")
       .saveAsTable(s"graft_anchor_inc_$tag")
   }
 
@@ -673,7 +689,7 @@ object Dedup {
     val idx = s.table(s"graft_anchor_inc_$tag")
     val common = idx.groupBy(col("a"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > D08_DF_CAP).select("a")
+      .filter(col("df") > graft.GraftConf.passageDfCap(s)).select("a")
     val ci = idx.join(broadcast(common), Seq("a"), "left_anti")
     val na = ci.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     val occ = na

@@ -208,11 +208,12 @@ object Panels {
 
   /** Build-if-absent the patient-bucketed events table. */
   def ensureBucketedEvents(s: SparkSession, d: String): String = {
-    val name = s"graft_events_by_user_${sanitizeTag(d)}"
+    val nb = graft.GraftConf.indexBuckets(s)
+    val name = s"graft_events_by_user_${sanitizeTag(d)}_b$nb"
     if (!s.catalog.tableExists(name)) {
       events(s, d).write.mode("overwrite")
-        .bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", s"$scratch/events_by_user/${sanitizeTag(d)}")
+        .bucketBy(nb, "user_id").sortBy("user_id")
+        .option("path", s"$scratch/events_by_user/${sanitizeTag(d)}_b$nb")
         .saveAsTable(name)
     }
     name

@@ -154,12 +154,13 @@ object Similarity {
     * timed runs) pay the build once, reads after that.
     */
   def ensureAnnIndex(s: SparkSession, d: String): String = {
-    val name = s"graft_ann_idx_${sanitize(d)}"
+    val nb = graft.GraftConf.indexBuckets(s)
+    val name = s"graft_ann_idx_${sanitize(d)}_b$nb"
     if (!s.catalog.tableExists(name)) {
       bucketsOf(s, embeddings(s, d))
         .write.mode("overwrite")
-        .bucketBy(8, "tbl", "bucket").sortBy("tbl", "bucket")
-        .option("path", s"$scratch/ann_idx/${sanitize(d)}")
+        .bucketBy(nb, "tbl", "bucket").sortBy("tbl", "bucket")
+        .option("path", s"$scratch/ann_idx/${sanitize(d)}_b$nb")
         .saveAsTable(name)
     }
     name
@@ -273,7 +274,8 @@ object Similarity {
     * table names.
     */
   def ensureIvfIndex(s: SparkSession, d: String): (String, String) = {
-    val cellsT = s"graft_ivf_cells_${sanitize(d)}"
+    val nb = graft.GraftConf.indexBuckets(s)
+    val cellsT = s"graft_ivf_cells_${sanitize(d)}_b$nb"
     val centT = s"graft_ivf_cent_${sanitize(d)}"
     if (!s.catalog.tableExists(cellsT)) {
       ivfCentroids(s, d).write.mode("overwrite")
@@ -289,8 +291,8 @@ object Similarity {
         .filter(col("rn") <= IVF_ASSIGN)
         .select("vec_id", "cid")
         .write.mode("overwrite")
-        .bucketBy(8, "cid").sortBy("cid")
-        .option("path", s"$scratch/ivf_cells/${sanitize(d)}")
+        .bucketBy(nb, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivf_cells/${sanitize(d)}_b$nb")
         .saveAsTable(cellsT)
     }
     (cellsT, centT)
@@ -303,19 +305,28 @@ object Similarity {
   // adjacent cells" probe: a pair can meet iff their cell sets
   // intersect). More cells than the ANN index (16 vs 8) keeps per-cell
   // join buckets smaller; more assignments keep boundary pairs
-  // together. Persisted bucketed by cid, so the candidate self-join is
-  // co-located (the src03 technique) and the query plan never touches
-  // the raw vectors until the exact verify.
+  // together. The table carries the VECTOR and its self-dot alongside
+  // the assignment and is persisted bucketed by cid, so d05b's pair
+  // expansion is a bucket-local co-located self-join (the src03
+  // technique) that never exchanges, never broadcasts, and reads
+  // nothing but this one table — parallelism = bucket count, the
+  // cluster-sizing knob (spark.graft.dedup.cells.buckets). Sizing is
+  // conf-driven (GraftConf); defaults reproduce the historical layout.
   private[graft] val DEDUP_K = 16
   private[graft] val DEDUP_ASSIGN = 5
 
-  /** Build-if-absent the persisted dedup cell assignment (vec_id, cid);
-    * returns the table name.
+  /** Build-if-absent the persisted dedup cell assignment
+    * (vec_id, cid, embedding, nrm); returns the table name. The name
+    * encodes the layout parameters, so differently-sized indexes
+    * coexist and a conf change cannot serve a stale geometry.
     */
   def ensureIvfDedupCells(s: SparkSession, d: String): String = {
-    val cellsT = s"graft_ivf_dedup_cells_${sanitize(d)}"
+    val (k, assign, buckets) = (graft.GraftConf.dedupCellsK(s),
+      graft.GraftConf.dedupCellsAssign(s), graft.GraftConf.dedupCellBuckets(s))
+    val layout = s"k${k}a${assign}b$buckets"
+    val cellsT = s"graft_ivf_dedup_cells_${sanitize(d)}_$layout"
     if (!s.catalog.tableExists(cellsT)) {
-      val cent = ivfCentroids(s, d, DEDUP_K, IVF_ITERS).cache()
+      val cent = ivfCentroids(s, d, k, IVF_ITERS).cache()
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))
@@ -323,11 +334,12 @@ object Similarity {
         .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
       cellScores(e, cent)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= DEDUP_ASSIGN)
-        .select("vec_id", "cid")
+        .filter(col("rn") <= assign)
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          vecDot("embedding", "embedding", DIM).as("nrm"))
         .write.mode("overwrite")
-        .bucketBy(8, "cid").sortBy("cid")
-        .option("path", s"$scratch/ivf_dedup_cells/${sanitize(d)}")
+        .bucketBy(buckets, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivf_dedup_cells/${sanitize(d)}_$layout")
         .saveAsTable(cellsT)
       cent.unpersist()
     }
@@ -469,7 +481,8 @@ object Similarity {
   // broadcast 128-entry LUT → one scan of the CODES table (not the
   // vectors) → top-CAND → exact re-rank touching ~CAND real vectors.
   def ensurePqIndex(s: SparkSession, d: String): (String, String) = {
-    val codesT = s"graft_pq_codes_${sanitize(d)}"
+    val nb = graft.GraftConf.indexBuckets(s)
+    val codesT = s"graft_pq_codes_${sanitize(d)}_b$nb"
     val centT = s"graft_pq_cent_${sanitize(d)}"
     if (!s.catalog.tableExists(codesT)) {
       pqCodebook(s, d).write.mode("overwrite")
@@ -480,8 +493,8 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
       pqEncode(subvectors(e), s.table(centT))
         .write.mode("overwrite")
-        .bucketBy(8, "vec_id").sortBy("vec_id")
-        .option("path", s"$scratch/pq_codes/${sanitize(d)}")
+        .bucketBy(nb, "vec_id").sortBy("vec_id")
+        .option("path", s"$scratch/pq_codes/${sanitize(d)}_b$nb")
         .saveAsTable(codesT)
     }
     (codesT, centT)

@@ -348,5 +348,48 @@ class DedupSpec extends SparkSpec {
       "candidates must come from the persisted IVF dedup cells")
     assert(!plan.toLowerCase.contains("label"),
       s"the label stand-in must be gone from the plan:\n$plan")
+    // the 100 TB plan shape: the pair expansion is the bucketed
+    // layout's own co-located sort-merge self-join — NOTHING corpus-
+    // sized is ever broadcast, and the bucketed scans feed the join
+    // with no exchange over the bucket key
+    assert(!plan.contains("BroadcastExchange"),
+      s"d05b must not broadcast any side of the pair join:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"d05b's pair expansion must be the bucket-local merge join:\n$plan")
+    assert(!plan.contains("hashpartitioning(cid"),
+      s"the cid join must ride the bucketed layout, not an exchange:\n$plan")
+  }
+
+  test("d05 falls back to a broadcast-free shuffle join past the size gate") {
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val default = rowsOf(Dedup.d05(spark, sfDir))
+    spark.conf.set("spark.graft.pairJoin.broadcastBytes", "0")
+    try {
+      val q = Dedup.d05(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastExchange"),
+        s"gate at 0 bytes must suppress the broadcast hint:\n$plan")
+      // identical pairs AND identical cosines: the fixed-order dot is
+      // partitioning-independent, so the join strategy cannot show
+      // through in the answer
+      assert(rowsOf(q) == default)
+    } finally spark.conf.unset("spark.graft.pairJoin.broadcastBytes")
+  }
+
+  test("a non-default cell-index geometry builds apart and answers the same") {
+    val default = Dedup.d05b(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    spark.conf.set("spark.graft.dedup.cells.buckets", "7")
+    try {
+      val t = graft.operators.Similarity.ensureIvfDedupCells(spark, sfDir)
+      assert(t.endsWith("b7"), s"layout must be encoded in the name: $t")
+      val got = Dedup.d05b(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      // bucket count is pure layout: same candidates, same survivors
+      assert(got == default)
+    } finally spark.conf.unset("spark.graft.dedup.cells.buckets")
   }
 }
