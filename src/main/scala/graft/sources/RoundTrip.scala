@@ -313,6 +313,110 @@ object RoundTrip {
       .transform(Gate.ordered("l_orderkey", "l_linenumber"))
   }
 
+  // -- src13: clinical-document ingest -> EAV facts ----------------------
+  // The reference's ACTUAL daily ingest face: AKTIN sites receive CDA
+  // clinical documents over the WildFly ear (the wildfly service in
+  // /root/reference/generated/compose.yml deploys the dwh importer),
+  // and the importer extracts typed observation facts from each
+  // document into the CRC star schema. Here that ETL is one
+  // distributed pass: a corpus of CDA-shaped XML documents — one per
+  // encounter, a <document> carrying patient id + encounter date and
+  // repeated <observation> elements (code / effective time / value /
+  // properties, the EAV triple) — parsed by Spark 4's native XML
+  // source under an EXPLICIT nested schema (rowTag, never inference:
+  // a schema pass over 100 TB of documents is an extra full scan),
+  // then exploded back into typed `events` rows. Malformed documents
+  // quarantine src09-style: PERMISSIVE + _corrupt_record, so one bad
+  // feed file cannot poison the batch — the gate EXERCISES this (three
+  // planted corrupt documents must be excluded or the oracle, the
+  // original events table, mismatches). At 100 TB: document generation
+  // is one groupBy(user, day) shuffle at feed creation (not part of a
+  // site's ingest — their documents arrive pre-formed); the ingest
+  // itself is an embarrassingly parallel parse + explode with no
+  // shuffle at all.
+
+  private[graft] val CDA_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private[graft] def cdaObsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("code", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  private[graft] def cdaDocSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("patient_id", LongType),
+      StructField("enc_date", StringType),
+      StructField("observation", ArrayType(cdaObsSchema)),
+      StructField("_corrupt_record", StringType)))
+  }
+
+  private val cdaBuilt = scala.collection.mutable.Set[String]()
+
+  /** Build-once the CDA-shaped document corpus for a data dir: one
+    * document per (patient, day) encounter with its observations
+    * sort_array'd by event_id (collect_list order is
+    * partitioning-dependent; the sort makes the corpus deterministic),
+    * plus three planted malformed documents — the quarantine subjects.
+    */
+  private[graft] def cdaCorpus(s: SparkSession, d: String): String = {
+    import graft.Tables
+    val path = s"$scratch/src13_cda/${graft.Scratch.tag(d)}"
+    if (!cdaBuilt.contains(path)) {
+      Tables.events(s, d)
+        .groupBy(col("user_id").as("patient_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("enc_date"))
+        .agg(sort_array(collect_list(struct(
+          col("event_id"),
+          date_format(col("ts"), CDA_TS_FMT).as("ts"),
+          col("event_type").as("code"), col("value"), col("props")
+        ))).as("observation"))
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "document").option("rootTag", "encounters")
+        .save(path)
+      import s.implicits._
+      // typed-field failures in every column an extraction selects
+      // (the src09 lesson: pruning marks a row corrupt only when a
+      // SELECTED column fails to parse)
+      s.createDataset((1 to 3).map(i =>
+          s"<document><patient_id>P$i</patient_id>" +
+            "<enc_date>not-a-date</enc_date>" +
+            s"<observation><event_id>E$i</event_id><ts>bad</ts>" +
+            "<code>broken</code><value>NaN-ish</value>" +
+            "<props>{}</props></observation></document>"))
+        .write.mode("append").text(path)
+      cdaBuilt += path
+    }
+    path
+  }
+
+  /** The parsed document frame (schema-first, quarantine column). */
+  private[graft] def cdaParsed(s: SparkSession, d: String): DataFrame =
+    s.read.schema(cdaDocSchema)
+      .option("rowTag", "document")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .format("xml").load(cdaCorpus(s, d))
+
+  /** Document corpus -> typed `events` rows. The oracle is the original
+    * events table itself: extraction fidelity AND quarantine in one
+    * check (corrupt documents excluded, everything else row-exact).
+    */
+  def src13(s: SparkSession, d: String): DataFrame =
+    cdaParsed(s, d)
+      .filter(col("_corrupt_record").isNull)
+      .select(col("patient_id").as("user_id"),
+        explode(col("observation")).as("o"))
+      .select(col("o.event_id").as("event_id"),
+        date_format(to_timestamp(col("o.ts"), CDA_TS_FMT), CDA_TS_FMT)
+          .as("ts"),
+        col("user_id"), col("o.code").as("event_type"),
+        col("o.value").as("value"), col("o.props").as("props"))
+      .transform(Gate.ordered("event_id"))
+
   // -- src11: patient-data deletion / retraction -------------------------
   // The reference's import-management face includes DELETING patient
   // data (the AKTIN DWH admin manages and removes imports — wildfly
@@ -418,7 +522,8 @@ object RoundTrip {
     "src09_corrupt_records" -> (src09 _),
     "src10_xml_roundtrip" -> (src10 _),
     "src11_patient_erasure" -> (src11 _),
-    "src12_avro_roundtrip" -> (src12 _)
+    "src12_avro_roundtrip" -> (src12 _),
+    "src13_document_ingest" -> (src13 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -482,6 +587,13 @@ object RoundTrip {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         | strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // extraction fidelity: the typed rows pulled out of the document
+    // corpus must equal the events table they were generated from —
+    // which also proves the three corrupt documents quarantined
+    "src13_document_ingest" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        | user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

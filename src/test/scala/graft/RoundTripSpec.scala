@@ -309,4 +309,33 @@ class RoundTripSpec extends SparkSpec {
       .select("event_id", "user_id").as[(Long, Long)].collect().toSet
     assert(left == Set((3L, 9L)))
   }
+
+  test("src13 extracts the document corpus back to the exact event rows") {
+    import org.apache.spark.sql.functions._
+    val got = RoundTrip.src13(spark, sfDir).collect()
+    val want = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        date_format(col("ts"), RoundTrip.CDA_TS_FMT).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id").collect()
+    assert(got.length == want.length)
+    assert(got.sameElements(want), "extraction must be row-exact")
+  }
+
+  test("src13 quarantines exactly the planted malformed documents") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val parsed = RoundTrip.cdaParsed(spark, sfDir).cache()
+    try {
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      assert(bad.count() == 3, "all three corrupt documents quarantined")
+      // the audit trail keeps the raw document text
+      assert(bad.select("_corrupt_record").collect()
+        .forall(_.getString(0).contains("<document>")))
+      val nDocs = parsed.filter(col("_corrupt_record").isNull).count()
+      val nEnc = Tables.events(spark, sfDir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd"))
+        .distinct().count()
+      assert(nDocs == nEnc, "one well-formed document per encounter")
+    } finally parsed.unpersist()
+  }
 }
