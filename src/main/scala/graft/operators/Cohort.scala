@@ -278,6 +278,22 @@ object Cohort {
         countDistinct(col("user_id")).as("n_users"))
       .transform(Gate.ordered("section", "sec_key"))
 
+  // -- exportReport: the monthly report DELIVERED ------------------------
+  // The reference doesn't just compute the monthly report — it ships
+  // it (the AKTIN DWH renders and emails the monthly ED report to the
+  // site; the wildfly service in /root/reference/generated/compose.yml
+  // carries that delivery stack). graft's delivery artifact is the
+  // report table itself: c18's sections written in the SAME single
+  // pass with the QA audit riding the write action (writeWithAudit's
+  // Observation — no validate-by-re-reading second scan), re-readable
+  // as one table by whatever renderer delivers it. Returns the audit
+  // metrics observed on the write (row count, null count, checksum).
+  // CohortSpec: the re-read equals c18 row-for-row and the audit
+  // matches independently computed values.
+  def exportReport(s: SparkSession, d: String, dir: String)
+      : Map[String, Any] =
+    graft.sources.RoundTrip.writeWithAudit(c18(s, d), "n_events", dir)
+
   // -- c19: cohort detail export (i2b2 PDO face) -------------------------
   // i2b2 queries return more than counts: a Patient Data Object export
   // hands researchers every fact of every cohort member. Spark shape:

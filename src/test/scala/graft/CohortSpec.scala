@@ -176,4 +176,16 @@ class CohortSpec extends SparkSpec {
         s"$k: obf $o vs true ${truth(k)}")
     }
   }
+
+  test("exportReport delivers c18's table with a matching write audit") {
+    val dir = s"${graft.Scratch.dir}/report_export"
+    val audit = Cohort.exportReport(spark, sfDir, dir)
+    val want = Cohort.c18(spark, sfDir).collect()
+    val got = spark.read.parquet(dir)
+      .orderBy("section", "sec_key").collect()
+    assert(got.sameElements(want), "the delivered table must BE c18")
+    assert(audit("n_rows") == want.length.toLong)
+    assert(audit("n_null") == 0L)
+    assert(audit("checksum") == want.map(_.getLong(2)).sum.toDouble)
+  }
 }

@@ -316,6 +316,39 @@ class PanelsSpec extends SparkSpec {
     composed.foreach { case (u, row) => assert(row == standalone(u)) }
   }
 
+  test("c23b answers from the saved patient set without recomputing it") {
+    val inline = Panels.c23(spark, sfDir).collect().map(_.toSeq)
+    val saved = Panels.c23b(spark, sfDir)
+    assert(saved.collect().map(_.toSeq).sameElements(inline),
+      "the QT path must be row-exact vs the inline path")
+    val plan = saved.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE echoes the plan twice
+    // ONE events scan (the panel compile) — the saved query is read
+    // from its QT table, never re-aggregated from facts
+    val nEventScans = "events\\.parquet".r.findAllIn(plan).length
+    assert(nEventScans == 1,
+      s"expected a single events scan, got $nEventScans:\n$plan")
+    assert(plan.contains("qt_sets"),
+      s"the patient set must come from the saved table:\n$plan")
+  }
+
+  test("saveCohort is replay-stable: a re-save of a name is a no-op") {
+    val name = s"replay_${graft.Scratch.tag(sfDir)}"
+    val set = graft.operators.Cohort.c01Core(spark, sfDir)
+      .select("user_id")
+    val t = Panels.saveCohort(spark, name, set)
+    val dir = new java.io.File(s"${graft.Scratch.dir}/qt_sets/$name")
+    val listing = dir.listFiles().map(f => (f.getName, f.lastModified))
+      .sortBy(_._1).toSeq
+    // second save: same table, untouched files — even under a set
+    // frame that would write different bytes
+    val t2 = Panels.saveCohort(spark, name, set.limit(1))
+    assert(t2 == t)
+    val after = dir.listFiles().map(f => (f.getName, f.lastModified))
+      .sortBy(_._1).toSeq
+    assert(after == listing, "a saved result is immutable under replay")
+  }
+
   test("the API reproduces c01 when given c01's definition") {
     val cd = CohortDef(Seq(
       Panel(Seq(Concept("signup"), Concept("view"))),
