@@ -39,10 +39,17 @@ final case class ReliableCheckpointer(dir: String) extends Checkpointer {
   def apply(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     // setCheckpointDir resolves to a scheme-qualified URI and appends a
-    // per-app UUID subdir — substring-match so repeated calls reuse one
-    // directory instead of minting more
-    if (!sc.getCheckpointDir.exists(_.contains(dir)))
-      sc.setCheckpointDir(dir)
+    // per-app UUID subdir under `dir` — so an existing checkpoint dir
+    // belongs to THIS checkpointer iff its PARENT equals the qualified
+    // form of `dir`, compared exactly. (A substring match here let
+    // overlapping names like /tmp/ck and /tmp/ck2 silently share one
+    // directory, and mistook any unrelated pre-set dir containing the
+    // string for ours.)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+    val ours = sc.getCheckpointDir
+      .exists(cd => new org.apache.hadoop.fs.Path(cd).getParent == qualified)
+    if (!ours) sc.setCheckpointDir(dir)
     df.checkpoint()
   }
 }

@@ -64,16 +64,18 @@ object Tables {
     * reads, and a second dir re-registers (last one wins, like
     * switching databases).
     */
-  private val viewsRegistered =
-    scala.collection.mutable.Set[(SparkSession, String)]()
+  // The memo lives in the SESSION's own conf, not a global set: a
+  // global Set[SparkSession] pins every registered session in memory
+  // forever (a leak in a long-lived multi-session service), while
+  // session state dies with the session. A dir switch re-registers
+  // because the stored value no longer matches (last one wins, like
+  // switching databases).
+  private val ViewsDirKey = "spark.graft.views.registeredDir"
 
   def registerViews(s: SparkSession, d: String): Unit =
-    viewsRegistered.synchronized {
-      if (!viewsRegistered.contains((s, d))) {
-        all.foreach { case (n, fn) => fn(s, d).createOrReplaceTempView(n) }
-        viewsRegistered.retain(_._1 ne s) // a dir switch invalidates
-        viewsRegistered += ((s, d))
-      }
+    if (!s.conf.getOption(ViewsDirKey).contains(d)) {
+      all.foreach { case (n, fn) => fn(s, d).createOrReplaceTempView(n) }
+      s.conf.set(ViewsDirKey, d)
     }
 }
 

@@ -528,11 +528,13 @@ object Dedup {
   //      anchor strings in both docs regardless of where it sits);
   //   2. df-cap the anchor index exactly like d02's shingle gate (a
   //      boilerplate anchor in k docs would create a k² bucket);
-  //   3. candidates = occurrence pairs joined ON THE ANCHOR STRING
-  //      itself — equality IS the exact verify, no hash gap (at 100 TB
-  //      the join key would be xxhash64(anchor) with the string kept as
-  //      an in-bucket verify; the 64-byte key is fine at test SF and
-  //      keeps the operator bit-identical to the SQL oracle);
+  //   3. candidates = occurrence pairs joined on xxhash64(anchor) with
+  //      the anchor STRING equality retained as the verify filter — the
+  //      join key the shuffle sorts and partitions on is a fixed-width
+  //      8-byte long instead of a 64-byte string (and the persisted
+  //      index buckets by it), while the string riding the row keeps
+  //      the candidate set EXACTLY the string-join's set, so the SQL
+  //      oracle still matches bit-for-bit with no collision caveat;
   //   4. merge anchors into PROVEN shared spans: occurrences with the
   //      same position delta whose starts are <= W apart overlap, and
   //      overlapping verified windows prove the whole union is shared —
@@ -550,9 +552,10 @@ object Dedup {
   private[graft] val D08_W = 64
   private[graft] val D08_DF_CAP = 50
 
-  /** UNCAPPED anchor rows (doc_id, pos, a) — what the incremental
-    * index stores (the cap is recomputed from the index at query time
-    * so it stays exact as generations append).
+  /** UNCAPPED anchor rows (doc_id, pos, a, h = xxhash64(a)) — what the
+    * incremental index stores (the cap is recomputed from the index at
+    * query time so it stays exact as generations append). `h` is the
+    * join/bucket key; `a` is the in-bucket verify.
     */
   private def anchorRowsUncapped(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -569,6 +572,7 @@ object Dedup {
       .filter(col("pos") + (D08_W - 1) <= length(col("text")))
       .select(col("doc_id"), col("pos"),
         expr(s"substr(text, pos, $D08_W)").as("a"))
+      .withColumn("h", xxhash64(col("a")))
   }
 
   /** The df-capped anchor index rows for an arbitrary documents frame —
@@ -588,11 +592,16 @@ object Dedup {
     */
   private def passageSpansOf(ci: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // keyed on the 8-byte hash (what the index buckets by); the anchor
+    // string equality is the exact in-bucket verify — a 64-bit
+    // collision produces a candidate row the filter discards, never a
+    // wrong span
     val occ = ci
-      .select(col("a"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-      .join(ci.select(col("a"), col("doc_id").as("doc_b"),
-        col("pos").as("pos_b")), "a")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("h"), col("a").as("a_x"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(ci.select(col("h"), col("a").as("a_y"),
+        col("doc_id").as("doc_b"), col("pos").as("pos_b")), "h")
+      .filter(col("doc_a") < col("doc_b") && col("a_x") === col("a_y"))
       .select(col("doc_a"), col("doc_b"), col("pos_a"),
         (col("pos_a") - col("pos_b")).as("delta"))
     val wPair = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
@@ -633,7 +642,7 @@ object Dedup {
     val name = s"graft_anchor_idx_${sanitize(d)}_b$nb"
     if (!s.catalog.tableExists(name)) {
       anchorRowsOf(s, documents(s, d)).write.mode("overwrite")
-        .bucketBy(nb, "a").sortBy("a")
+        .bucketBy(nb, "h").sortBy("h")
         .option("path", s"$scratch/anchor_idx/${sanitize(d)}_b$nb")
         .saveAsTable(name)
     }
@@ -661,7 +670,7 @@ object Dedup {
       : String = {
     val name = s"graft_anchor_inc_$tag"
     anchorRowsUncapped(s, docs).write.mode("overwrite")
-      .bucketBy(graft.GraftConf.indexBuckets(s), "a").sortBy("a")
+      .bucketBy(graft.GraftConf.indexBuckets(s), "h").sortBy("h")
       .option("path", s"$scratch/anchor_inc/$tag")
       .saveAsTable(name)
     name
@@ -674,7 +683,7 @@ object Dedup {
     require(s.catalog.tableExists(s"graft_anchor_inc_$tag"),
       s"no incremental anchor index '$tag' — run buildAnchorIndexInc first")
     anchorRowsUncapped(s, newDocs).write.mode("append")
-      .bucketBy(graft.GraftConf.indexBuckets(s), "a").sortBy("a")
+      .bucketBy(graft.GraftConf.indexBuckets(s), "h").sortBy("h")
       .saveAsTable(s"graft_anchor_inc_$tag")
   }
 
@@ -687,16 +696,21 @@ object Dedup {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idx = s.table(s"graft_anchor_inc_$tag")
-    val common = idx.groupBy(col("a"))
+    // grouping by (h, a) rides the h-bucketed layout exchange-free
+    // (HashPartitioning(h) satisfies the clustering of any key set
+    // containing h); identical groups to a groupBy(a) since h is a
+    // function of a
+    val common = idx.groupBy(col("h"), col("a"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > graft.GraftConf.passageDfCap(s)).select("a")
     val ci = idx.join(broadcast(common), Seq("a"), "left_anti")
     val na = ci.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     val occ = na
-      .select(col("a"), col("doc_id").as("dx"), col("pos").as("px"))
-      .join(ci.select(col("a"), col("doc_id").as("dy"), col("pos").as("py")),
-        "a")
-      .filter(col("dx") =!= col("dy"))
+      .select(col("h"), col("a").as("a_x"), col("doc_id").as("dx"),
+        col("pos").as("px"))
+      .join(ci.select(col("h"), col("a").as("a_y"),
+        col("doc_id").as("dy"), col("pos").as("py")), "h")
+      .filter(col("dx") =!= col("dy") && col("a_x") === col("a_y"))
       // normalize to (doc_a < doc_b) with pos_a/delta defined on doc_a,
       // exactly as the symmetric join produces; both orientations can
       // appear when both docs are in the delta — distinct collapses them

@@ -439,6 +439,37 @@ object RoundTrip {
   // partitions and writes nothing (spec asserts the file listing is
   // bit-stable). At 100 TB the rewrite cost is proportional to the
   // days the patients visited, not to the table.
+  //
+  // The swap itself follows a TOMBSTONE commit protocol — required for
+  // an erasure tool, where "crashed halfway" must never mean "lost the
+  // surviving rows": the old partition is renamed ASIDE (not deleted),
+  // the staged remainder renamed IN, and only then is the tombstone
+  // dropped. At every instant the day's surviving rows exist under the
+  // live directory or its tombstone, both inside the layout — never
+  // only in staging, which a later run overwrites. recoverSwaps at
+  // entry makes any interrupted swap whole again (tombstone with no
+  // live dir -> roll back; with one -> finish the commit), so a crashed
+  // erasure re-run is exactly a fresh run. RoundTripSpec stages both
+  // crash windows by hand and proves recovery.
+
+  private def tombOf(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".graft-tomb")
+
+  /** Heal interrupted partition swaps under `layout`: a tombstone whose
+    * live directory exists again is a completed swap (drop it); one
+    * whose live directory is missing is an uncommitted swap (restore
+    * it — the erasure that started it will be recomputed).
+    */
+  private[graft] def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      layout: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(layout))
+      fs.listStatus(layout).map(_.getPath)
+        .filter(_.getName.endsWith(".graft-tomb")).foreach { tomb =>
+          val live = new org.apache.hadoop.fs.Path(layout,
+            tomb.getName.stripSuffix(".graft-tomb"))
+          if (fs.exists(live)) fs.delete(tomb, true)
+          else fs.rename(tomb, live)
+        }
 
   /** Delete every fact of `patients` from the day-partitioned `layout`.
     * Returns the audit frame (day, n_before, n_after, n_deleted) over
@@ -447,6 +478,10 @@ object RoundTrip {
   def deletePatients(s: SparkSession, layout: String,
       patients: Seq[Long]): DataFrame = {
     import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val layoutPath = new org.apache.hadoop.fs.Path(layout)
+    val fs = layoutPath.getFileSystem(hconf)
+    recoverSwaps(fs, layoutPath) // heal any interrupted prior erasure
     val facts = s.read.parquet(layout)
     // one pushed-filter pass: per-day deletion counts = the touched set
     val deleted = facts.filter(col("user_id").isin(patients: _*))
@@ -465,14 +500,18 @@ object RoundTrip {
       val staging = s"$layout.staging"
       touched.filter(!col("user_id").isin(patients: _*))
         .write.mode("overwrite").partitionBy("day").parquet(staging)
-      val conf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(layout).getFileSystem(conf)
       days.foreach { day =>
         val dst = new org.apache.hadoop.fs.Path(s"$layout/day=$day")
         val src = new org.apache.hadoop.fs.Path(s"$staging/day=$day")
-        fs.delete(dst, true)
+        val tomb = tombOf(dst)
+        // tombstone commit: aside -> in -> drop. A crash at any point
+        // leaves the survivors under dst or tomb (recoverSwaps heals);
+        // the old delete-then-rename order had a window where they
+        // existed only in staging — data loss for an erasure tool.
+        fs.rename(dst, tomb)
         // a fully-erased day has no remainder — its directory just goes
         if (fs.exists(src)) fs.rename(src, dst)
+        fs.delete(tomb, true)
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       days.map(day => (day, before(day), before(day) - deleted(day),

@@ -310,6 +310,39 @@ class RoundTripSpec extends SparkSpec {
     assert(left == Set((3L, 9L)))
   }
 
+  test("deletePatients heals interrupted swaps before erasing") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import spark.implicits._
+    val layout = s"${graft.Scratch.dir}/src11_crash"
+    Seq(
+      (1L, 7L, "a", "2024-01-01"), (2L, 8L, "b", "2024-01-01"),
+      (3L, 9L, "c", "2024-01-02"))
+      .toDF("event_id", "user_id", "event_type", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(layout)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(layout).getFileSystem(conf)
+    // window A: a prior erasure crashed after renaming the day ASIDE
+    // but before committing its replacement — the survivors exist only
+    // under the tombstone
+    fs.rename(new Path(s"$layout/day=2024-01-01"),
+      new Path(s"$layout/day=2024-01-01.graft-tomb"))
+    // window B: a swap on the other day committed but crashed before
+    // dropping its tombstone
+    FileUtil.copy(fs, new Path(s"$layout/day=2024-01-02"),
+      fs, new Path(s"$layout/day=2024-01-02.graft-tomb"), false, conf)
+    // a fresh erasure heals both windows, then erases patient 8
+    val audit = RoundTrip.deletePatients(spark, layout, Seq(8L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(audit == Map("2024-01-01" -> 1L))
+    val left = spark.read.parquet(layout)
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+    assert(left == Set((1L, 7L), (3L, 9L)),
+      "rolled-back survivors must be part of the erased lake")
+    assert(!fs.listStatus(new Path(layout))
+      .exists(_.getPath.getName.endsWith(".graft-tomb")),
+      "no tombstone survives a completed run")
+  }
+
   test("src13 extracts the document corpus back to the exact event rows") {
     import org.apache.spark.sql.functions._
     val got = RoundTrip.src13(spark, sfDir).collect()
