@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.broadcast
   * sizing coexist instead of silently sharing one mis-sized layout, and
   * build-if-absent stays correct across conf changes.
   *
-  * ExtensionsSpec proves a non-default bucket count builds a distinct
+  * DedupSpec proves a non-default bucket count builds a distinct
   * index with identical query results.
   */
 object GraftConf {
