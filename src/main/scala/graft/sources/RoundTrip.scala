@@ -401,20 +401,29 @@ object RoundTrip {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .format("xml").load(cdaCorpus(s, d))
 
+  /** Shared extraction stage: parsed document frame -> typed event
+    * rows (ts as a real timestamp). Stateless projection + explode, so
+    * the SAME transform serves the batch ingest (src13) and the
+    * continuous one (graft.streaming.EventStreams.documentIngestStream)
+    * — the established batch-twin pattern.
+    */
+  private[graft] def documentExtract(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("_corrupt_record").isNull)
+      .select(col("patient_id").as("user_id"),
+        explode(col("observation")).as("o"))
+      .select(col("o.event_id").as("event_id"),
+        to_timestamp(col("o.ts"), CDA_TS_FMT).as("ts"),
+        col("user_id"), col("o.code").as("event_type"),
+        col("o.value").as("value"), col("o.props").as("props"))
+
   /** Document corpus -> typed `events` rows. The oracle is the original
     * events table itself: extraction fidelity AND quarantine in one
     * check (corrupt documents excluded, everything else row-exact).
     */
   def src13(s: SparkSession, d: String): DataFrame =
-    cdaParsed(s, d)
-      .filter(col("_corrupt_record").isNull)
-      .select(col("patient_id").as("user_id"),
-        explode(col("observation")).as("o"))
-      .select(col("o.event_id").as("event_id"),
-        date_format(to_timestamp(col("o.ts"), CDA_TS_FMT), CDA_TS_FMT)
-          .as("ts"),
-        col("user_id"), col("o.code").as("event_type"),
-        col("o.value").as("value"), col("o.props").as("props"))
+    documentExtract(cdaParsed(s, d))
+      .withColumn("ts", date_format(col("ts"), CDA_TS_FMT))
       .transform(Gate.ordered("event_id"))
 
   // -- src11: patient-data deletion / retraction -------------------------

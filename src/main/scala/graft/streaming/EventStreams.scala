@@ -290,11 +290,50 @@ object EventStreams {
       .withWatermark("arr_ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ------------------------------------------- continuous document ingest
+  // src13's daily-ETL framing is batch, but at an AKTIN site the CDA
+  // documents ARRIVE continuously (the wildfly ear accepts them all
+  // day); the Spark-native form is a file stream over the landing
+  // directory: each arriving XML file is parsed schema-first by the
+  // SAME documentExtract transform the batch ingest uses — stateless
+  // parse + explode, so append mode, no state, no watermark, and
+  // exactly-once ingest comes from the file source's checkpointed
+  // offsets. Malformed documents quarantine per micro-batch exactly as
+  // in batch (PERMISSIVE + _corrupt_record). StreamingSpec drives the
+  // corpus through one-file-per-trigger micro-batches and proves the
+  // accumulated extraction equals src13's batch answer row-for-row.
+
+  /** The landing-directory stream: typed event rows as documents land. */
+  def documentIngestStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RoundTrip.documentExtract(
+      s.readStream
+        .schema(graft.sources.RoundTrip.cdaDocSchema)
+        .option("rowTag", "document")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .format("xml").load(dir))
+
+  /** Exact batch twin — the `queries` entry (SQL oracle): the per-day
+    * ingest report over the document corpus (what a site's daily feed
+    * monitor shows). Counts come from the DOCUMENTS, the oracle from
+    * the events table the corpus was generated from — so the gate
+    * checks the full document→fact→report path.
+    */
+  def st05(s: SparkSession, d: String): DataFrame =
+    graft.sources.RoundTrip.documentExtract(
+      graft.sources.RoundTrip.cdaParsed(s, d))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .transform(Gate.ordered("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),
     "st03_stream_attribution_join" -> (st03 _),
-    "st04_stream_daily_report" -> (st04 _)
+    "st04_stream_daily_report" -> (st04 _),
+    "st05_stream_document_ingest" -> (st05 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -330,6 +369,12 @@ object EventStreams {
         | UNION ALL SELECT user_id, ts, 'weekday', dayname(ts) FROM events
         | UNION ALL SELECT user_id, ts, 'month', strftime(ts, '%Y-%m') FROM events
         | UNION ALL SELECT user_id, ts, 'concept', event_type FROM events)
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the per-day ingest report computed FROM the document corpus must
+    // equal the same report over the events the corpus encodes
+    "st05_stream_document_ingest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -299,4 +299,26 @@ class StreamingSpec extends SparkSpec {
     val c09 = graft.operators.Cohort.c09(spark, sfDir).collect().toSeq
     assert(twin.map(_.toSeq) == c09.map(_.toSeq))
   }
+
+  test("continuous document ingest accumulates to src13's batch answer") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val dir = graft.sources.RoundTrip.cdaCorpus(spark, sfDir)
+    val q = EventStreams.documentIngestStream(spark, dir)
+      .writeStream.format("memory").queryName("st05_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // one file per trigger: the corpus really arrived incrementally
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "ingest must span multiple micro-batches")
+      val streamed = spark.table("st05_out")
+        .withColumn("ts",
+          date_format(col("ts"), graft.sources.RoundTrip.CDA_TS_FMT))
+        .orderBy("event_id").collect().toSeq
+      val batch = graft.sources.RoundTrip.src13(spark, sfDir)
+        .collect().toSeq
+      assert(streamed.map(_.toSeq) == batch.map(_.toSeq),
+        "accumulated stream extraction must be row-exact vs batch")
+    } finally q.stop()
+  }
 }
