@@ -424,8 +424,8 @@ object Dedup {
 
   // -- d05b: embedding near-dup over REAL coarse quantization ------------
   // d05's verify with the `label` stand-in replaced by the persisted IVF
-  // dedup cells (Similarity.ensureIvfDedupCells: DEDUP_K k-means
-  // centroids, every vector multi-assigned to its DEDUP_ASSIGN nearest —
+  // dedup cells (Similarity.ensureIvfDedupCells: k-means centroids,
+  // every vector multi-assigned to its nearest cells —
   // multi-assignment is the "same + adjacent cells" probe). Candidates
   // come from a cid equi-join on the cid-bucketed cells table; the raw
   // vectors are touched only by the exact fixed-order cosine verify.
@@ -435,8 +435,9 @@ object Dedup {
   // fraction ~0.9 at any useful recall). The operator's pruning power is
   // real in the production regime it exists for (actual near-dups at
   // cos >= 0.9 share cells with near-certainty while random pairs
-  // don't); DEDUP_K/DEDUP_ASSIGN are the cluster-sizing knobs (at 100 TB
-  // K grows with corpus size so per-cell join buckets stay bounded).
+  // don't); spark.graft.dedup.cells.{k,assign} are the cluster-sizing
+  // knobs (at 100 TB K grows with corpus size so per-cell join buckets
+  // stay bounded).
   // DedupSpec pins recall >= 0.95 vs the brute-force truth AND vs d05's
   // oracle-checked pairs, plus a no-label-column plan assert.
   // Join SHAPE matters more than the pair count here: the vectors ride

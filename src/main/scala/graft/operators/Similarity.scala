@@ -301,9 +301,9 @@ object Similarity {
   // -- IVF dedup cells: coarse quantization for embedding NEAR-DUP -------
   // Dedup.d05b's candidate index — the pair-mining face of IVF: a
   // dedicated k-means cell assignment where each vector lands in its
-  // DEDUP_ASSIGN nearest cells (multi-assignment IS the "same +
-  // adjacent cells" probe: a pair can meet iff their cell sets
-  // intersect). More cells than the ANN index (16 vs 8) keeps per-cell
+  // spark.graft.dedup.cells.assign nearest cells (multi-assignment IS
+  // the "same + adjacent cells" probe: a pair can meet iff their cell
+  // sets intersect). More cells than the ANN index (16 vs 8) keeps per-cell
   // join buckets smaller; more assignments keep boundary pairs
   // together. The table carries the VECTOR and its self-dot alongside
   // the assignment and is persisted bucketed by cid, so d05b's pair
@@ -312,9 +312,6 @@ object Similarity {
   // nothing but this one table — parallelism = bucket count, the
   // cluster-sizing knob (spark.graft.dedup.cells.buckets). Sizing is
   // conf-driven (GraftConf); defaults reproduce the historical layout.
-  private[graft] val DEDUP_K = 16
-  private[graft] val DEDUP_ASSIGN = 5
-
   /** Build-if-absent the persisted dedup cell assignment
     * (vec_id, cid, embedding, nrm); returns the table name. The name
     * encodes the layout parameters, so differently-sized indexes
