@@ -57,6 +57,15 @@ object GraftConf {
   def dfCap(s: SparkSession): Int =
     s.conf.get("spark.graft.dedup.dfCap", "50").toInt
 
+  /** Document-frequency cap of t11's contamination index (default 50).
+    * Its own key on purpose: t11 borrows the dedup family's index
+    * SHAPE, but tuning spark.graft.dedup.dfCap for d02/d03/d07 must
+    * not silently move the decontamination gate off its recorded
+    * oracle.
+    */
+  def contamDfCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.contam.dfCap", "50").toInt
+
   /** Document-frequency cap of the d08 anchor index (default 50).
     * Applied at QUERY time against the uncapped persisted index, so it
     * stays exact under incremental growth (Dedup.d08 notes).

@@ -640,11 +640,18 @@ object Dedup {
   // Results are proven equal to d08 and share d08's oracle.
   def ensureAnchorIndex(s: SparkSession, d: String): String = {
     val nb = graft.GraftConf.indexBuckets(s)
-    val name = s"graft_anchor_idx_${sanitize(d)}_b$nb"
+    // the df-cap is BAKED into this index's content at build (unlike
+    // the incremental index, which caps at query time), so it is a
+    // layout-affecting parameter and must live in the name — otherwise
+    // a session with a different passageDfCap would be served rows
+    // capped under the old one and d08b would diverge from d08
+    val cap = graft.GraftConf.passageDfCap(s)
+    val tag = s"${sanitize(d)}_b${nb}c$cap"
+    val name = s"graft_anchor_idx_$tag"
     if (!s.catalog.tableExists(name)) {
       anchorRowsOf(s, documents(s, d)).write.mode("overwrite")
         .bucketBy(nb, "h").sortBy("h")
-        .option("path", s"$scratch/anchor_idx/${sanitize(d)}_b$nb")
+        .option("path", s"$scratch/anchor_idx/$tag")
         .saveAsTable(name)
     }
     name

@@ -319,6 +319,15 @@ object Panels {
     * stable: a second save of the same name is a no-op (PanelsSpec
     * proves the file listing is bit-stable), matching QT semantics —
     * a result, once saved, is immutable; new runs get new names.
+    *
+    * Immutability covers the PHYSICAL layout too: unlike the ensure*
+    * index builders (whose names encode geometry so conf changes
+    * rebuild), a QT name is user-facing and its contract is the SET,
+    * not the layout — a set saved under an older
+    * spark.graft.index.buckets keeps that layout on reuse. That is
+    * semantically safe (reuse broadcasts the slim set; bucketing is a
+    * bonus for co-located joins, not load-bearing), and re-deriving a
+    * differently-bucketed copy is just a save under a new name.
     */
   def saveCohort(s: SparkSession, name: String,
       patientSet: DataFrame): String = {

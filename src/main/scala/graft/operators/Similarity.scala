@@ -278,9 +278,14 @@ object Similarity {
     val cellsT = s"graft_ivf_cells_${sanitize(d)}_b$nb"
     val centT = s"graft_ivf_cent_${sanitize(d)}"
     if (!s.catalog.tableExists(cellsT)) {
-      ivfCentroids(s, d).write.mode("overwrite")
-        .option("path", s"$scratch/ivf_cent/${sanitize(d)}")
-        .saveAsTable(centT)
+      // centroids are bucket-independent (deterministic k-means over
+      // the corpus), so a bucket-count resize rebuilds the cells table
+      // only — not IVF_ITERS of k-means, and no transient overwrite of
+      // a table the still-live old-geometry index reads
+      if (!s.catalog.tableExists(centT))
+        ivfCentroids(s, d).write.mode("overwrite")
+          .option("path", s"$scratch/ivf_cent/${sanitize(d)}")
+          .saveAsTable(centT)
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))
@@ -482,9 +487,11 @@ object Similarity {
     val codesT = s"graft_pq_codes_${sanitize(d)}_b$nb"
     val centT = s"graft_pq_cent_${sanitize(d)}"
     if (!s.catalog.tableExists(codesT)) {
-      pqCodebook(s, d).write.mode("overwrite")
-        .option("path", s"$scratch/pq_cent/${sanitize(d)}")
-        .saveAsTable(centT)
+      // codebook is bucket-independent — same move as ensureIvfIndex
+      if (!s.catalog.tableExists(centT))
+        pqCodebook(s, d).write.mode("overwrite")
+          .option("path", s"$scratch/pq_cent/${sanitize(d)}")
+          .saveAsTable(centT)
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))

@@ -298,7 +298,7 @@ object TextAnalysis {
         explode(shingles3("w")).as("shingle"))
       .select(col("doc_id"), col("split"), xxhash64(col("shingle")).as("h"))
     val common = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > graft.GraftConf.dfCap(s)).select("h")
+      .filter(col("df") > graft.GraftConf.contamDfCap(s)).select("h")
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
     val train = ci.filter(col("split") === "train")
       .select(col("h"), col("doc_id").as("train_id"))

@@ -517,9 +517,18 @@ object RoundTrip {
         // leaves the survivors under dst or tomb (recoverSwaps heals);
         // the old delete-then-rename order had a window where they
         // existed only in staging — data loss for an erasure tool.
-        fs.rename(dst, tomb)
+        // Every rename RESULT is checked: Hadoop FileSystem.rename
+        // reports most failures as `false`, not exceptions, and
+        // falling through to the deletes after a failed rename is
+        // exactly the loss (or silent non-erasure) the protocol
+        // exists to prevent — aborting here instead leaves a state
+        // recoverSwaps makes whole on the next run.
+        require(fs.rename(dst, tomb),
+          s"erasure aborted: could not set aside $dst — day untouched")
         // a fully-erased day has no remainder — its directory just goes
-        if (fs.exists(src)) fs.rename(src, dst)
+        if (fs.exists(src)) require(fs.rename(src, dst),
+          s"erasure aborted: could not commit $src -> $dst " +
+            "(survivors intact under the tombstone; re-run to recover)")
         fs.delete(tomb, true)
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)

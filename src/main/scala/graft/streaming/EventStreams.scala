@@ -303,16 +303,23 @@ object EventStreams {
   // corpus through one-file-per-trigger micro-batches and proves the
   // accumulated extraction equals src13's batch answer row-for-row.
 
-  /** The landing-directory stream: typed event rows as documents land. */
-  def documentIngestStream(s: SparkSession, dir: String): DataFrame =
+  /** The landing-directory stream: typed event rows as documents land.
+    * `maxFilesPerTrigger` bounds per-batch intake (None = Spark's
+    * default: everything available per trigger — the production
+    * setting; the spec passes 1 to force a many-batch arrival order).
+    */
+  def documentIngestStream(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = s.readStream
+      .schema(graft.sources.RoundTrip.cdaDocSchema)
+      .option("rowTag", "document")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
     graft.sources.RoundTrip.documentExtract(
-      s.readStream
-        .schema(graft.sources.RoundTrip.cdaDocSchema)
-        .option("rowTag", "document")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .option("maxFilesPerTrigger", 1)
+      maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
         .format("xml").load(dir))
+  }
 
   /** Exact batch twin — the `queries` entry (SQL oracle): the per-day
     * ingest report over the document corpus (what a site's daily feed

@@ -303,7 +303,8 @@ class StreamingSpec extends SparkSpec {
   test("continuous document ingest accumulates to src13's batch answer") {
     import org.apache.spark.sql.functions.{col, date_format}
     val dir = graft.sources.RoundTrip.cdaCorpus(spark, sfDir)
-    val q = EventStreams.documentIngestStream(spark, dir)
+    val q = EventStreams.documentIngestStream(spark, dir,
+        maxFilesPerTrigger = Some(1))
       .writeStream.format("memory").queryName("st05_out")
       .outputMode(OutputMode.Append()).start()
     try {
