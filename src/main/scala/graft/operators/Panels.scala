@@ -353,6 +353,45 @@ object Panels {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- c23c: set algebra over saved results (QT AND/OR/NOT composition) --
+  // The i2b2 webclient lets a user COMBINE previous query results —
+  // "patients in result A and result B but not C" — before running new
+  // panels over the combination. With saveCohort providing the saved
+  // results, the algebra is Spark's own set operators over the slim
+  // (user_id) tables; the combined set then feeds the same broadcast
+  // semi-join composition every patient-set path uses. Sets are
+  // result-table-sized (thousands of ids at 100 TB, not facts), so
+  // the algebra is a rounding error next to the fact scan it narrows.
+
+  /** intersect/union/except over saved QT tables, by name. */
+  def combineCohorts(s: SparkSession, op: String, names: String*)
+      : DataFrame = {
+    require(names.nonEmpty, "set algebra needs at least one saved result")
+    val sets = names.map(n => s.table(n).select("user_id"))
+    op match {
+      case "and" => sets.reduce(_ intersect _)
+      case "or"  => sets.reduce(_ union _).distinct()
+      case "not" => sets.reduce(_ except _) // first minus the rest
+      case other => throw new IllegalArgumentException(
+        s"unknown set op '$other' (and | or | not)")
+    }
+  }
+
+  /** c13's panels over (saved c01 result AND saved demographic
+    * result) — the QT composition face end to end. The oracle is
+    * c23's with the IN-subquery replaced by the INTERSECT of the two
+    * saved queries' SQL.
+    */
+  def c23c(s: SparkSession, d: String): DataFrame = {
+    val a = saveCohort(s, s"c01_${sanitizeTag(d)}",
+      graft.operators.Cohort.c01Core(s, d).select("user_id"))
+    val b = saveCohort(s, s"demo_${sanitizeTag(d)}",
+      patients(customer(s, d), c24Filter))
+    cohortWithPatientSet(events(s, d), c13Def,
+      combineCohorts(s, "and", a, b))
+      .transform(Gate.ordered("user_id"))
+  }
+
   // -- c24: patient_dimension panel constraints --------------------------
 
   /** i2b2 demographic predicates over the patient dimension (an i2b2
@@ -467,6 +506,7 @@ object Panels {
     "c14b_panel_distinct_encounters" -> (c14b _),
     "c23_patient_set_panel" -> (c23 _),
     "c23b_saved_patient_set" -> (c23b _),
+    "c23c_patient_set_algebra" -> (c23c _),
     "c24_panel_demographic" -> (c24 _),
     "c25_anchored_panels" -> (c25 _),
     "c26_panel_modifiers" -> (c26 _)
@@ -508,6 +548,30 @@ object Panels {
     "c23_patient_set_panel" -> C23_SQL,
     // the saved-set path must answer EXACTLY like the inline path
     "c23b_saved_patient_set" -> C23_SQL,
+    // QT set algebra: the IN-subquery is the INTERSECT of the two
+    // saved queries' defining SQL
+    "c23c_patient_set_algebra" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN (event_type = 'purchase' AND value >= 100.0)
+        |   OR event_type = 'click' THEN 1 END) AS p0,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p1
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        | AND user_id IN (
+        |  SELECT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY user_id
+        |  HAVING (COUNT(CASE WHEN event_type = 'signup' THEN 1 END) >= 1
+        |    OR COUNT(CASE WHEN event_type = 'view' THEN 1 END) >= 1)
+        |   AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+        |   AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        |   AND c_acctbal >= 0.0)
+        |GROUP BY user_id
+        |HAVING p0 >= 3 AND p1 = 0
+        |ORDER BY user_id""".stripMargin,
     // c13's fact panels over patients passing the demographic filter —
     // the IN-subquery is the compiled patient_dimension constraint
     "c24_panel_demographic" ->

@@ -332,6 +332,37 @@ class PanelsSpec extends SparkSpec {
       s"the patient set must come from the saved table:\n$plan")
   }
 
+  test("c23c set algebra composes saved results like the inline paths") {
+    val viaSets = Panels.c23c(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(viaSets.nonEmpty, "the composed cohort must be non-vacuous")
+    val c23 = Panels.c23(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val c24 = Panels.c24(spark, sfDir).collect().map(_.getLong(0)).toSet
+    // membership = c23 ∩ c24's members; counts = c23's (same panels,
+    // same facts — the set only narrows WHO is evaluated)
+    assert(viaSets.keySet == (c23.keySet intersect c24))
+    viaSets.foreach { case (u, row) => assert(row == c23(u)) }
+  }
+
+  test("combineCohorts implements and/or/not over saved tables") {
+    import spark.implicits._
+    val tag = graft.Scratch.tag(sfDir)
+    val a = Panels.saveCohort(spark, s"alg_a_$tag",
+      Seq(1L, 2L, 3L).toDF("user_id"))
+    val b = Panels.saveCohort(spark, s"alg_b_$tag",
+      Seq(2L, 3L, 4L).toDF("user_id"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(Panels.combineCohorts(spark, "and", a, b)) == Set(2L, 3L))
+    assert(ids(Panels.combineCohorts(spark, "or", a, b)) ==
+      Set(1L, 2L, 3L, 4L))
+    assert(ids(Panels.combineCohorts(spark, "not", a, b)) == Set(1L))
+    intercept[IllegalArgumentException] {
+      Panels.combineCohorts(spark, "xor", a, b)
+    }
+  }
+
   test("saveCohort is replay-stable: a re-save of a name is a no-op") {
     val name = s"replay_${graft.Scratch.tag(sfDir)}"
     val set = graft.operators.Cohort.c01Core(spark, sfDir)
