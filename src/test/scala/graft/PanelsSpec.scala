@@ -333,12 +333,16 @@ class PanelsSpec extends SparkSpec {
   }
 
   test("c23c set algebra composes saved results like the inline paths") {
-    val viaSets = Panels.c23c(spark, sfDir).collect()
+    // sf0.01 (the gate's SF), like the c24 test above: sf0.001's
+    // one-member cohort makes c23 ∩ c24 vacuously empty, and a
+    // non-vacuous composition is the point of the assertion
+    val dir = "/root/testdata/sf0.01"
+    val viaSets = Panels.c23c(spark, dir).collect()
       .map(r => r.getLong(0) -> r.toSeq).toMap
     assert(viaSets.nonEmpty, "the composed cohort must be non-vacuous")
-    val c23 = Panels.c23(spark, sfDir).collect()
+    val c23 = Panels.c23(spark, dir).collect()
       .map(r => r.getLong(0) -> r.toSeq).toMap
-    val c24 = Panels.c24(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val c24 = Panels.c24(spark, dir).collect().map(_.getLong(0)).toSet
     // membership = c23 ∩ c24's members; counts = c23's (same panels,
     // same facts — the set only narrows WHO is evaluated)
     assert(viaSets.keySet == (c23.keySet intersect c24))
