@@ -73,6 +73,19 @@ object GraftConf {
   def passageDfCap(s: SparkSession): Int =
     s.conf.get("spark.graft.dedup.passageDfCap", "50").toInt
 
+  /** Tokens per block of t12's boilerplate segmentation (default 8 —
+    * the recorded oracle's constant; an override is an accuracy/cost
+    * knob that moves the operator off the recorded oracle, like dfCap).
+    */
+  def boilerBlockTokens(s: SparkSession): Int =
+    s.conf.get("spark.graft.boilerplate.blockTokens", "8").toInt
+
+  /** Cross-document frequency at/above which a t12 block is boilerplate
+    * (default 2 — C4's "seen in more than one document" rule).
+    */
+  def boilerDf(s: SparkSession): Int =
+    s.conf.get("spark.graft.boilerplate.df", "2").toInt
+
   /** Build-side size ceiling (bytes) for broadcasting a PAIR-JOIN build
     * side (d05's label twin). Default = Spark's own 10 MB auto-broadcast
     * default. Corpus-sized sides never fit and fall back to a shuffle

@@ -27,6 +27,15 @@ object TextFunctions {
        |    i -> concat($tokensCol[i], ' ', $tokensCol[i+1], ' ', $tokensCol[i+2])))
        |ELSE array() END""".stripMargin)
 
+  /** ALL word 3-gram occurrences (t13's repetition signal needs the
+    * multiplicity the dedup family's distinct shingler drops).
+    */
+  def shingles3All(tokensCol: String): Column = expr(
+    s"""CASE WHEN size($tokensCol) >= 3 THEN
+       |  transform(sequence(0, size($tokensCol) - 3),
+       |    i -> concat($tokensCol[i], ' ', $tokensCol[i+1], ' ', $tokensCol[i+2]))
+       |ELSE array() END""".stripMargin)
+
   /** MinHash as codegen'd aggregates over an exploded (doc, base-hash)
     * frame: the variable-length shingle is xxhash64'd ONCE; each of the k
     * family members is a seeded re-hash of that fixed 8-byte value, and

@@ -349,8 +349,17 @@ object Dedup {
     * identical labels.
     */
   private[graft] def d06Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame =
+    componentsOf(d02Core(s, d).select(col("doc_a"), col("doc_b")), cp)
+      .toDF("doc_id", "keep_id")
+
+  /** Connected components over any (doc_a, doc_b) pair frame →
+    * (id, keep_id = component min). The dedup DECISION is the same
+    * whatever produced the pairs — d06 runs it over d02's text
+    * near-dups, d09 over d05's embedding near-dups.
+    */
+  private[graft] def componentsOf(pairs: DataFrame,
       cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
-    val pairs = d02Core(s, d).select(col("doc_a"), col("doc_b"))
     // LINEAGE TRUNCATION is load-bearing for every iterative DataFrame
     // algorithm: without the checkpoint, iteration k's plan embeds TWO
     // copies of iteration k-1 (join left + union right) — the analyzed
@@ -376,7 +385,7 @@ object Dedup {
     }
     require(converged,
       s"label propagation did not converge within $CC_MAX_ITER iterations")
-    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+    labels.select(col("id"), col("label").as("keep_id"))
   }
 
   def d06(s: SparkSession, d: String): DataFrame =
@@ -391,7 +400,8 @@ object Dedup {
   // (VectorFunctions.vecDot / FloatVecDot) — deterministic on any
   // partitioning, bit-equal to the oracle's unrolled expression
   // (identical left-to-right accumulation; VecDotSpec pins it).
-  def d05(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted pair core — composed by d09's component decision. */
+  private[graft] def d05Core(s: SparkSession, d: String): DataFrame = {
     // self-dots computed once per VECTOR, before the join — at n² pairs
     // recomputing them per pair would be 2/3 of all decimal work; the
     // pairwise dot is the unrolled codegen'd form (embeddings are 64-dim)
@@ -419,8 +429,27 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= COSINE_T)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
-      .transform(Gate.ordered("vec_a", "vec_b"))
   }
+
+  def d05(s: SparkSession, d: String): DataFrame =
+    d05Core(s, d).transform(Gate.ordered("vec_a", "vec_b"))
+
+  // -- d09: SEMANTIC dedup decision over the embedding pairs -------------
+  // SemDeDup-style: d05's cosine near-dup PAIRS turned into the keep/
+  // drop decision the pipeline actually applies — connected components
+  // with the min-id representative, exactly d06's rule over d02's text
+  // pairs. One componentsOf implementation serves both (a~b, b~c ⇒ one
+  // survivor of {a,b,c} whether the similarity was Jaccard or cosine);
+  // the oracle is the same recursive-CTE chain over d05's
+  // oracle-checked pair SQL, so the whole decision is hash-verified
+  // end to end. Scale shape inherits d05's (bucketed candidate join,
+  // loop-codegen'd cosines) plus d06's (per-iteration single shuffle,
+  // checkpointed lineage).
+  def d09(s: SparkSession, d: String): DataFrame =
+    componentsOf(d05Core(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .toDF("vec_id", "keep_id")
+      .transform(Gate.ordered("vec_id"))
 
   // -- d05b: embedding near-dup over REAL coarse quantization ------------
   // d05's verify with the `label` stand-in replaced by the persisted IVF
@@ -757,7 +786,8 @@ object Dedup {
     "d06_dedup_clusters" -> (d06 _),
     "d07_dedup_containment" -> (d07 _),
     "d08_dedup_shared_passage" -> (d08 _),
-    "d08b_dedup_passage_prebuilt" -> (d08b _)
+    "d08b_dedup_passage_prebuilt" -> (d08b _),
+    "d09_dedup_semantic" -> (d09 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -803,6 +833,22 @@ object Dedup {
        | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
        |d06 AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
        | GROUP BY 1)""".stripMargin
+
+  /** d05's pair list as CTEs (e = vectors with self-dots, d05p = the
+    * threshold-passing pairs) — shared by d05's oracle and d09's
+    * recursive-components chain.
+    */
+  private val D05_CTES =
+    s"""e AS (
+       | SELECT vec_id, label, embedding AS v,
+       |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+       | FROM embeddings),
+       |d05p AS (
+       | SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |   (${sqlDotFixed("a.v", "b.v", 64)}) / sqrt(a.nrm * b.nrm) AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       | WHERE cos >= $COSINE_T)""".stripMargin
 
   /** d01's keep decision as a reusable subquery
     * (content_hash, keep_id, n_copies) — shared with Pipeline.p01 so
@@ -910,14 +956,20 @@ object Dedup {
     // the oracle computes the IDENTICAL unrolled fixed-order double dot
     // (sqlDotFixed), so cosines are bit-equal, not merely close
     "d05_dedup_embedding" ->
-      s"""WITH e AS (
-         | SELECT vec_id, label, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
-         | FROM embeddings)
-         |SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM (
-         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  (${sqlDotFixed("a.v", "b.v", 64)}) / sqrt(a.nrm * b.nrm) AS cos
-         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      s"""WITH $D05_CTES
+         |SELECT vec_a, vec_b, cosine FROM d05p
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // d06's recursive-components chain over d05's pair CTE — the
+    // embedding dedup DECISION is hash-verified end to end
+    "d09_dedup_semantic" ->
+      s"""WITH RECURSIVE $D05_CTES,
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM d05p
+         | UNION SELECT vec_b, vec_a FROM d05p),
+         |reach(id, r) AS (
+         | SELECT a, a FROM edges
+         | UNION
+         | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS vec_id, MIN(r) AS keep_id FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

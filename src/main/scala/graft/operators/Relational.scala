@@ -445,6 +445,41 @@ object Relational {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- q32: correlated multi-EXISTS (TPC-H Q21 shape) --------------------
+  // "Suppliers who were the SOLE late supplier on a multi-supplier
+  // order" — the classic EXISTS + NOT-EXISTS correlated pattern (i2b2's
+  // temporal builder emits the same shape for "patients with A and no
+  // B in the same encounter"). The oracle keeps the textbook correlated
+  // subqueries; the Spark side is the decorrelated form a 100 TB plan
+  // needs: ONE per-(order, supplier) aggregate (late flag), ONE
+  // per-order rollup (supplier count + late-supplier count), and a
+  // co-partitioned join back on the order key — three shuffles all on
+  // o_orderkey prefixes, no per-row subquery re-execution anywhere.
+  private val Q32_LATE_DAYS = 60
+
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val lo = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $Q32_LATE_DAYS DAYS"), 1)
+        .otherwise(0)).as("sup_late"))
+    // per-order rollup and the join back share the l_orderkey shuffle
+    // (the aggregate's partitioning satisfies the join's requirement)
+    val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"))
+    lo.join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("sup_late") === 1 && col("n_supp") >= 2 &&
+        col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .transform(Gate.ordered("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -476,12 +511,34 @@ object Relational {
     "q29_column_profile" -> (q29 _),
     "q29b_column_profile_approx" -> (q29b _),
     "q30_grouping_sets" -> (q30 _),
-    "q31_sliding_frequency" -> (q31 _)
+    "q31_sliding_frequency" -> (q31 _),
+    "q32_multi_exists" -> (q32 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // the oracle keeps the CORRELATED form (EXISTS + NOT EXISTS over
+    // the per-(order, supplier) late flags) that the Spark side
+    // decorrelates into the per-order rollup join — same answer proves
+    // the decorrelation faithful
+    "q32_multi_exists" ->
+      s"""WITH lo AS (
+         | SELECT l_orderkey, l_suppkey,
+         |  MAX(CASE WHEN l_shipdate > o_orderdate
+         |    + INTERVAL $Q32_LATE_DAYS DAY THEN 1 ELSE 0 END) AS sup_late
+         | FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         | GROUP BY 1, 2)
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM lo a JOIN supplier ON s_suppkey = a.l_suppkey
+         |WHERE a.sup_late = 1
+         | AND EXISTS (SELECT 1 FROM lo b
+         |  WHERE b.l_orderkey = a.l_orderkey
+         |   AND b.l_suppkey <> a.l_suppkey)
+         | AND NOT EXISTS (SELECT 1 FROM lo c
+         |  WHERE c.l_orderkey = a.l_orderkey
+         |   AND c.l_suppkey <> a.l_suppkey AND c.sup_late = 1)
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
     // epoch_us // 1000000, NOT epoch(): DuckDB's epoch() returns DOUBLE
     // with fractional seconds — a different RANGE ordering key than
     // Spark's integer-truncated seconds; the integer division matches

@@ -579,6 +579,34 @@ object Similarity {
           DIM).as("cos")))
   }
 
+  // -- s06: cosine RANGE search (radius join) ----------------------------
+  // The other batch-serving shape: not "the k nearest" but "EVERYTHING
+  // within the radius" — retrieval filters, near-dup audits and recall
+  // measurement all want the threshold form (a top-k can silently drop
+  // qualifying neighbours past k; a range search can't). Same bounded
+  // probe-set contract as s05: the broadcast nested loop is intrinsic
+  // to exact scoring, stays O(N·|Q|) and linear in the corpus, and the
+  // threshold filter runs inside the scan projection — no window, no
+  // per-probe sort, so the output never materializes more than the
+  // qualifying rows. Probe sets past broadcast size take the s05b
+  // route (bucketed candidate equi-join, then this same threshold).
+  private[graft] val RANGE_T = 0.3
+
+  def s06(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      // same pinned repartition as s05: one parquet file = one input
+      // partition = one task for the whole corpus x probes expansion
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
+      .crossJoin(probeFrame(s, d))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos"))
+      .filter(col("cos") >= RANGE_T)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .transform(graft.Gate.ordered("q_id", "vec_id"))
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -633,7 +661,8 @@ object Similarity {
     "s04_ann_pq" -> (s04 _),
     "s04b_ann_pq_prebuilt" -> (s04b _),
     "s05_knn_join_exact" -> (s05 _),
-    "s05b_knn_join_lsh" -> (s05b _)
+    "s05b_knn_join_lsh" -> (s05b _),
+    "s06_range_search" -> (s06 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -670,6 +699,22 @@ object Similarity {
          |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
          |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cosine
          |FROM r WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+    },
+    // s05's probe scoring without the rank window: every pair at or
+    // above the radius, bit-equal cosines via the same unrolled dot
+    "s06_range_search" -> {
+      val ids = KNN_PROBE_IDS.mkString(", ")
+      s"""WITH e AS (
+         | SELECT vec_id, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings),
+         |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
+         |  WHERE vec_id IN ($ids))
+         |SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM (
+         | SELECT p.q_id, e.vec_id,
+         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         | FROM e, p WHERE e.vec_id <> p.q_id)
+         |WHERE cos >= $RANGE_T ORDER BY q_id, vec_id""".stripMargin
     }
   )
 }

@@ -313,6 +313,81 @@ object TextAnalysis {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- t12: corpus-frequency boilerplate removal (C4-style) --------------
+  // The cleanup step between t09 (intra-doc repeats) and the pair-level
+  // dedups (d02/d08): text BLOCKS that recur across enough DISTINCT
+  // documents are boilerplate (headers, navigation, license banners)
+  // and are cut from every document, keeping the rest in order — C4's
+  // "discard any line seen more than once" rule, re-expressed over
+  // fixed-size token blocks because this corpus has no line structure.
+  // Scale shape: blocks come from an in-row `slice` (no explode until
+  // after the repartition), the document frequency is ONE groupBy with
+  // map-side partials (never a self-join — a block with df=10⁶ costs
+  // one aggregate row, not 10¹² pairs), and the tag-back is a shuffle
+  // join on the block text that AQE can split on skew. Reassembly is
+  // the t09 collect-sort pattern: deterministic on any partitioning.
+  // defaults of the spark.graft.boilerplate.* sizing knobs — the
+  // recorded oracle mirrors THESE (an override is an accuracy/cost
+  // knob, same contract as spark.graft.dedup.dfCap)
+  private val T12_BLOCK = 8 // tokens per block
+  private val T12_DF = 2 // blocks in >= this many docs are boilerplate
+
+  def t12(s: SparkSession, d: String): DataFrame = {
+    val b = graft.GraftConf.boilerBlockTokens(s)
+    val dfT = graft.GraftConf.boilerDf(s)
+    val blocks = documents(s, d)
+      .filter(col("text").isNotNull)
+      // pinned-count repartition before the per-block explode (the
+      // single-input-partition trap — AQE sizes by bytes)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ((size(col("w")) - 1) / b).cast("int")),
+        bi => array_join(slice(col("w"), bi * b + 1, lit(b)), " ")))
+        .as(Seq("bi", "blk")))
+    val df = blocks.groupBy(col("blk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    blocks.join(df, "blk")
+      .withColumn("keep", col("df") < dfT)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(!col("keep"), lit(1))).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("bi"), col("blk"))))),
+          p => p.getField("blk"))).as("clean_text"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
+  // -- t13: intra-document duplicate-n-gram fraction (Gopher signal) -----
+  // The repetition quality filter from the Gopher/MassiveText recipe:
+  // documents whose 3-grams repeat heavily (looping generations, boiler
+  // chrome, scraped nav) are down-weighted or dropped. Complements t09
+  // (which removes CONSECUTIVE token repeats) by scoring repeats at ANY
+  // distance. Count-based form, one definition on both sides: an
+  // occurrence is duplicated iff its 3-gram value occurs ≥2 times in
+  // the SAME document; frac = duplicated occurrences / occurrences.
+  // Scale shape: shingles3 reuses the dedup family's in-row shingler,
+  // the per-(doc, gram) count is one groupBy with map-side partials
+  // (grouping key is doc-scoped so no cross-corpus skew), and the
+  // division is the t10 pattern — all-integer accumulation, one
+  // exact-rounded double at the end.
+  def t13(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("text").isNotNull)
+      // pinned repartition-before-explode, as t09/t10/t11
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles3All("w")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams"), 6))
+      .transform(Gate.ordered("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -324,7 +399,9 @@ object TextAnalysis {
     "t08_pii_redaction" -> (t08 _),
     "t09_dedup_repeats" -> (t09 _),
     "t10_token_commonness" -> (t10 _),
-    "t11_contamination" -> (t11 _)
+    "t11_contamination" -> (t11 _),
+    "t12_boilerplate_blocks" -> (t12 _),
+    "t13_dup_ngram_fraction" -> (t13 _)
   )
 
   private def sqlHits(list: Seq[String]) =
@@ -359,6 +436,40 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ALL 3-gram occurrences (no DISTINCT — multiplicity IS the
+    // signal); docs under 3 tokens drop from both sides identically
+    "t13_dup_ngram_fraction" ->
+      """WITH g AS (
+        | SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE text IS NOT NULL),
+        |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        | CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+        | ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical blocking (1-based list slice mirrors Spark's `slice`),
+    // df over DISTINCT docs, ordered string_agg reassembly; COALESCE
+    // keeps an all-boilerplate doc as '' the way concat_ws does
+    "t12_boilerplate_blocks" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         | WHERE text IS NOT NULL),
+         |blk AS (
+         | SELECT doc_id, bi, array_to_string(
+         |   w[bi * $T12_BLOCK + 1 : (bi + 1) * $T12_BLOCK], ' ') AS blk
+         | FROM tk, LATERAL (SELECT unnest(range(0,
+         |   (len(w) - 1) // $T12_BLOCK + 1)) AS bi) r),
+         |df AS (SELECT blk AS b, COUNT(DISTINCT doc_id) AS df
+         | FROM blk GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         | COUNT(CASE WHEN df >= $T12_DF THEN 1 END) AS n_removed,
+         | COALESCE(string_agg(blk, ' ' ORDER BY bi)
+         |   FILTER (WHERE df < $T12_DF), '') AS clean_text
+         |FROM blk JOIN df ON b = blk
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact-string shingles on the oracle side (the engine joins on
     // xxhash64 — the d02 collision caveat); same split CASE as t05
     "t11_contamination" ->

@@ -179,6 +179,27 @@ class DedupSpec extends SparkSpec {
       "reliable checkpointing must materialize into the given directory")
   }
 
+  test("d09 semantic dedup decision equals an exact union-find over d05's pairs") {
+    val pairs = Dedup.d05(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "vacuous without embedding near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Dedup.d09(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet -- expected.toSet) ++ (expected.toSet -- got.toSet)}")
+  }
+
   test("d05 embedding pairs are symmetric-free and above threshold") {
     val rows = Dedup.d05(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -122,6 +122,39 @@ class SimilaritySpec extends SparkSpec {
       s"s05b must not plan a nested loop:\n$plan")
   }
 
+  test("s06 range search equals an exact driver-side radius scan") {
+    // the SAME left-to-right double summation as vecDot, so membership
+    // at the radius is bit-identical (the d05b spec's brute-force form)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val probes = vecs.filter(v => Similarity.KNN_PROBE_IDS.contains(v._1))
+    val truth = (for {
+      (q, qv) <- probes; (v, vv) <- vecs if v != q
+      c = dot(vv, qv) / math.sqrt(nrm(v) * nrm(q))
+      if c >= Similarity.RANGE_T
+    } yield (q, v) -> c).toMap
+    assert(truth.nonEmpty, "vacuous without in-radius neighbours")
+    val got = Similarity.s06(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == truth.keySet,
+      s"membership diff: ${(got.keySet -- truth.keySet) ++ (truth.keySet -- got.keySet)}")
+    got.foreach { case (k, c) =>
+      assert(math.abs(c - truth(k)) < 1e-6, s"cosine drift at $k") }
+    // a top-k can truncate; the range form must hold every qualifying
+    // neighbour the kNN twin surfaced at or above the radius
+    val fromKnn = Similarity.s05(spark, sfDir).collect()
+      .filter(_.getDouble(3) >= Similarity.RANGE_T)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fromKnn.subsetOf(got.keySet))
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,

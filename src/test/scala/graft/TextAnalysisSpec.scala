@@ -108,6 +108,81 @@ class TextAnalysisSpec extends SparkSpec {
     assert(removedSomething, "the corpus plants stutter runs; t09 must find them")
   }
 
+  test("t12 removes exactly the cross-document repeated blocks, in order") {
+    // independent reference: Scala's grouped(8) IS the non-overlapping
+    // block rule (last block partial), df counted over distinct docs
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val blocksOf = (t: String) =>
+      t.split(" ", -1).grouped(8).map(_.mkString(" ")).toVector
+    val df = docs.flatMap { case (id, t) => blocksOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (b, g) => b -> g.length }
+    val boiler = df.filter(_._2 >= 2).keySet
+    assert(boiler.nonEmpty, "vacuous without cross-doc repeated blocks")
+    val expected = docs.map { case (id, t) =>
+      val bs = blocksOf(t)
+      val kept = bs.filterNot(boiler)
+      id -> ((bs.length.toLong, (bs.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = TextAnalysis.t12(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected,
+      s"first diff: ${got.find { case (k, v) => expected.get(k) != Some(v) }}")
+    // effective but not corpus-destructive (a fully-duplicated doc MAY
+    // legitimately lose all its blocks — exact dups are all-boilerplate)
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.map(_._1).sum > got.values.map(_._2).sum)
+  }
+
+  test("t13 duplicate-n-gram fraction matches a reference sliding-window count") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, t) =>
+      val grams = t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toVector
+      if (grams.isEmpty) None else {
+        val counts = grams.groupBy(identity).view.mapValues(_.length)
+        val dup = counts.values.filter(_ >= 2).sum.toLong
+        Some(id -> ((grams.length.toLong, dup,
+          math.rint(dup.toDouble / grams.length * 1e6) / 1e6)))
+      }
+    }.toMap
+    val got = TextAnalysis.t13(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // the corpus's planted intra-doc repeats make the signal non-vacuous
+    assert(got.values.exists(_._2 > 0))
+  }
+
+  test("t12 honors the spark.graft.boilerplate sizing knobs") {
+    val key = "spark.graft.boilerplate.blockTokens"
+    try {
+      spark.conf.set(key, "5")
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val blocksOf = (t: String) =>
+        t.split(" ", -1).grouped(5).map(_.mkString(" ")).toVector
+      val df = docs.flatMap { case (id, t) => blocksOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (b, g) => b -> g.length }
+      val boiler = df.filter(_._2 >= 2).keySet
+      val expected = docs.map { case (id, t) =>
+        val bs = blocksOf(t)
+        id -> ((bs.length.toLong, bs.count(boiler).toLong,
+          bs.filterNot(boiler).mkString(" ")))
+      }.toMap
+      val got = TextAnalysis.t12(spark, sfDir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected)
+    } finally spark.conf.unset(key)
+  }
+
   test("t08 redaction finds every planted PII item and leaves no residue") {
     val rows = TextAnalysis.t08(spark, sfDir).collect()
     assert(rows.nonEmpty)
