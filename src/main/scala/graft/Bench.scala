@@ -29,14 +29,37 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
-  /** The bench_last.json overwrite decision, pure for testing: a
-    * contended run may only replace a record that is itself stamped
-    * contended (or nothing at all); a clean run always records. A
-    * missing stamp in `existing` reads as clean (pre-r6 files).
+  /** The bench_last.json overwrite decision, pure for testing.
+    *
+    * The r6 gate (refuse only when 1-min load > cores/2) proved too
+    * loose in r7: a loadavg-9.4 run on 32 cores passed it and replaced
+    * the loadavg-0.6 official record with timings ~25% slower across
+    * the board. The record's quality bar is therefore RELATIVE to the
+    * record: a run only replaces a cleaner record if its own starting
+    * load is comparable (within +1.0), it actually measured faster
+    * (self-evidently not contention-inflated), or the query suite
+    * changed while the machine is near-idle (load ≤ 3) — a stale
+    * record over a stale-but-clean one. A missing stamp/load in
+    * `existing` reads as clean (pre-r6 files keep the old semantics).
     */
-  private[graft] def shouldRecord(contended: Boolean,
-      existing: Option[String]): Boolean =
-    !contended || existing.forall(_.contains("\"contended\":true"))
+  private[graft] def shouldRecord(contended: Boolean, load1: Double,
+      nQueries: Int, total: Double, existing: Option[String]): Boolean =
+    existing match {
+      case None => true
+      case Some(prev) =>
+        if (contended && !prev.contains("\"contended\":true")) false
+        else if (prev.contains("\"contended\":true")) true
+        else {
+          def num(key: String): Option[Double] =
+            s""""$key":"?([0-9.]+)""".r.findFirstMatchIn(prev)
+              .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+          val prevLoad = num("loadavg_before").getOrElse(0.0)
+          val prevN = num("n_queries").map(_.toInt).getOrElse(nQueries)
+          val prevTotal = num("value").getOrElse(Double.MaxValue)
+          load1 <= prevLoad + 1.0 || total < prevTotal ||
+            (nQueries != prevN && load1 <= 3.0)
+        }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,10 +164,10 @@ object Bench {
         else None
       if (only.nonEmpty)
         System.err.println("[bench] SPARK_GRAFT_ONLY subset — docs/bench_last.json not written")
-      else if (shouldRecord(contended, existing))
+      else if (shouldRecord(contended, load1, results.size, total, existing))
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       else
-        System.err.println(s"[bench] CONTENDED run (load $load1 on $machineCores cores) — docs/bench_last.json keeps the earlier cleaner record")
+        System.err.println(s"[bench] run at load $load1 is dirtier than the recorded one — docs/bench_last.json keeps the earlier cleaner record")
     } catch { case _: Throwable => () } // bench result must still print
     println(line)
     spark.stop()

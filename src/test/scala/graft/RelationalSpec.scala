@@ -107,6 +107,47 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must contain at least one burst user")
   }
 
+  test("q32 equals a driver-side correlated EXISTS evaluation, one scan each") {
+    // independent reference: evaluate the textbook correlated form
+    // (EXISTS + NOT EXISTS) directly over collected rows
+    def millis(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val odate = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> millis(r, 1)).toMap
+    val late = scala.collection.mutable.Map[(Long, Long), Boolean]()
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        val isLate = millis(r, 2) >
+          odate(r.getLong(0)) + 60L * 86400000
+        late(k) = late.getOrElse(k, false) || isLate
+      }
+    val byOrder = late.keys.groupBy(_._1)
+    val expected = late.collect {
+      case ((ok, sk), true)
+        if byOrder(ok).exists(_._2 != sk) &&
+          !byOrder(ok).exists(p => p._2 != sk && late(p)) => sk
+    }.groupBy(identity).map { case (sk, g) => sk -> g.size.toLong }
+    val names = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val df = Relational.queries("q32_multi_exists")(spark, sfDir)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (sk, n) => names(sk) -> n })
+    // the expensive subtree (scan + join + per-(order, supplier) flags)
+    // is computed ONCE: its shuffle feeds both the per-order rollup and
+    // the join back, so the FINAL adaptive plan reuses the exchange —
+    // the naive correlated form would re-run it per subquery
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") ||
+      "lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"the per-(order, supplier) flags must be computed once:\n$plan")
+  }
+
   test("q24 covers every nation that has customers or suppliers") {
     val rows = Relational.q24(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))
@@ -116,17 +157,27 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("Bench's contention gate never lets a contended run replace a cleaner record") {
-    // clean runs always record
-    assert(Bench.shouldRecord(contended = false, None))
-    assert(Bench.shouldRecord(contended = false, Some("""{"contended":true}""")))
-    assert(Bench.shouldRecord(contended = false, Some("""{"contended":false}""")))
-    // contended runs record only over nothing or another contended run
-    assert(Bench.shouldRecord(contended = true, None))
-    assert(Bench.shouldRecord(contended = true, Some("""{"contended":true}""")))
-    assert(!Bench.shouldRecord(contended = true, Some("""{"contended":false}""")))
-    // a pre-gate record with no stamp reads as clean — keep it
-    assert(!Bench.shouldRecord(contended = true, Some("""{"value":58.5}""")))
+  test("Bench's record gate never lets a dirtier run replace a cleaner record") {
+    val clean = """{"contended":false,"loadavg_before":"0.59 1.2 1.5",""" +
+      """"n_queries":124,"value":54.1}"""
+    // anything records over nothing or over a contended record
+    assert(Bench.shouldRecord(contended = false, 0.5, 124, 50.0, None))
+    assert(Bench.shouldRecord(contended = true, 20.0, 124, 80.0, None))
+    assert(Bench.shouldRecord(contended = false, 2.0, 124, 55.0,
+      Some("""{"contended":true,"loadavg_before":"17.0","value":80.0}""")))
+    // comparably-idle or faster runs refresh the record
+    assert(Bench.shouldRecord(contended = false, 1.4, 124, 55.0, Some(clean)))
+    assert(Bench.shouldRecord(contended = false, 4.0, 124, 53.0, Some(clean)))
+    // the r7 failure mode: sub-cores/2 load but far dirtier than the
+    // record, slower, same-ish suite — REFUSED now
+    assert(!Bench.shouldRecord(contended = false, 9.42, 124, 63.2, Some(clean)))
+    // a changed suite refreshes only from a near-idle machine
+    assert(Bench.shouldRecord(contended = false, 2.8, 130, 60.0, Some(clean)))
+    assert(!Bench.shouldRecord(contended = false, 9.42, 130, 63.2, Some(clean)))
+    // contended runs still never replace a clean record, stamp or not
+    assert(!Bench.shouldRecord(contended = true, 20.0, 124, 80.0, Some(clean)))
+    assert(!Bench.shouldRecord(contended = true, 20.0, 124, 80.0,
+      Some("""{"value":58.5}""")))
   }
 
   test("every query has a matching oracle or is documented rows-only") {
