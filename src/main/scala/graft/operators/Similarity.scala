@@ -607,6 +607,32 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cosine"))
       .transform(graft.Gate.ordered("q_id", "vec_id"))
 
+  // -- s07: FILTERED k-NN join (metadata predicate + top-k) --------------
+  // The vector-DB serving shape s05 doesn't cover: "nearest neighbours
+  // AMONG the rows matching a metadata predicate" (tenant, language,
+  // date range — here the label attribute). Post-filtering a top-k is
+  // WRONG semantics (the filter can empty the k and qualifying
+  // neighbours past rank k are lost); s07 pre-filters, so the top-k is
+  // computed over exactly the qualifying subset. The predicate sits
+  // before everything else and reaches the parquet scan as a pushed
+  // filter (spec-asserted) — at 100 TB a selective predicate prunes
+  // the corpus BEFORE the O(N·|Q|) scoring pays for it, and with a
+  // label-partitioned layout it would prune whole files.
+  private[graft] val S07_MAX_LABEL = 4
+
+  def s07(s: SparkSession, d: String): DataFrame =
+    topKPerProbe(embeddings(s, d)
+      .filter(col("label") < S07_MAX_LABEL)
+      // pinned repartition AFTER the filter: less to shuffle, and the
+      // corpus x probes expansion still spreads over the cores
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
+      .crossJoin(probeFrame(s, d))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -662,7 +688,8 @@ object Similarity {
     "s04b_ann_pq_prebuilt" -> (s04b _),
     "s05_knn_join_exact" -> (s05 _),
     "s05b_knn_join_lsh" -> (s05b _),
-    "s06_range_search" -> (s06 _)
+    "s06_range_search" -> (s06 _),
+    "s07_knn_join_filtered" -> (s07 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -715,6 +742,27 @@ object Similarity {
          |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
          | FROM e, p WHERE e.vec_id <> p.q_id)
          |WHERE cos >= $RANGE_T ORDER BY q_id, vec_id""".stripMargin
+    },
+    // pre-filter semantics: the top-k ranks over exactly the
+    // label-qualifying subset; probes stay unfiltered (a probe outside
+    // the predicate still queries)
+    "s07_knn_join_filtered" -> {
+      val ids = KNN_PROBE_IDS.mkString(", ")
+      s"""WITH e AS (
+         | SELECT vec_id, label, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings),
+         |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
+         |  WHERE vec_id IN ($ids)),
+         |scored AS (
+         | SELECT p.q_id, f.vec_id,
+         |  (${sqlDotFixed("f.v", "p.qv", 64)}) / sqrt(f.nrm * p.qnrm) AS cos
+         | FROM (SELECT * FROM e WHERE label < $S07_MAX_LABEL) f, p
+         | WHERE f.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
+         |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
     }
   )
 }

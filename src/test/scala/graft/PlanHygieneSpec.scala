@@ -20,13 +20,16 @@ class PlanHygieneSpec extends SparkSpec {
   // is ONE asset's few frames (O(frames·corpus), linear in the corpus).
   // s06_range_search is s05's shape minus the rank window — the same
   // FIXED 10-probe build side, O(N·10), linear in the corpus.
+  // s07_knn_join_filtered is s05's shape over the predicate-pruned
+  // corpus — strictly less work than s05, same bounded build side.
   private val scalarCross = Set(
     "c10_funnel",
     "s01_ann_bruteforce",
     "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
     "s04_ann_pq", "s04b_ann_pq_prebuilt",
-    "s05_knn_join_exact", "s06_range_search", "p02_multimodal_ann")
+    "s05_knn_join_exact", "s06_range_search", "s07_knn_join_filtered",
+    "p02_multimodal_ann")
 
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

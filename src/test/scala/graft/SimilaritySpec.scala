@@ -155,6 +155,33 @@ class SimilaritySpec extends SparkSpec {
     assert(fromKnn.subsetOf(got.keySet))
   }
 
+  test("s07 filtered kNN: pre-filter semantics, predicate pushed to the scan") {
+    val df = Similarity.s07(spark, sfDir)
+    val got = df.collect()
+    // every neighbour satisfies the predicate; probes are unfiltered
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(labels(r.getLong(2)) < Similarity.S07_MAX_LABEL) }
+    assert(got.map(_.getLong(0)).distinct.length ==
+      Similarity.KNN_PROBE_IDS.length)
+    // pre-filter is NOT post-filter: filtering s05's top-k must lose
+    // rows somewhere (qualifying neighbours past rank k), while s07
+    // keeps a full k per probe
+    val post = Similarity.s05(spark, sfDir).collect()
+      .filter(r => labels(r.getLong(2)) < Similarity.S07_MAX_LABEL)
+    assert(post.length < got.length,
+      "post-filtering the unfiltered top-k should lose qualifying rows")
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 10, s"probe $q must keep a full k") }
+    // the predicate reaches the parquet reader, not a post-scan filter
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedFilters: [IsNotNull(label), LessThan(label,4)"),
+      s"label predicate must be pushed into the scan:\n$plan")
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,
