@@ -191,17 +191,25 @@ object RoundTrip {
     * those keys and untouched rows elsewhere. Deterministic update rule
     * (key mod 10) so DuckDB recomputes the expected table from source.
     */
-  def src08(s: SparkSession, d: String): DataFrame = {
-    val path = s"$scratch/src08_upsert/${graft.Scratch.tag(d)}"
-    val base = orders(s, d)
+  /** The src08 update feed, shared with the streaming twin (st06):
+    * base generation 0 and a generation-1 delta touching every 10th
+    * order — deterministic so DuckDB recomputes the expected table.
+    */
+  private[graft] def src08Base(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .withColumn("__v", lit(0L))
-    val delta = orders(s, d)
+
+  private[graft] def src08Delta(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
       .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
       .withColumn("__v", lit(1L))
-    upsertLatest(base, delta, "o_orderkey", "__v")
+
+  def src08(s: SparkSession, d: String): DataFrame = {
+    val path = s"$scratch/src08_upsert/${graft.Scratch.tag(d)}"
+    upsertLatest(src08Base(s, d), src08Delta(s, d), "o_orderkey", "__v")
       .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
       .transform(Gate.ordered("o_orderkey"))

@@ -335,12 +335,86 @@ object EventStreams {
         countDistinct(col("user_id")).as("n_users"))
       .transform(Gate.ordered("day"))
 
+  // ---------------------------------------------------------------- st06
+  // Continuous latest-wins upsert: the CDC materialization face. src08
+  // applies a finished delta BATCH; a live feed delivers update rows
+  // continuously, and the materialized table must always show each
+  // key's latest version. ONE decision rule serves both paths —
+  // `better` mirrors upsertLatest's (version desc, whole-row-hash)
+  // order exactly, including the replayed-import tie-break, so the
+  // stream's converged state IS the batch answer (StreamingSpec proves
+  // it across micro-batches, and that a replayed delta emits nothing).
+  case class Upd(o_orderkey: Long, o_orderstatus: String,
+      o_totalprice: Double, __v: Long, __h: Long)
+  case class Latest(o_orderkey: Long, o_orderstatus: String,
+      o_totalprice: Double, __v: Long)
+
+  /** upsertLatest's winner decision as a pure total-order comparator
+    * (max under it is commutative + associative → safe for partial
+    * aggregation and arrival-order-free streaming state).
+    */
+  private[graft] def better(a: Upd, b: Upd): Boolean =
+    a.__v > b.__v || (a.__v == b.__v && a.__h < b.__h)
+
+  /** The whole-row hash upsertLatest tie-breaks on, computed BEFORE the
+    * typed fold (columns in frame order, __h excluded — identical to
+    * the batch path's xxhash64(struct(*))).
+    */
+  private[graft] def withUpdHash(updates: DataFrame): DataFrame =
+    updates.withColumn("__h",
+      xxhash64(struct(updates.columns.map(col): _*)))
+
+  private def upsertState(key: Long, rows: Iterator[Upd],
+      state: GroupState[Upd]): Iterator[Latest] = {
+    var best = state.getOption.orNull
+    var changed = false
+    rows.foreach { r =>
+      if (best == null || better(r, best)) { best = r; changed = true }
+    }
+    if (!changed) Iterator.empty
+    else {
+      state.update(best)
+      Iterator.single(Latest(best.o_orderkey, best.o_orderstatus,
+        best.o_totalprice, best.__v))
+    }
+  }
+
+  /** The live materialization: emits a key's new latest row whenever an
+    * update wins; a losing or replayed update emits nothing.
+    */
+  def upsertStream(s: SparkSession, updates: Dataset[Upd]): Dataset[Latest] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    updates.groupByKey(_.o_orderkey)
+      .flatMapGroupsWithState[Upd, Latest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(upsertState)
+  }
+
+  /** Exact batch twin — the `queries` entry (src08's oracle): the same
+    * comparator folded with reduceGroups, which — unlike src08's
+    * window — partial-aggregates map-side (at 100 TB the shuffle
+    * carries one candidate row per key per map task, not the feed).
+    */
+  def st06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = graft.sources.RoundTrip.src08Base(s, d)
+      .unionByName(graft.sources.RoundTrip.src08Delta(s, d))
+    withUpdHash(u).as[Upd]
+      .groupByKey(_.o_orderkey)
+      .reduceGroups((a: Upd, b: Upd) => if (better(b, a)) b else a)
+      .map(_._2)
+      .toDF()
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),
     "st03_stream_attribution_join" -> (st03 _),
     "st04_stream_daily_report" -> (st04 _),
-    "st05_stream_document_ingest" -> (st05 _)
+    "st05_stream_document_ingest" -> (st05 _),
+    "st06_stream_upsert" -> (st06 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,6 +456,10 @@ object EventStreams {
     "st05_stream_document_ingest" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the typed comparator must reproduce src08's windowed upsert
+    // exactly, so it shares src08's oracle
+    "st06_stream_upsert" ->
+      graft.sources.RoundTrip.oracle("src08_upsert_latest")
   )
 }

@@ -300,6 +300,41 @@ class StreamingSpec extends SparkSpec {
     assert(twin.map(_.toSeq) == c09.map(_.toSeq))
   }
 
+  test("st06 streaming upsert converges to src08 and ignores replays") {
+    import spark.implicits._
+    def updRows(df: org.apache.spark.sql.DataFrame): Seq[EventStreams.Upd] =
+      EventStreams.withUpdHash(df).as[EventStreams.Upd].collect().toSeq
+    val base = updRows(graft.sources.RoundTrip.src08Base(spark, sfDir))
+    val delta = updRows(graft.sources.RoundTrip.src08Delta(spark, sfDir))
+
+    val input = MemoryStream[EventStreams.Upd](spark)
+    val q = EventStreams.upsertStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("st06_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(base); q.processAllAvailable()
+      input.addData(delta); q.processAllAvailable()
+      val afterFeed = spark.table("st06_out").collect().length
+      // a full replay of both generations must not emit a single row:
+      // every update loses (or ties, by the same stable hash) against
+      // the state it already wrote
+      input.addData(base ++ delta); q.processAllAvailable()
+      assert(spark.table("st06_out").collect().length == afterFeed,
+        "replayed updates must be absorbed by state, not re-emitted")
+      // materialized view = per-key latest emission (emissions are
+      // strictly improving, so max __v per key is the converged state)
+      val latest = spark.table("st06_out")
+        .as[EventStreams.Latest].collect()
+        .groupBy(_.o_orderkey)
+        .map { case (_, rows) => rows.maxBy(_.__v) }
+        .map(l => (l.o_orderkey, l.o_orderstatus, l.o_totalprice)).toSet
+      val batch = graft.sources.RoundTrip.src08(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(latest == batch,
+        s"missing=${(batch -- latest).take(3)} extra=${(latest -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("continuous document ingest accumulates to src13's batch answer") {
     import org.apache.spark.sql.functions.{col, date_format}
     val dir = graft.sources.RoundTrip.cdaCorpus(spark, sfDir)
