@@ -119,6 +119,24 @@ class RobustnessSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-8 text/embedding operators are empty-corpus safe") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val dir = s"${graft.Scratch.dir}/r8_empty"
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // no blocks/grams → empty, not a crash in the slice/sequence path
+    assert(TextAnalysis.t12(spark, dir).count() == 0)
+    assert(TextAnalysis.t13(spark, dir).count() == 0)
+    // componentsOf over zero pairs converges immediately (no labels)
+    assert(Dedup.d09(spark, dir).count() == 0)
+    // an empty probe frame makes both serving shapes empty
+    assert(Similarity.s06(spark, dir).count() == 0)
+    assert(Similarity.s07(spark, dir).count() == 0)
+  }
+
   test("patient erasure of an absent patient set is a complete no-op") {
     import org.apache.spark.sql.functions._
     val layout = s"${graft.Scratch.dir}/robust_src11"
