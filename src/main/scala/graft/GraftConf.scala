@@ -86,6 +86,23 @@ object GraftConf {
   def boilerDf(s: SparkSession): Int =
     s.conf.get("spark.graft.boilerplate.df", "2").toInt
 
+  /** Shard byte budget of m05's export packing (default 4096 — sized to
+    * this corpus's ~300-char assets; production shards are ~100 MB-1 GB.
+    * The recorded oracle mirrors the default, like dfCap).
+    */
+  def shardBytes(s: SparkSession): Long =
+    s.conf.get("spark.graft.shard.bytes", "4096").toLong
+
+  /** Expected corpus-key count of d10's ingest bloom filter (default
+    * 10⁶ — Spark's own runtime-filter default). Size to the corpus:
+    * the sketch costs ~1.2 bytes/key at the built-in fpp, so a
+    * 10⁹-doc corpus is ~1.2 GB — still ONE broadcastable artifact;
+    * past that, range-partition the corpus and keep one filter per
+    * range.
+    */
+  def bloomItems(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.bloomItems", "1000000").toLong
+
   /** Build-side size ceiling (bytes) for broadcasting a PAIR-JOIN build
     * side (d05's label twin). Default = Spark's own 10 MB auto-broadcast
     * default. Corpus-sized sides never fit and fall back to a shuffle

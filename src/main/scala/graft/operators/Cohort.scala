@@ -474,6 +474,69 @@ object Cohort {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- c30: concept co-occurrence with lift (the comorbidity matrix) -----
+  // "Which concept PAIRS appear together in the same patient-day far
+  // more often than chance?" — the co-occurrence/market-basket analytic
+  // clinical warehouses run for comorbidity screens. Scale shape: the
+  // raw facts are read ONCE and leave the corpus-sized world in a
+  // single keyed aggregate — collect_set collapses each (patient, day)
+  // basket to its sorted concept set (map-side partials, set size ≤
+  // vocabulary). Pairs (a<b from the sorted set), per-concept margins
+  // (x, NULL) and the basket marker (NULL, NULL) are then emitted from
+  // ONE in-row expansion — Σk² per basket with k ≤ vocabulary, never
+  // events², and never a self-join (a pair self-join here re-scans and
+  // re-shuffles the corpus once per consumer: the first cut of this
+  // operator planned FIVE events scans) — and a single vocabulary²-key
+  // count (map-side combined, no skew key: the hottest pair is one
+  // integer per task) yields all three statistics. That tiny counted
+  // frame is checkpointed (d06's materialization move — the lineage
+  // behind it is the one corpus pass, which must not re-execute per
+  // branch) and joined back to itself broadcast-wise. Lift's division
+  // is the t10 rule: all-integer numerator/denominator (each < 2^53),
+  // ONE correctly-rounded double divide — bit-equal on every engine.
+  // MIN_PAIRS prunes the noise floor (and bounds the output) the same
+  // way on both sides. The in-row pair lambdas run interpreted, but
+  // over ≤vocabulary-element arrays — noise next to the corpus scan.
+  private[graft] val C30_MIN_PAIRS = 50
+
+  def c30(s: SparkSession, d: String): DataFrame = c30Core(s, d)
+
+  /** Core with the materialization strategy exposed (d06's convention:
+    * LocalCheckpointer single-JVM, ReliableCheckpointer on a cluster).
+    */
+  private[graft] def c30Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val counted = cp(events(s, d)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("cs"))
+      .select(explode(concat(
+        expr("flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), y -> struct(x AS a, y AS b))))"),
+        expr("transform(cs, x -> struct(x AS a, CAST(NULL AS STRING) AS b))"),
+        expr("array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b))")
+      )).as("k"))
+      .groupBy(col("k.a").as("a"), col("k.b").as("b"))
+      .agg(count(lit(1)).as("n")))
+    val pairs = counted
+      .filter(col("b").isNotNull && col("n") >= C30_MIN_PAIRS)
+      .select(col("a").as("et_a"), col("b").as("et_b"), col("n").as("n_ab"))
+    val margins = counted.filter(col("a").isNotNull && col("b").isNull)
+    val total = counted.filter(col("a").isNull)
+      .select(col("n").as("n_baskets"))
+    pairs
+      .join(broadcast(margins.select(col("a").as("et_a"), col("n").as("n_a"))),
+        "et_a")
+      .join(broadcast(margins.select(col("a").as("et_b"), col("n").as("n_b"))),
+        "et_b")
+      .crossJoin(broadcast(total))
+      .select(col("et_a"), col("et_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .transform(Gate.ordered("et_a", "et_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -496,13 +559,31 @@ object Cohort {
     "c21_concept_subtree" -> (c21 _),
     "c22_federated_counts" -> (c22 _),
     "c27_patient_timeline" -> (c27 _),
-    "c28_cohort_bands" -> (c28 _)
+    "c28_cohort_bands" -> (c28 _),
+    "c30_concept_cooccurrence" -> (c30 _)
   )
 
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    "c30_concept_cooccurrence" ->
+      s"""WITH b AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         |  event_type FROM events),
+         | t AS (SELECT event_type, COUNT(*) AS n_t FROM b GROUP BY 1),
+         | tot AS (SELECT COUNT(*) AS n_baskets
+         |  FROM (SELECT DISTINCT user_id, day FROM b)),
+         | p AS (SELECT a.event_type AS et_a, c.event_type AS et_b,
+         |  COUNT(*) AS n_ab
+         |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+         |   AND a.event_type < c.event_type
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $C30_MIN_PAIRS)
+         |SELECT et_a, et_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+         | CAST(n_ab * n_baskets AS DOUBLE) /
+         |  CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+         |FROM p JOIN t ta ON ta.event_type = et_a
+         | JOIN t tb ON tb.event_type = et_b CROSS JOIN tot
+         |ORDER BY et_a, et_b""".stripMargin,
     "c01_panel_cohort" ->
       s"""SELECT user_id, ${nOfSql("signup")}, ${nOfSql("view")},
          | ${nOfSql("purchase")}, ${nOfSql("error")}

@@ -459,6 +459,50 @@ object Dedup {
       .toDF("vec_id", "keep_id")
       .transform(Gate.ordered("vec_id"))
 
+  // -- d10: bloom-gated incremental exact dedup (the ingest gate) --------
+  // The d01 decision for a DELTA batch arriving against a huge existing
+  // corpus — the nightly-import shape (the reference re-imports CDA
+  // batches daily; a training pipeline ingests crawl snapshots). A
+  // plain delta-vs-corpus join re-shuffles the CORPUS every batch; the
+  // 100 TB move is Spark's own runtime-filter idea made explicit: ONE
+  // aggregate pass builds a constant-size bloom filter over the corpus
+  // content hashes (BloomFilterAggregate — distributed, mergeable,
+  // sized by spark.graft.dedup.bloomItems), the delta probes it as a
+  // codegen'd literal predicate, and only the SURVIVORS (true dups +
+  // the fp tail) reach the exact hash join — which AQE then plans as a
+  // broadcast of the tiny candidate set against the corpus scan. False
+  // positives cost extra verification, never a wrong answer: the exact
+  // join confirms every survivor, and DedupSpec proves the result
+  // EQUALS the plain hash-join decision. In steady state the filter is
+  // a persisted sidecar of the corpus (bit arrays OR-merge, so a
+  // batch's filter folds into the corpus filter without a rebuild —
+  // the incremental-index move of d03b/d08b in sketch form). The gate
+  // scenario is a PARTIAL REPLAY — the failure-recovery shape every
+  // import pipeline hits (the corpus texts are all-distinct, so
+  // disjoint slices would make the decision vacuous): the delta
+  // (doc_id%5==4) overlaps the corpus (doc_id%3!=2), so ~2/3 of the
+  // batch must resolve to its already-landed copy and the rest must
+  // come back NULL (genuinely new).
+  private def d10Hashed(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+
+  def d10(s: SparkSession, d: String): DataFrame = {
+    val corpus = d10Hashed(s, d).filter(col("doc_id") % 3 =!= 2)
+    val delta = d10Hashed(s, d).filter(col("doc_id") % 5 === 4)
+    val bf = graft.functions.Bloom.buildBytes(
+      corpus, col("h"), graft.GraftConf.bloomItems(s))
+    val candidates = delta.filter(graft.functions.Bloom.mightContain(bf, col("h")))
+    // exact verify: only candidate hashes touch the corpus join, and
+    // the per-hash min corpus id is the canonical duplicate target
+    val dupOf = corpus
+      .join(candidates.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("dup_of"))
+    delta.join(dupOf, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("dup_of"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   // -- d05b: embedding near-dup over REAL coarse quantization ------------
   // d05's verify with the `label` stand-in replaced by the persisted IVF
   // dedup cells (Similarity.ensureIvfDedupCells: k-means centroids,
@@ -795,7 +839,8 @@ object Dedup {
     "d07_dedup_containment" -> (d07 _),
     "d08_dedup_shared_passage" -> (d08 _),
     "d08b_dedup_passage_prebuilt" -> (d08b _),
-    "d09_dedup_semantic" -> (d09 _)
+    "d09_dedup_semantic" -> (d09 _),
+    "d10_dedup_incremental_bloom" -> (d10 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -915,6 +960,15 @@ object Dedup {
     "d01_dedup_exact" ->
       s"""SELECT content_hash, keep_id, n_copies
          |FROM $D01_GROUPS_SQL g ORDER BY keep_id""".stripMargin,
+    // the bloom gate is invisible to the answer (fp survivors are
+    // exact-verified away), so the oracle is the plain hash left-join:
+    // each delta doc's duplicate target in the corpus slice, or NULL
+    "d10_dedup_incremental_bloom" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT d.doc_id,
+        | (SELECT MIN(c.doc_id) FROM h c
+        |  WHERE c.doc_id % 3 <> 2 AND c.h = d.h) AS dup_of
+        |FROM h d WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin,
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,

@@ -236,11 +236,46 @@ object Multimodal {
       .filter(col("energy") >= ENERGY_MIN)
       .transform(Gate.ordered("doc_id", "win_no"))
 
+  // -- m05: size-bounded shard manifest (the WebDataset export shape) ----
+  // Training jobs read media as sequential SHARDS, not per-asset files;
+  // the export step packs assets into byte-bounded shards and emits the
+  // manifest readers use for work assignment (resume offsets, balance,
+  // integrity). Packing is t07's starting-offset bin applied per SOURCE
+  // stream (the natural shard prefix — one crawl stream, one site):
+  // within a source, assets in doc_id order bin by starting-byte-offset
+  // div the shard budget (spark.graft.shard.bytes). Sources pack
+  // independently — embarrassingly parallel, ONE shuffle on source
+  // serving both the running-sum window and the manifest aggregate —
+  // and no shard's contents ever depend on another source's data, so
+  // adding a source never repacks existing shards. Manifest identity
+  // fields (min/max content hash, doc range, byte total) are
+  // order-independent aggregates: the manifest is partition-stable and
+  // each field is exact in the oracle.
+  def m05(s: SparkSession, d: String): DataFrame = {
+    val b = graft.GraftConf.shardBytes(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
+      .groupBy(col("source"), expr(s"start_off div $b").as("shard_no"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_chars")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+      .transform(Gate.ordered("source", "shard_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_frame_features" -> (m03 _),
     "m04_audio_windows" -> (m04 _),
+    "m05_shard_manifest" -> (m05 _),
     "p02_multimodal_ann" -> (p02 _)
   )
 
@@ -271,6 +306,21 @@ object Multimodal {
     "m03_frame_features" ->
       s"""$M03_FEATS_SQL
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // the packing rule verbatim: per-source running byte offset, offset
+    // div the (default) shard budget, order-independent manifest fields.
+    // HUGEINT window/group sums cast back to BIGINT to match Spark.
+    "m05_shard_manifest" ->
+      """WITH a AS (
+        | SELECT doc_id, source, n_chars, md5(text) AS h,
+        |  CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |   AS BIGINT) AS start_off
+        | FROM documents)
+        |SELECT source, start_off // 4096 AS shard_no,
+        | COUNT(*) AS n_assets, CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        | MIN(h) AS h_min, MAX(h) AS h_max
+        |FROM a GROUP BY 1, 2 ORDER BY source, shard_no""".stripMargin,
     // the composed bridge: m03's feature CTE verbatim, all-integer
     // dot/norms, one double division + sqrt per pair — rank order is
     // bit-stable on both engines

@@ -181,7 +181,8 @@ object Relational {
       .orderBy("orderstatus", "orderpriority")
 
   // -- q14: pivot via conditional aggregation --------------------------
-  def q14(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted wide core — q14 sorts it; q33 melts it back to long form. */
+  private def q14Core(s: SparkSession, d: String): DataFrame = {
     def seg(name: String): Column =
       coalesce(dsum(when(col("c_mktsegment") === name, col("c_acctbal"))), lit(0.0))
     customer(s, d)
@@ -190,8 +191,10 @@ object Relational {
       .agg(seg("AUTOMOBILE").as("automobile"), seg("BUILDING").as("building"),
         seg("FURNITURE").as("furniture"), seg("HOUSEHOLD").as("household"),
         seg("MACHINERY").as("machinery"))
-      .orderBy("n_name")
   }
+
+  def q14(s: SparkSession, d: String): DataFrame =
+    q14Core(s, d).orderBy("n_name")
 
   // -- q15: exact percentiles per group --------------------------------
   def q15(s: SparkSession, d: String): DataFrame =
@@ -480,6 +483,24 @@ object Relational {
       .transform(Gate.ordered("s_name"))
   }
 
+  // -- q33: UNPIVOT (wide → long melt) -----------------------------------
+  // The inverse of q14's pivot: per-segment balance columns melt back
+  // into (n_name, segment, balance) rows. Spark's `unpivot` is ONE
+  // Expand over the already-aggregated wide frame — no join, no extra
+  // shuffle beyond q14's own aggregate (the Expand multiplies rows
+  // AFTER the group-by, when the frame is nation-sized, not
+  // customer-sized). The long form is what generic (dimension, measure)
+  // consumers want — melting 100 TB of per-column metrics this way
+  // costs only the width factor, never a second scan per column.
+  private val Q33_SEGS =
+    Seq("automobile", "building", "furniture", "household", "machinery")
+
+  def q33(s: SparkSession, d: String): DataFrame =
+    q14Core(s, d)
+      .unpivot(Array(col("n_name")), Q33_SEGS.map(col).toArray,
+        "segment", "balance")
+      .transform(Gate.ordered("n_name", "segment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -512,7 +533,8 @@ object Relational {
     "q29b_column_profile_approx" -> (q29b _),
     "q30_grouping_sets" -> (q30 _),
     "q31_sliding_frequency" -> (q31 _),
-    "q32_multi_exists" -> (q32 _)
+    "q32_multi_exists" -> (q32 _),
+    "q33_unpivot" -> (q33 _)
   )
 
   private val REV = "l_extendedprice * (1 - l_discount)"
@@ -657,6 +679,26 @@ object Relational {
          | ${seg("HOUSEHOLD", "household")}, ${seg("MACHINERY", "machinery")}
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    // the melt is a UNION ALL over the same wide CTE — one branch per
+    // measure column, the ANSI spelling of what Spark's Expand does in
+    // a single pass
+    "q33_unpivot" -> {
+      def seg(nm: String, alias: String) =
+        s"COALESCE(${sqlDsum(s"CASE WHEN c_mktsegment = '$nm' THEN c_acctbal END")}, 0.0) AS $alias"
+      val wide =
+        s"""SELECT n_name, ${seg("AUTOMOBILE", "automobile")},
+           | ${seg("BUILDING", "building")}, ${seg("FURNITURE", "furniture")},
+           | ${seg("HOUSEHOLD", "household")}, ${seg("MACHINERY", "machinery")}
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin
+      val branches = Q33_SEGS.map(c =>
+        s"SELECT n_name, '$c' AS segment, $c AS balance FROM wide")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH wide AS (
+         |$wide)
+         |$branches
+         |ORDER BY n_name, segment""".stripMargin
     },
     "q15_percentiles" ->
       """SELECT o_orderpriority,

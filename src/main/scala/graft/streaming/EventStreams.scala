@@ -198,6 +198,55 @@ object EventStreams {
       views.withWatermark("ts", "7 hours"),
       clicks.withWatermark("ts", "1 hour"))
 
+  // ---------------------------------------------------------------- st07
+  /** LEFT-OUTER attribution — the funnel-loss face st03's inner join
+    * cannot produce: EVERY view, paired with the same user's clicks in
+    * the 6 hours after it, or with NULL click columns when nothing
+    * converted. The unconverted rows are the ones marketing actually
+    * reports on ("views that never clicked"), and in the streaming form
+    * they are exactly what a watermark buys: an outer result may only
+    * emit once the CLICK watermark proves no click can still arrive in
+    * the view's window — emit earlier and a late click falsifies the
+    * NULL row; never emit and the row is lost. Same equi-join-on-user +
+    * time-range-residual scale shape as st03 (sort-merge, never a
+    * nested loop; state evicted as the watermark passes v_ts + 6 h).
+    */
+  def attributionOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"), "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        date_format(col("v_ts"), TS_FMT).as("view_ts"),
+        col("click_id"),
+        // NULL-propagating on the unmatched rows, exact elsewhere
+        ((unix_micros(col("c_ts")) - unix_micros(col("v_ts"))) / lit(1e6))
+          .as("gap_sec"))
+  }
+
+  /** Batch twin — the `queries` entry (SQL oracle vs DuckDB). */
+  def st07(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    attributionOuter(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .transform(Gate.ordered("view_id", "click_id"))
+  }
+
+  /** Stream-stream left-outer form. Watermark roles mirror st03's: the
+    * preserved (view) side buffers through its join window (6 h + 1 h
+    * lateness); clicks only need their own lateness bound — the range
+    * residual plus the click watermark is what licenses both state
+    * eviction AND the null-row emission.
+    */
+  def attributionOuterStream(views: DataFrame, clicks: DataFrame): DataFrame =
+    attributionOuter(
+      views.withWatermark("ts", "7 hours"),
+      clicks.withWatermark("ts", "1 hour"))
+
   // ------------------------------------------- continuous monthly report
   /** The c18 report as a continuous query: the same section explode
     * (Cohort.reportSections), aggregated per day × section × key over a
@@ -414,7 +463,8 @@ object EventStreams {
     "st03_stream_attribution_join" -> (st03 _),
     "st04_stream_daily_report" -> (st04 _),
     "st05_stream_document_ingest" -> (st05 _),
-    "st06_stream_upsert" -> (st06 _)
+    "st06_stream_upsert" -> (st06 _),
+    "st07_stream_attribution_outer" -> (st07 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,6 +510,18 @@ object EventStreams {
     // the typed comparator must reproduce src08's windowed upsert
     // exactly, so it shares src08's oracle
     "st06_stream_upsert" ->
-      graft.sources.RoundTrip.oracle("src08_upsert_latest")
+      graft.sources.RoundTrip.oracle("src08_upsert_latest"),
+    // st03's oracle mirrored to the preserved-view direction: LEFT JOIN
+    // keeps the unconverted views as NULL click rows
+    "st07_stream_attribution_outer" ->
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        | strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        | c.event_id AS click_id,
+        | (epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        | LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts BETWEEN v.ts AND v.ts + INTERVAL 6 HOUR
+        |ORDER BY view_id, click_id""".stripMargin
   )
 }

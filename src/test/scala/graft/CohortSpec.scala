@@ -161,6 +161,44 @@ class CohortSpec extends SparkSpec {
     assert(rows.map(_._2).sum == Cohort.c01(spark, sfDir).count())
   }
 
+  test("c30 pair counts and lift equal a driver-side basket recompute") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 (the gate's SF): sf0.001's pair counts sit under
+    // C30_MIN_PAIRS, which would make the assertion vacuous
+    val dir = "/root/testdata/sf0.01"
+    val triples = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val baskets = triples.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3)).toMap
+    val nBaskets = baskets.size
+    val nType = triples.groupBy(_._3).view.mapValues(_.size).toMap
+    val pairCount = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = pairCount.collect {
+      case ((a, b), n) if n >= Cohort.C30_MIN_PAIRS =>
+        (a, b) -> ((n.toLong, nType(a).toLong, nType(b).toLong,
+          (n.toLong * nBaskets).toDouble / (nType(a).toLong * nType(b))))
+    }.toMap
+    val got = Cohort.c30(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.nonEmpty, "the gate SF must clear the support floor")
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    // the corpus leaves the plan through ONE checkpointed aggregate
+    // pass: every branch (pairs/margins/total) scans the tiny counted
+    // RDD — a parquet scan here means a branch re-reads the events
+    // table (the five-scan shape this operator was rewritten to kill)
+    val plan = Cohort.c30(spark, dir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Scan parquet"),
+      s"c30 branches must reuse the materialized counts:\n$plan")
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

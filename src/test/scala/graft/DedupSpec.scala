@@ -15,6 +15,42 @@ class DedupSpec extends SparkSpec {
     assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)
   }
 
+  test("d10 bloom-gated decision equals the plain hash join, both branches live") {
+    import org.apache.spark.sql.functions._
+    // independent reference: the ungated decision straight off the table
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpusRows = hashed.filter(col("doc_id") % 3 =!= 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minByHash = corpusRows.groupBy(_._2)
+      .view.mapValues(_.map(_._1).min).toMap
+    val expected = hashed.filter(col("doc_id") % 5 === 4).collect()
+      .map(r => r.getLong(0) -> minByHash.get(r.getString(1))).toMap
+    val got = Dedup.d10(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == expected)
+    // the partial-replay geometry keeps BOTH outcomes non-vacuous
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty),
+      "gate scenario must exercise dup-found AND new-content branches")
+  }
+
+  test("the bloom filter never false-negatives its own build keys") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, sfDir)
+      .select(md5(col("text").cast("binary")).as("h"))
+    val bf = graft.functions.Bloom.buildBytes(corpus, col("h"), 1000L)
+    assert(corpus.filter(!graft.functions.Bloom.mightContain(bf, col("h")))
+      .count() == 0, "every inserted key must probe positive")
+    // and an unrelated key population mostly probes negative (fp rate
+    // is a few percent at this sizing, not ~100%): the gate PRUNES
+    val probes = spark.range(1000000, 1001000)
+      .select(md5(col("id").cast("string").cast("binary")).as("h"))
+    val fp = probes.filter(graft.functions.Bloom.mightContain(bf, col("h")))
+      .count()
+    assert(fp < 100, s"fp=$fp of 1000 — the filter must actually prune")
+  }
+
   test("d02 finds the planted near-duplicate pairs with high jaccard") {
     val rows = Dedup.d02(spark, sfDir).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups; d02 must find them")

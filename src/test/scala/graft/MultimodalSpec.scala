@@ -89,6 +89,43 @@ class MultimodalSpec extends SparkSpec {
       feats.map(_.toSeq).toSeq)
   }
 
+  test("m05 manifest equals a driver-side repack and the budget knob re-bins") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def repack(budget: Long) = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      var off = 0L
+      g.sortBy(_._1).map { case (id, _, n, t) =>
+        val row = (src, off / budget, id, n, md5hex(t))
+        off += n; row
+      }.toSeq
+    }.groupBy(r => (r._1, r._2)).map { case ((src, shard), rows) =>
+      (src, shard) -> ((rows.size.toLong, rows.map(_._4).sum,
+        rows.map(_._3).min, rows.map(_._3).max,
+        rows.map(_._5).min, rows.map(_._5).max))
+    }.toMap
+    def got() = Multimodal.m05(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))).toMap
+    val default = got()
+    assert(default == repack(4096L))
+    // packing must actually split sources at the default budget...
+    assert(default.size > docs.map(_._2).distinct.length,
+      "default budget must produce multi-shard sources")
+    // ...and the conf knob re-bins: a corpus-dwarfing budget collapses
+    // every source to one shard holding its full byte total
+    spark.conf.set("spark.graft.shard.bytes", (1L << 40).toString)
+    try {
+      val one = got()
+      assert(one == repack(1L << 40))
+      assert(one.keySet.map(_._1).size == one.size &&
+        one.keys.forall(_._2 == 0L), "one shard 0 per source")
+    } finally spark.conf.unset("spark.graft.shard.bytes")
+  }
+
   test("p02 ranks every probe frame's k neighbours over OTHER assets only") {
     val rows = Multimodal.p02(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -24,6 +24,7 @@ class PlanHygieneSpec extends SparkSpec {
   // corpus — strictly less work than s05, same bounded build side.
   private val scalarCross = Set(
     "c10_funnel",
+    "c30_concept_cooccurrence", // 1-row basket-total broadcast
     "s01_ann_bruteforce",
     "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",

@@ -148,6 +148,33 @@ class RelationalSpec extends SparkSpec {
       s"the per-(order, supplier) flags must be computed once:\n$plan")
   }
 
+  test("q33 melts exactly q14's wide cells, adding no exchange of its own") {
+    val segs = Seq("automobile", "building", "furniture", "household",
+      "machinery")
+    val wide = Relational.q14(spark, sfDir).collect()
+    val long = Relational.q33(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(long.size == wide.length * segs.size,
+      "every (nation, segment) cell must appear exactly once")
+    for (r <- wide; (seg, i) <- segs.zipWithIndex)
+      assert(long((r.getString(0), seg)) == r.getDouble(i + 1),
+        s"cell (${r.getString(0)}, $seg) diverged in the melt")
+    // the Expand runs on the aggregated frame: on the production path
+    // (gate sort off) the whole melt costs exactly q14's ONE aggregate
+    // shuffle — no shuffle of its own, no sort (final adaptive plan,
+    // the AQE-safe slice)
+    val gateOff = "spark.graft.gateSort"
+    spark.conf.set(gateOff, "false")
+    try {
+      val plan = Relational.q33(spark, sfDir)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("Expand"), "unpivot must plan as one Expand")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1 &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"the melt must add no shuffle beyond q14's aggregate:\n$plan")
+    } finally spark.conf.set(gateOff, "true")
+  }
+
   test("q24 covers every nation that has customers or suppliers") {
     val rows = Relational.q24(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))

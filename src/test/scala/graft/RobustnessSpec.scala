@@ -137,6 +137,28 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.s07(spark, dir).count() == 0)
   }
 
+  test("second round-8 batch is empty-input safe") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dir}/r8b_empty"
+    // raw events layout: ts is the int64-nanos column nanosAsLong reads
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // no baskets → no pairs; the 1-row total aggregate still exists but
+    // joins nothing
+    assert(graft.operators.Cohort.c30(spark, dir).count() == 0)
+    // empty corpus → null bloom filter → probe matches nothing; empty
+    // delta → empty decision (not a crash in the head() build)
+    assert(graft.operators.Dedup.d10(spark, dir).count() == 0)
+    // no assets → no shards, no manifest rows
+    assert(graft.operators.Multimodal.m05(spark, dir).count() == 0)
+    // no views → no attribution rows, outer side included
+    assert(graft.streaming.EventStreams.st07(spark, dir).count() == 0)
+  }
+
   test("patient erasure of an absent patient set is a complete no-op") {
     import org.apache.spark.sql.functions._
     val layout = s"${graft.Scratch.dir}/robust_src11"

@@ -209,6 +209,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st07 left-outer attribution equals batch; null rows flush on watermark") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_id", "event_type")
+      .where(col("event_type").isin("view", "click"))
+      .as[AttrEv].collect().toSeq.sortBy(_.ts.getTime)
+    // far-future events on unused users: the global watermark is the MIN
+    // over both inputs, so BOTH sides must advance for the tail views'
+    // windows to close — a click alone leaves the view-side watermark at
+    // the last real view and the final ~13h of null rows stuck in state.
+    // Distinct users (-1 vs -2) keep the sentinels from joining anything;
+    // sentinel output (at most the -2 view's own null row) is filtered
+    // out before the comparison.
+    val farFuture = rows.last.ts.getTime + 30L * 86400000
+    val sentinel = Seq(
+      AttrEv(new java.sql.Timestamp(farFuture), -1L, -1L, "click"),
+      AttrEv(new java.sql.Timestamp(farFuture), -2L, -2L, "view"))
+
+    val input = MemoryStream[AttrEv](spark)
+    val df = input.toDF()
+    val q = EventStreams.attributionOuterStream(
+      df.where(col("event_type") === "view"),
+      df.where(col("event_type") === "click"))
+      .writeStream.format("memory").queryName("st07_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val beforeFlush = spark.table("st07_out")
+        .where(col("click_id").isNull).count()
+      // outer rows may not emit before the watermark proves them final
+      input.addData(sentinel); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("st07_out")
+        .where(col("user_id") >= 0).collect().map(_.toSeq).toSet
+      val batchDf = spark.createDataset(rows).toDF()
+      val batch = EventStreams.attributionOuter(
+        batchDf.where(col("event_type") === "view"),
+        batchDf.where(col("event_type") === "click")).collect()
+        .map(_.toSeq).toSet
+      assert(batch.exists(_(3) == null), "corpus must contain unconverted views")
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      assert(streamed.count(_(3) == null) > beforeFlush,
+        "the watermark advance is what licenses the null emissions")
+    } finally q.stop()
+  }
+
   test("st03 batch twin plans a sort-merge join, not a nested loop") {
     val plan = EventStreams.st03(spark, sfDir)
       .queryExecution.executedPlan.toString
