@@ -86,6 +86,19 @@ object GraftConf {
   def boilerDf(s: SparkSession): Int =
     s.conf.get("spark.graft.boilerplate.df", "2").toInt
 
+  /** Chunk window of t14's overlapping retrieval chunking, in tokens
+    * (default 32 — the recorded oracle's geometry; production RAG
+    * chunks are typically 256-1024 tokens).
+    */
+  def chunkTokens(s: SparkSession): Int =
+    s.conf.get("spark.graft.chunk.tokens", "32").toInt
+
+  /** Chunk stride of t14 (default 24 — i.e. 8 tokens of overlap). Must
+    * be <= chunkTokens or boundary facts fall between chunks.
+    */
+  def chunkStride(s: SparkSession): Int =
+    s.conf.get("spark.graft.chunk.stride", "24").toInt
+
   /** Shard byte budget of m05's export packing (default 4096 — sized to
     * this corpus's ~300-char assets; production shards are ~100 MB-1 GB.
     * The recorded oracle mirrors the default, like dfCap).

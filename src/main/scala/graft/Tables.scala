@@ -23,23 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert with integer
-    * division (ns-since-epoch exceeds 2^53, so double math would lose
-    * precision); the generator only populates µs precision so the
-    * conversion is lossless.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * construction (Verify/Bench/SparkSpec) — NOT mutated here, so loaders
-    * stay side-effect-free and the flag can't silently leak into reads
-    * that predate the first events() call.
+  /** `events.ts` normalized to session-timezone TimestampType whatever
+    * the file generation wrote:
+    *  - TIMESTAMP(NANOS) (early testdata): Spark's vectorized reader
+    *    rejects it; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set at session construction in Verify/Bench/SparkSpec — NOT
+    *    mutated here, so loaders stay side-effect-free) it reads as
+    *    long, converted with integer division (ns-since-epoch exceeds
+    *    2^53 — double math would lose precision; the generator only
+    *    populates µs, so div 1000 is lossless).
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false (current testdata):
+    *    reads as TIMESTAMP_NTZ; cast to TimestampType under the UTC
+    *    session re-labels the same wall-clock instant, keeping every
+    *    downstream unix_micros/date_format/watermark identical to the
+    *    nanos-era values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build " +
-        "(events.parquet carries a TIMESTAMP(NANOS) column)")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -537,6 +537,73 @@ object Cohort {
       .transform(Gate.ordered("et_a", "et_b"))
   }
 
+  // -- c31: incidence vs prevalence per concept-day ----------------------
+  // The epidemiology face of the ED report: for each concept and day,
+  // how many patients were ACTIVE (any fact that day — period
+  // prevalence) and how many presented for the FIRST time ever
+  // (incidence). Scale shape: ONE explicit 3-column repartition on
+  // (user_id, event_type) feeds both the per-day rollup and the
+  // first-day window — HashPartitioning on a subset of the grouping
+  // keys satisfies the aggregate's clustering AND the window's, so the
+  // raw facts cross the wire exactly once and the only other hash
+  // exchange moves concept x day aggregate rows (plan-asserted: 2).
+  // The default plan would instead pay a (u,e,day) partial-agg shuffle
+  // PLUS a second (u,e) window shuffle of the same rows; with EAV
+  // facts projected to three columns, moving them once is strictly
+  // less. n_active counts rows of the per-(user,day) frame, so it IS a
+  // distinct-user count without a distinct aggregate.
+  def c31(s: SparkSession, d: String): DataFrame = {
+    val perDay = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .repartition(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"), col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id", "event_type")
+    perDay
+      .withColumn("first_day", min(col("day")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day") === col("first_day"), 1)).as("n_incident"))
+      .transform(Gate.ordered("event_type", "day"))
+  }
+
+  // -- c32: import-quality drift monitor ---------------------------------
+  // The AKTIN data-quality face: a site's daily concept volumes are
+  // monitored against their own trailing baseline, and a >20% swing
+  // flags the day (broken feed mapping, double import, outage). The
+  // corpus collapses to concept x day counts FIRST (one shuffle,
+  // map-side partials); the trailing stats are a rows-frame window
+  // over that tiny frame. Flag math follows the t10 rule: all-integer
+  // numerator/denominator (5*|n*cnt - sum| > sum ⟺ |pct| > 20%), ONE
+  // correctly-rounded double divide each for the reported avg/pct —
+  // bit-equal on any engine and any partitioning. The frame is
+  // rows-based (prior up-to-7 OBSERVED days): a day with zero events
+  // for a concept has no row, so gaps shrink the baseline rather than
+  // zero-fill it — the right monitoring semantics for sparse concepts.
+  private[graft] val C32_WIN = 7
+
+  def c32(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-C32_WIN, -1)
+    daily
+      .withColumn("sum_prior", sum(col("n")).over(w))
+      .withColumn("cnt_prior", count(col("n")).over(w))
+      .filter(col("cnt_prior") >= 1)
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("sum_prior").cast("double") / col("cnt_prior").cast("double"),
+          6).as("trailing_avg"),
+        round((col("n") * col("cnt_prior") - col("sum_prior")).cast("double") /
+          col("sum_prior").cast("double"), 6).as("pct_change"),
+        (abs(col("n") * col("cnt_prior") - col("sum_prior")) * 5 >
+          col("sum_prior")).cast("int").as("flagged"))
+      .transform(Gate.ordered("event_type", "day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -560,13 +627,46 @@ object Cohort {
     "c22_federated_counts" -> (c22 _),
     "c27_patient_timeline" -> (c27 _),
     "c28_cohort_bands" -> (c28 _),
-    "c30_concept_cooccurrence" -> (c30 _)
+    "c30_concept_cooccurrence" -> (c30 _),
+    "c31_incidence_prevalence" -> (c31 _),
+    "c32_concept_drift" -> (c32 _)
   )
 
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    // per-(user, concept, day) dedup first, so COUNT(*) is a distinct
+    // user count; first_day from the same deduped frame
+    "c31_incidence_prevalence" ->
+      """WITH pd AS (SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d') AS day FROM events GROUP BY 1, 2, 3),
+        |f AS (SELECT user_id, event_type, MIN(day) AS first_day
+        | FROM pd GROUP BY 1, 2)
+        |SELECT event_type, day, COUNT(*) AS n_active,
+        | COUNT(CASE WHEN day = first_day THEN 1 END) AS n_incident
+        |FROM pd JOIN f USING (user_id, event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical rows-frame trailing window; the flag threshold is the
+    // same all-integer comparison, the reported stats the same single
+    // divides — bit-equal across engines
+    "c32_concept_drift" ->
+      s"""WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, day, n,
+         |  SUM(n) OVER (PARTITION BY event_type ORDER BY day
+         |   ROWS BETWEEN $C32_WIN PRECEDING AND 1 PRECEDING) AS sum_prior,
+         |  COUNT(n) OVER (PARTITION BY event_type ORDER BY day
+         |   ROWS BETWEEN $C32_WIN PRECEDING AND 1 PRECEDING) AS cnt_prior
+         |  FROM d)
+         |SELECT event_type, day, n,
+         | ROUND(CAST(sum_prior AS DOUBLE) / CAST(cnt_prior AS DOUBLE), 6)
+         |  AS trailing_avg,
+         | ROUND(CAST(n * cnt_prior - sum_prior AS DOUBLE)
+         |  / CAST(sum_prior AS DOUBLE), 6) AS pct_change,
+         | CAST(ABS(n * cnt_prior - sum_prior) * 5 > sum_prior AS INT)
+         |  AS flagged
+         |FROM w WHERE cnt_prior >= 1 ORDER BY event_type, day""".stripMargin,
     "c30_concept_cooccurrence" ->
       s"""WITH b AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
          |  event_type FROM events),

@@ -633,6 +633,56 @@ object Similarity {
         cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
           DIM).as("cos")))
 
+  // -- s08: truncated-dimension two-stage kNN join -----------------------
+  // The Matryoshka/dimension-pruning serving shape: stage 1 scores every
+  // (corpus, probe) pair on only the FIRST 16 of 64 dimensions and keeps
+  // the top S08_CAND candidates per probe; stage 2 fetches full vectors
+  // for candidates only and re-ranks exactly. At 100 TB the win is I/O:
+  // with the prefix stored as its own column (or MRL-trained embeddings
+  // where prefixes are semantically front-loaded), the full-corpus scan
+  // reads dim/4 of the vector bytes and 75% of the dot-product work; the
+  // full 256-byte vectors are touched for |Q| x S08_CAND rows only —
+  // the s05b candidate-join shape with a cheaper candidate generator
+  // that needs no prebuilt index. Unlike LSH/IVF/PQ this variant is
+  // fully DETERMINISTIC (fixed-order prefix dots, vec_id tie-break), so
+  // it carries a complete SQL oracle, not a recall spec: the gate
+  // hash-checks candidate selection AND re-rank end to end. On iid
+  // random embeddings prefix scores are weak predictors of full scores
+  // (every dim carries equal signal — the worst case; MRL-trained
+  // prefixes concentrate it), so S08_CAND here buys modest recall —
+  // measured against s05 in SimilaritySpec, with the geometry's recall
+  // a corpus property, not an accident of the engine.
+  private[graft] val S08_PRE_DIM = 16
+  private[graft] val S08_CAND = 60
+
+  def s08(s: SparkSession, d: String): DataFrame = {
+    val q16 = broadcast(embeddings(s, d)
+      .filter(col("vec_id").isin(KNN_PROBE_IDS: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        vecDot("embedding", "embedding", S08_PRE_DIM).as("qpnrm")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    val cand = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("pnrm", vecDot("embedding", "embedding", S08_PRE_DIM))
+      .crossJoin(q16)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("pnrm"), col("qpnrm"),
+          S08_PRE_DIM).as("pcos"))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= S08_CAND)
+      .select("q_id", "vec_id")
+    // full vectors touched only via the candidate join (s05b's tail)
+    topKPerProbe(embeddings(s, d)
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
+      .join(cand, Seq("vec_id"))
+      .join(probeFrame(s, d), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -689,7 +739,8 @@ object Similarity {
     "s05_knn_join_exact" -> (s05 _),
     "s05b_knn_join_lsh" -> (s05b _),
     "s06_range_search" -> (s06 _),
-    "s07_knn_join_filtered" -> (s07 _)
+    "s07_knn_join_filtered" -> (s07 _),
+    "s08_knn_join_truncated" -> (s08 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -742,6 +793,37 @@ object Similarity {
          |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
          | FROM e, p WHERE e.vec_id <> p.q_id)
          |WHERE cos >= $RANGE_T ORDER BY q_id, vec_id""".stripMargin
+    },
+    // both stages mirrored exactly: 16-term prefix dots pick the same
+    // top-S08_CAND candidate set (bit-equal pcos, vec_id tie-break),
+    // 64-term dots re-rank it — the whole two-stage decision is
+    // hash-checked, not just the final ranks
+    "s08_knn_join_truncated" -> {
+      val ids = KNN_PROBE_IDS.mkString(", ")
+      s"""WITH e AS (
+         | SELECT vec_id, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", S08_PRE_DIM)} AS pnrm,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings),
+         |p AS (SELECT vec_id AS q_id, v AS qv, pnrm AS qpnrm,
+         |  nrm AS qnrm FROM e WHERE vec_id IN ($ids)),
+         |s1 AS (
+         | SELECT p.q_id, e.vec_id,
+         |  (${sqlDotFixed("e.v", "p.qv", S08_PRE_DIM)})
+         |   / sqrt(e.pnrm * p.qpnrm) AS pcos
+         | FROM e, p WHERE e.vec_id <> p.q_id),
+         |c AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY pcos DESC, vec_id) AS prk FROM s1)
+         | WHERE prk <= $S08_CAND),
+         |s2 AS (
+         | SELECT c.q_id, c.vec_id,
+         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         | FROM c JOIN e ON e.vec_id = c.vec_id JOIN p ON p.q_id = c.q_id),
+         |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s2)
+         |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cosine
+         |FROM r WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
     },
     // pre-filter semantics: the top-k ranks over exactly the
     // label-qualifying subset; probes stay unfiltered (a probe outside

@@ -388,6 +388,67 @@ object TextAnalysis {
         round(col("n_dup").cast("double") / col("n_ngrams"), 6))
       .transform(Gate.ordered("doc_id"))
 
+  // -- t14: RAG/context chunking with overlap ----------------------------
+  // The retrieval-indexing step t07 does NOT cover: t07 packs many docs
+  // into fixed windows for pretraining; t14 splits EACH doc into
+  // overlapping chunks (window `chunkTokens`, stride `chunkStride`,
+  // overlap = window - stride) so a retriever never loses a fact to a
+  // chunk boundary. Start rule: starts at stride multiples, last start
+  // = ceil((len - window)/stride) — the tail is covered exactly once,
+  // never by a pure-suffix chunk. All in-row (sequence → slice, no
+  // pre-join explode) and embarrassingly parallel: zero shuffles at any
+  // scale beyond the pinned repartition (the single-input-partition
+  // trap — AQE sizes by pre-explode bytes). Geometry is conf-driven
+  // (spark.graft.chunk.*) like t12's; the oracle mirrors the defaults.
+  private[graft] val T14_CHUNK = 32 // GraftConf.chunkTokens default
+  private[graft] val T14_STRIDE = 24 // GraftConf.chunkStride default
+
+  def t14(s: SparkSession, d: String): DataFrame = {
+    val c = graft.GraftConf.chunkTokens(s)
+    val st = graft.GraftConf.chunkStride(s)
+    documents(s, d)
+      .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ((greatest(lit(0), size(col("w")) - c) + lit(st - 1)) / st)
+            .cast("int")),
+        i => slice(col("w"), i * st + 1, lit(c))))
+        .as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("chunk_id") * st).cast("bigint").as("tok_start"),
+        size(col("cw")).cast("bigint").as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk_text"))
+      .transform(Gate.ordered("doc_id", "chunk_id"))
+  }
+
+  // -- t15: exact-count deterministic stratified sample ------------------
+  // The other sampling contract t06 can't give: t06 keeps each doc at a
+  // RATE (count is binomial); evaluation extracts and ablation corpora
+  // need EXACTLY N per stratum, reproducibly. Rank by the full md5 of
+  // the id (content-addressed like t05/t06 — engine/partitioning/rerun
+  // invariant, and md5 is injective on distinct ids for all practical
+  // purposes, with doc_id as the formal tie-break) and keep rank <= N
+  // per language. The rank window sorts each stratum; at 100 TB the
+  // production form pre-gates with t06's rate threshold set safely
+  // above N/|stratum| (a tiny count aggregate first), so the exact
+  // sort ranks ~2N survivors instead of the stratum — same answer,
+  // hash-prefix nesting makes the pre-gate provably superset.
+  private[graft] val T15_N = 40
+
+  def t15(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= T15_N)
+      .select(col("lang"), col("rk").cast("bigint").as("rk"), col("doc_id"))
+      .transform(Gate.ordered("lang", "rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -401,7 +462,9 @@ object TextAnalysis {
     "t10_token_commonness" -> (t10 _),
     "t11_contamination" -> (t11 _),
     "t12_boilerplate_blocks" -> (t12 _),
-    "t13_dup_ngram_fraction" -> (t13 _)
+    "t13_dup_ngram_fraction" -> (t13 _),
+    "t14_chunk_overlap" -> (t14 _),
+    "t15_stratified_exact" -> (t15 _)
   )
 
   private def sqlHits(list: Seq[String]) =
@@ -436,6 +499,27 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same start rule (non-negative ceil-div keeps // and Spark's
+    // truncating int division identical), 1-based inclusive slice
+    // mirrors Spark's `slice`; defaults mirror spark.graft.chunk.*
+    "t14_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+         | FROM documents WHERE text IS NOT NULL),
+         |ch AS (SELECT doc_id, i AS chunk_id,
+         |  w[i * $T14_STRIDE + 1 : i * $T14_STRIDE + $T14_CHUNK] AS cw
+         | FROM tk, LATERAL (SELECT unnest(range(0,
+         |  (greatest(0, len(w) - $T14_CHUNK) + ${T14_STRIDE - 1})
+         |   // $T14_STRIDE + 1)) AS i) r)
+         |SELECT doc_id, chunk_id, chunk_id * $T14_STRIDE AS tok_start,
+         | len(cw) AS n_tokens, array_to_string(cw, ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // identical content-addressed rank: md5 over the id string, doc_id
+    // tie-break (t05's md5 equivalence pattern)
+    "t15_stratified_exact" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         | SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         | FROM documents) WHERE rk <= $T15_N ORDER BY lang, rk""".stripMargin,
     // ALL 3-gram occurrences (no DISTINCT — multiplicity IS the
     // signal); docs under 3 tokens drop from both sides identically
     "t13_dup_ngram_fraction" ->

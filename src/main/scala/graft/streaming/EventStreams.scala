@@ -50,6 +50,43 @@ object EventStreams {
   def hourlyCountsStream(stream: DataFrame): DataFrame =
     hourlyCounts(stream.withWatermark("ts", "2 hours"))
 
+  // ---------------------------------------------------------------- st08
+  // SLIDING windows — the census shape st01's tumbling windows can't
+  // give: "the last 2 hours, refreshed every 30 minutes" (ED load
+  // monitoring reads overlapping windows, not hour buckets). Each event
+  // belongs to exactly window/slide = 4 windows; Spark expands the
+  // membership at the map side and the aggregate stays one shuffle of
+  // per-window partials — state and shuffle scale by the overlap
+  // factor, not by events². On a stream the same transform runs with a
+  // watermark: a window finalizes (and its state evicts) once the
+  // watermark passes its END, so at most ~(window+lateness)/slide
+  // windows per key are ever open.
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("window_start"),
+        date_format(col("window.end"), TS_FMT).as("window_end"),
+        col("n_events"), col("approx_users"))
+
+  /** Batch twin — the `queries` entry (SQL oracle; exact distincts, the
+    * st01 convention).
+    */
+  def st08(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), TS_FMT).as("window_start"),
+        date_format(col("window.end"), TS_FMT).as("window_end"),
+        col("n_events"), col("n_users"))
+      .transform(Gate.ordered("window_start"))
+
+  /** Streaming form: the 2-hour watermark bounds open-window state. */
+  def slidingCountsStream(stream: DataFrame): DataFrame =
+    slidingCounts(stream.withWatermark("ts", "2 hours"))
+
   // ---------------------------------------------------------------- st02
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   case class Session(user_id: Long, session_id: Long, n_events: Long,
@@ -464,10 +501,25 @@ object EventStreams {
     "st04_stream_daily_report" -> (st04 _),
     "st05_stream_document_ingest" -> (st05 _),
     "st06_stream_upsert" -> (st06 _),
-    "st07_stream_attribution_outer" -> (st07 _)
+    "st07_stream_attribution_outer" -> (st07 _),
+    "st08_stream_sliding_census" -> (st08 _)
   )
 
   val oracle: Map[String, String] = Map(
+    // each event expands to its 4 containing slide-aligned windows
+    // (k = 0..3 strictly: window/slide = 4, and ts - start_k < (k+1) *
+    // slide <= window holds for every k <= 3, so membership is exact —
+    // Spark's window() expansion produces the identical set)
+    "st08_stream_sliding_census" ->
+      """WITH m AS (SELECT user_id,
+        |  (epoch_us(ts) // 1800000000 - k) * 1800000000 AS start_us
+        | FROM events, LATERAL (SELECT unnest(range(0, 4)) AS k) r)
+        |SELECT strftime(make_timestamp(start_us),
+        |  '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+        | strftime(make_timestamp(start_us + 7200000000),
+        |  '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+        | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM m GROUP BY start_us ORDER BY start_us""".stripMargin,
     "st01_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
         |  AS window_start,
