@@ -199,6 +199,65 @@ class CohortSpec extends SparkSpec {
       s"c30 branches must reuse the materialized counts:\n$plan")
   }
 
+  test("c31 incidence/prevalence equals a driver recompute, 2 hash shuffles") {
+    import org.apache.spark.sql.functions._
+    val perDay = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).distinct
+    val firstDay = perDay.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).min).toMap
+    val expected = perDay.groupBy(t => (t._2, t._3)).map {
+      case ((et, day), rows) =>
+        (et, day) -> ((rows.length.toLong,
+          rows.count(t => firstDay((t._1, t._2)) == day).toLong))
+    }
+    val df = Cohort.c31(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // non-vacuous both ways: the corpus has first presentations after
+    // day 1 AND returning patients (incident < active somewhere)
+    assert(got.exists { case ((_, d), (_, inc)) => d > "2024-01-01" && inc > 0 })
+    assert(got.exists { case (_, (act, inc)) => inc < act })
+    // the raw facts are shuffled ONCE (the explicit (user, concept)
+    // repartition serves the per-day rollup AND the first-day window);
+    // the only other hash exchange moves concept x day aggregate rows
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"c31 must shuffle raw facts once + one aggregate exchange:\n$plan")
+  }
+
+  test("c32 drift stats match a reference trailing-window computation") {
+    import org.apache.spark.sql.functions._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.drop(1).map { case ((_, day, n), i) =>
+        val prior = ordered.slice(math.max(0, i - Cohort.C32_WIN), i).map(_._3)
+        val (sum, cnt) = (prior.sum, prior.length.toLong)
+        (et, day) -> ((n, r6(sum.toDouble / cnt),
+          r6((n * cnt - sum).toDouble / sum),
+          if (math.abs(n * cnt - sum) * 5 > sum) 1 else 0))
+      }
+    }.toMap
+    val got = Cohort.c32(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(got == expected)
+    // the 20% threshold must actually separate the corpus (both flag
+    // values occur), or the monitor is vacuous at this SF
+    assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0))
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

@@ -22,6 +22,9 @@ class PlanHygieneSpec extends SparkSpec {
   // FIXED 10-probe build side, O(N·10), linear in the corpus.
   // s07_knn_join_filtered is s05's shape over the predicate-pruned
   // corpus — strictly less work than s05, same bounded build side.
+  // s08_knn_join_truncated's stage 1 is s05's bounded-probe shape on
+  // prefix dims (O(N·10) with dim/4 of the bytes); stage 2 is an
+  // equi-join on the candidate set, never a loop.
   private val scalarCross = Set(
     "c10_funnel",
     "c30_concept_cooccurrence", // 1-row basket-total broadcast
@@ -30,6 +33,7 @@ class PlanHygieneSpec extends SparkSpec {
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
     "s04_ann_pq", "s04b_ann_pq_prebuilt",
     "s05_knn_join_exact", "s06_range_search", "s07_knn_join_filtered",
+    "s08_knn_join_truncated",
     "p02_multimodal_ann")
 
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {

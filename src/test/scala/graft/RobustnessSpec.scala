@@ -159,6 +159,29 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.streaming.EventStreams.st07(spark, dir).count() == 0)
   }
 
+  test("third round-8 batch is empty-input safe") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dir}/r8c_empty"
+    // raw events layout: int64 ts exercises the nanos-era loader branch
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // no facts → no concept-days; the drift window has nothing to rank
+    assert(graft.operators.Cohort.c31(spark, dir).count() == 0)
+    assert(graft.operators.Cohort.c32(spark, dir).count() == 0)
+    // no docs → no chunks, no strata
+    assert(graft.operators.TextAnalysis.t14(spark, dir).count() == 0)
+    assert(graft.operators.TextAnalysis.t15(spark, dir).count() == 0)
+    // empty probe frame and empty corpus → both kNN stages empty
+    assert(graft.operators.Similarity.s08(spark, dir).count() == 0)
+    // no events → no sliding windows
+    assert(graft.streaming.EventStreams.st08(spark, dir).count() == 0)
+  }
+
   test("patient erasure of an absent patient set is a complete no-op") {
     import org.apache.spark.sql.functions._
     val layout = s"${graft.Scratch.dir}/robust_src11"

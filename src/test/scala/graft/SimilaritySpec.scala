@@ -182,6 +182,36 @@ class SimilaritySpec extends SparkSpec {
       s"label predicate must be pushed into the scan:\n$plan")
   }
 
+  test("s08 truncated-dim two-stage kNN: rank dominance and pinned recall") {
+    def perProbe(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toVector).toMap
+    val exact = perProbe(Similarity.s05(spark, sfDir))
+    val trunc = perProbe(Similarity.s08(spark, sfDir))
+    assert(trunc.keySet == exact.keySet)
+    trunc.foreach { case (q, rows) =>
+      assert(rows.size == exact(q).size, s"probe $q must fill its k")
+      // a top-k over a candidate SUBSET can never beat the exact top-k
+      // at any rank (rounding to 6 is monotone, so <= survives it)
+      rows.zip(exact(q)).zipWithIndex.foreach { case (((_, tc), (_, ec)), i) =>
+        assert(tc <= ec, s"probe $q rank ${i + 1}: $tc > $ec")
+      }
+    }
+    // iid random embeddings are the WORST case for prefix scoring
+    // (signal spread evenly across dims); measured at this SF: mean
+    // 0.44, min 0.3 — pinned below with slack. MRL-style front-loaded
+    // embeddings push this toward 1 at the same S08_CAND.
+    val recalls = exact.keySet.toSeq.map { q =>
+      val e = exact(q).map(_._1).toSet
+      (e intersect trunc(q).map(_._1).toSet).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.35,
+      s"mean recall ${recalls.sum / recalls.size}")
+    assert(recalls.min >= 0.2, s"min recall ${recalls.min}")
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,

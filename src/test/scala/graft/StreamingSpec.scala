@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st08 sliding-window census stream equals the batch twin") {
+    import spark.implicits._
+    val batchDf = Tables.events(spark, sfDir).select("ts", "user_id")
+    val rows = batchDf.as[TsEv].collect().toSeq
+
+    val input = MemoryStream[TsEv](spark)
+    val q = EventStreams.slidingCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("st08_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("st08_out")
+        .orderBy("window_start").collect().toSeq
+      val batch = EventStreams.slidingCounts(batchDf)
+        .orderBy("window_start").collect().toSeq
+      assert(streamed.nonEmpty)
+      // the overlap factor is exact: every event sits in window/slide
+      // = 4 sliding windows, no more, no fewer
+      assert(streamed.map(_.getLong(2)).sum == rows.size * 4L)
+      assert(streamed == batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(3)} " +
+          s"extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("st02 streaming sessionization equals c09 across micro-batches") {
     import spark.implicits._
     val evs = Tables.events(spark, sfDir)

@@ -183,6 +183,86 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  private def refChunks(t: String, c: Int, st: Int)
+      : Vector[(Long, Long, Long, String)] = {
+    val w = t.split(" ", -1).toVector
+    val n = (math.max(0, w.length - c) + st - 1) / st + 1
+    (0 until n).toVector.map { i =>
+      val cw = w.slice(i * st, i * st + c)
+      (i.toLong, (i * st).toLong, cw.length.toLong, cw.mkString(" "))
+    }
+  }
+
+  test("t14 chunks match the reference rule and cover every token") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, t) =>
+      refChunks(t, 32, 24).map { case (ci, ts, nt, tx) =>
+        (id, ci) -> ((ts, nt, tx)) }
+    }.toMap
+    val got = TextAnalysis.t14(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == expected)
+    // contract: every token index of every doc falls in >= 1 chunk and
+    // the geometry actually produces overlap somewhere (non-vacuous)
+    docs.foreach { case (id, t) =>
+      val len = t.split(" ", -1).length
+      val covered = refChunks(t, 32, 24)
+        .flatMap { case (_, ts, nt, _) => ts.toInt until (ts.toInt + nt.toInt) }
+        .toSet
+      assert(covered == (0 until len).toSet, s"doc $id coverage gap")
+    }
+    assert(expected.size > docs.length, "no doc long enough to overlap")
+  }
+
+  test("t14 honors the spark.graft.chunk sizing knobs") {
+    try {
+      spark.conf.set("spark.graft.chunk.tokens", "10")
+      spark.conf.set("spark.graft.chunk.stride", "7")
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val expected = docs.flatMap { case (id, t) =>
+        refChunks(t, 10, 7).map { case (ci, ts, nt, tx) =>
+          (id, ci) -> ((ts, nt, tx)) }
+      }.toMap
+      val got = TextAnalysis.t14(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.graft.chunk.tokens")
+      spark.conf.unset("spark.graft.chunk.stride")
+    }
+  }
+
+  test("t15 takes exactly N per stratum by the content-addressed rank") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ranked = docs.groupBy(_._1).view.mapValues(
+      _.map(_._2).sortBy(id => (md5hex(id.toString), id)).toVector).toMap
+    val expected = ranked.flatMap { case (lang, ids) =>
+      ids.take(TextAnalysis.T15_N).zipWithIndex
+        .map { case (id, i) => (lang, (i + 1).toLong, id) }
+    }.toSet
+    val got = TextAnalysis.t15(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // the rank filter must actually bite (every stratum exceeds N here)
+    assert(ranked.values.forall(_.size > TextAnalysis.T15_N))
+    assert(got.groupBy(_._1).values.forall(_.size == TextAnalysis.T15_N))
+    // nesting: the N-sample is a strict prefix of any larger budget —
+    // the refinability contract t06 established, now count-exact
+    val bigger = ranked.toSeq.flatMap { case (lang, ids) =>
+      ids.take(2 * TextAnalysis.T15_N).map(id => (lang, id)) }.toSet
+    assert(got.map(t => (t._1, t._3)).subsetOf(bigger))
+  }
+
   test("t08 redaction finds every planted PII item and leaves no residue") {
     val rows = TextAnalysis.t08(spark, sfDir).collect()
     assert(rows.nonEmpty)
