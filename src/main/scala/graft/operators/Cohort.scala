@@ -141,7 +141,12 @@ object Cohort {
   }
 
   // -- c09: 30-minute-gap sessionization ----------------------------------
-  def c09(s: SparkSession, d: String): DataFrame = {
+  /** The session fold with raw epoch-µs bounds — ONE definition of the
+    * visit rule, consumed by c09's report shape and c33's occupancy
+    * census (min/max of unix_micros commute with unix_micros of
+    * min/max, so c09's formatted output is unchanged).
+    */
+  private[graft] def c09Core(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
@@ -153,11 +158,45 @@ object Cohort {
       .withColumn("session_id", sum(col("is_new")).over(wCum))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        date_format(min(col("ts")), TS_FMT).as("session_start"),
-        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
-          .as("dur_sec"))
-      .transform(Gate.ordered("user_id", "session_id"))
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
   }
+
+  def c09(s: SparkSession, d: String): DataFrame =
+    c09Core(s, d)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_micros(col("start_us")), TS_FMT)
+          .as("session_start"),
+        ((col("last_us") - col("start_us")) / lit(1e6)).as("dur_sec"))
+      .transform(Gate.ordered("user_id", "session_id"))
+
+  // -- c33: concurrent-occupancy census (patients present at instant T) --
+  // The NEDOCS-style crowding measure c04 can't give: c04 counts
+  // ARRIVALS per hour; c33 counts patients PRESENT at each hourly
+  // instant — a visit spanning 13:10→16:40 occupies 14:00, 15:00 and
+  // 16:00. Interval-overlap without a range join: each session (c09's
+  // fold, one shared definition) expands IN-ROW to the hourly instants
+  // it covers — amplification is bounded by span/hour + 1 (visits are
+  // hours, never the corpus) — and one tiny aggregate counts per
+  // instant. Same-user sessions can never cover the same instant (both
+  // containing T would violate the 30-min gap rule), so the session
+  // count IS the distinct-patient count.
+  private val HOUR_US = 3600L * 1000000
+
+  def c33(s: SparkSession, d: String): DataFrame =
+    c09Core(s, d)
+      // ceil-div for the first covered instant, floor-div for the last;
+      // h0 > h1 = a sub-hour visit straddling no instant (Spark's
+      // sequence() would count it BACKWARDS, not skip it — filter first)
+      .select(expr(s"(start_us + ${HOUR_US - 1}) div $HOUR_US").as("h0"),
+        expr(s"last_us div $HOUR_US").as("h1"))
+      .filter(col("h0") <= col("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_present"))
+      .select(date_format(timestamp_micros(col("hr") * HOUR_US), TS_FMT)
+        .as("hour_ts"), col("n_present"))
+      .transform(Gate.ordered("hour_ts"))
 
   // -- c10: ordered funnel view -> click -> purchase ------------------------
   def c10(s: SparkSession, d: String): DataFrame = {
@@ -629,13 +668,45 @@ object Cohort {
     "c28_cohort_bands" -> (c28 _),
     "c30_concept_cooccurrence" -> (c30 _),
     "c31_incidence_prevalence" -> (c31 _),
-    "c32_concept_drift" -> (c32 _)
+    "c32_concept_drift" -> (c32 _),
+    "c33_occupancy_census" -> (c33 _)
   )
 
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    // c09's session CTE with raw µs bounds + the same ceil/floor hour
+    // coverage (DuckDB // floor-div equals Spark's `div` on the
+    // non-negative epoch values; range() is exclusive-stop and empty
+    // when h0 > h1, mirroring the sub-hour filter)
+    "c33_occupancy_census" ->
+      s"""WITH sess AS (
+         | SELECT user_id, session_id, MIN(epoch_us(ts)) AS start_us,
+         |  MAX(epoch_us(ts)) AS last_us
+         | FROM (
+         |  SELECT user_id, ts,
+         |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM (
+         |   SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_us IS NULL
+         |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+         |     THEN 1 ELSE 0 END AS is_new
+         |   FROM (SELECT user_id, event_id, ts,
+         |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |    FROM events)))
+         | GROUP BY 1, 2),
+         |cov AS (
+         | SELECT unnest(range((start_us + 3599999999) // 3600000000,
+         |   last_us // 3600000000 + 1)) AS hr
+         | FROM sess)
+         |SELECT strftime(make_timestamp(hr * 3600000000), '$TS_FMT_SQL')
+         |  AS hour_ts,
+         | COUNT(*) AS n_present
+         |FROM cov GROUP BY hr ORDER BY hr""".stripMargin,
     // per-(user, concept, day) dedup first, so COUNT(*) is a distinct
     // user count; first_day from the same deduped frame
     "c31_incidence_prevalence" ->

@@ -399,6 +399,28 @@ object Dedup {
   def d06(s: SparkSession, d: String): DataFrame =
     d06Core(s, d).transform(Gate.ordered("doc_id"))
 
+  // -- d11: dedup savings report (the audit face of the d06 decision) ---
+  // What a pipeline owner actually reviews before enabling a dedup
+  // stage: how many clusters of each size, how many documents the
+  // keep-one rule removes, and how many bytes that saves. Two tiny
+  // aggregates over d06's (doc_id, keep_id) frame joined to the doc
+  // sizes — the report costs nothing beyond the decision it audits
+  // (the components fixpoint dominates; the per-cluster rollup groups
+  // on keep_id, already the frame's natural key). bytes_saved counts
+  // non-representative docs only: what the keep-one rewrite deletes.
+  def d11(s: SparkSession, d: String): DataFrame =
+    d06Core(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).as("saved"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("n_removed"),
+        sum(col("saved")).as("bytes_saved"))
+      .transform(Gate.ordered("cluster_size"))
+
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // so the candidate generation is SQL-expressible and the cosine math
@@ -840,7 +862,8 @@ object Dedup {
     "d08_dedup_shared_passage" -> (d08 _),
     "d08b_dedup_passage_prebuilt" -> (d08b _),
     "d09_dedup_semantic" -> (d09 _),
-    "d10_dedup_incremental_bloom" -> (d10 _)
+    "d10_dedup_incremental_bloom" -> (d10 _),
+    "d11_dedup_savings" -> (d11 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -969,6 +992,19 @@ object Dedup {
         | (SELECT MIN(c.doc_id) FROM h c
         |  WHERE c.doc_id % 3 <> 2 AND c.h = d.h) AS dup_of
         |FROM h d WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin,
+    // the same recursive-CTE components as d06's oracle, rolled up to
+    // per-cluster sizes and the keep-one deletion's byte savings
+    "d11_dedup_savings" ->
+      s"""WITH RECURSIVE $D06_CTES,
+         |sz AS (
+         | SELECT keep_id, COUNT(*) AS cluster_size,
+         |  CAST(SUM(CASE WHEN d06.doc_id <> keep_id THEN n_chars
+         |    ELSE 0 END) AS BIGINT) AS saved
+         | FROM d06 JOIN documents USING (doc_id) GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         | CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removed,
+         | CAST(SUM(saved) AS BIGINT) AS bytes_saved
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,

@@ -258,6 +258,46 @@ class CohortSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0))
   }
 
+  test("c33 occupancy equals a driver session-fold + interval recompute") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: sf0.001's sparser sessions never overlap across users,
+    // which would make the crowding assertion vacuous
+    val dir = "/root/testdata/sf0.01"
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hourUs = 3600L * 1000000
+    // independent fold: per user, events sorted by (ts, event_id);
+    // >30-min gap opens a new session; a session covers the hourly
+    // instants in [ceil(start/h), floor(last/h)]
+    val sessionsAll = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      ts.tail.foldLeft(Vector((ts.head, ts.head))) { case (acc, t) =>
+        val (s0, last) = acc.last
+        if (t - last > 30L * 60 * 1000000) acc :+ ((t, t))
+        else acc.init :+ ((s0, t))
+      }
+    }
+    val covered = sessionsAll.flatMap { case (s0, s1) =>
+      ((s0 + hourUs - 1) / hourUs) to (s1 / hourUs)
+    }
+    val expected = covered.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val got = Cohort.c33(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (h, n) =>
+      fmt.format(java.time.Instant.EPOCH.plusSeconds(h * 3600)) -> n })
+    // crowding is real at this SF: some instant holds >1 patient, and
+    // sub-hour visits exist (the h0 > h1 sequence guard actually bites)
+    assert(got.values.exists(_ > 1))
+    assert(sessionsAll.exists { case (s0, s1) =>
+      (s0 + hourUs - 1) / hourUs > s1 / hourUs },
+      "no sub-hour visit straddling zero instants — the guard is untested")
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

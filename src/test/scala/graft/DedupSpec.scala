@@ -201,6 +201,28 @@ class DedupSpec extends SparkSpec {
       s"diff=${(got.toSet -- expected.toSet) ++ (expected.toSet -- got.toSet)}")
   }
 
+  test("d11 savings report is the exact rollup of d06's decision") {
+    val comp = Dedup.d06(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCluster = comp.groupBy(_._2).toSeq.map { case (keep, members) =>
+      (members.length.toLong,
+        members.filter(_._1 != keep).map(m => chars(m._1)).sum)
+    }
+    val expected = perCluster.groupBy(_._1).map { case (size, cs) =>
+      size -> ((cs.length.toLong, (size - 1) * cs.length, cs.map(_._2).sum))
+    }
+    val got = Dedup.d11(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // the report must account for every clustered doc exactly once
+    assert(got.map { case (size, (n, _, _)) => size * n }.sum == comp.length)
+    assert(got.nonEmpty && comp.nonEmpty)
+  }
+
   test("d06 reaches identical labels under local and reliable checkpointing") {
     val local = Dedup.d06Core(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

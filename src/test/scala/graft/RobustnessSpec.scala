@@ -166,7 +166,8 @@ class RobustnessSpec extends SparkSpec {
     Seq.empty[(Long, Long, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -180,6 +181,9 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Similarity.s08(spark, dir).count() == 0)
     // no events → no sliding windows
     assert(graft.streaming.EventStreams.st08(spark, dir).count() == 0)
+    // no sessions → no occupied instants; no pairs → an empty report
+    assert(graft.operators.Cohort.c33(spark, dir).count() == 0)
+    assert(graft.operators.Dedup.d11(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {
