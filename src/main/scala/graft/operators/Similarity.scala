@@ -683,6 +683,58 @@ object Similarity {
           DIM).as("cos")))
   }
 
+  // -- s09: hybrid keyword + vector retrieval (reciprocal-rank fusion) --
+  // The modern RAG serving shape: neither leg alone is right — keyword
+  // match finds exact terms embeddings blur, vectors find paraphrases
+  // keywords miss — so production retrieval fuses both rankings. Query
+  // = one corpus doc's text terms + its embedding (doc_id aligns with
+  // vec_id in this corpus). Each leg produces its top-POOL pool with a
+  // TakeOrderedAndProject (no global sort, no full-corpus window); the
+  // rank numbers RRF needs are then assigned by a window over POOL
+  // rows — constant work however large the corpus. Fusion is
+  // 1/(K+rank) summed over the legs a doc appears in (truncated-list
+  // RRF): two correctly-rounded divides + one add per doc — bit-equal
+  // on any engine, no accumulation-order dependence. Keyword leg is
+  // the d02 inverted-index shape: the query doc's distinct tokens
+  // broadcast, one shuffle on doc_id for the overlap counts.
+  private[graft] val S09_Q = 0L
+  private[graft] val S09_POOL = 50
+  private[graft] val S09_RRF_K = 60
+
+  def s09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qToks = broadcast(toks.filter(col("doc_id") === S09_Q).select("tok"))
+    val kwPool = toks.join(qToks, "tok")
+      .filter(col("doc_id") =!= S09_Q)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("doc_id")).limit(S09_POOL)
+    val kwRank = kwPool.withColumn("kr", row_number()
+      .over(Window.orderBy(col("shared").desc, col("doc_id"))).cast("bigint"))
+    val vecPool = embeddings(s, d)
+      .filter(col("vec_id") =!= S09_Q)
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id").as("doc_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(S09_POOL)
+    val vecRank = vecPool.withColumn("vr", row_number()
+      .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("bigint"))
+    kwRank.select(col("doc_id"), col("kr"))
+      .join(vecRank.select(col("doc_id"), col("vr")), Seq("doc_id"),
+        "full_outer")
+      .select(col("doc_id"), col("kr"), col("vr"),
+        round(coalesce(lit(1.0) / (col("kr") + S09_RRF_K), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vr") + S09_RRF_K), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(K)
+      .transform(graft.Gate.orderedBy(col("rrf").desc, col("doc_id")))
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -740,7 +792,8 @@ object Similarity {
     "s05b_knn_join_lsh" -> (s05b _),
     "s06_range_search" -> (s06 _),
     "s07_knn_join_filtered" -> (s07 _),
-    "s08_knn_join_truncated" -> (s08 _)
+    "s08_knn_join_truncated" -> (s08 _),
+    "s09_hybrid_rrf" -> (s09 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -794,6 +847,37 @@ object Similarity {
          | FROM e, p WHERE e.vec_id <> p.q_id)
          |WHERE cos >= $RANGE_T ORDER BY q_id, vec_id""".stripMargin
     },
+    // both leg pools, ranks, and the two-divide fusion mirrored
+    // exactly; CAST(1 AS DOUBLE) avoids DuckDB's decimal division
+    // (Spark's lit(1.0) is double); rounding happens BEFORE the final
+    // rank on both sides so boundary ties resolve by the same doc_id
+    // order
+    "s09_hybrid_rrf" ->
+      s"""WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id = $S09_Q),
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+         |  AS tok FROM documents),
+         |kw AS (SELECT doc_id, COUNT(*) AS shared FROM tk JOIN qt USING (tok)
+         | WHERE doc_id <> $S09_Q GROUP BY 1),
+         |kr AS (SELECT doc_id, kr FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY shared DESC, doc_id)
+         |   AS kr FROM kw) WHERE kr <= $S09_POOL),
+         |e AS (SELECT vec_id, embedding AS v,
+         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         | FROM embeddings),
+         |sc AS (SELECT a.vec_id AS doc_id,
+         |  (${sqlDotFixed("a.v", "q.v", 64)}) / sqrt(a.nrm * q.nrm) AS cos
+         | FROM e a JOIN e q ON q.vec_id = $S09_Q
+         | WHERE a.vec_id <> $S09_Q),
+         |vr AS (SELECT doc_id, vr FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+         |   AS vr FROM sc) WHERE vr <= $S09_POOL),
+         |f AS (SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id, kr, vr
+         | FROM kr FULL JOIN vr ON kr.doc_id = vr.doc_id)
+         |SELECT doc_id, kr, vr,
+         | ROUND(COALESCE(CAST(1 AS DOUBLE) / (kr + $S09_RRF_K), 0)
+         |  + COALESCE(CAST(1 AS DOUBLE) / (vr + $S09_RRF_K), 0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT $K""".stripMargin,
     // both stages mirrored exactly: 16-term prefix dots pick the same
     // top-S08_CAND candidate set (bit-equal pcos, vec_id tie-break),
     // 64-term dots re-rank it — the whole two-stage decision is

@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "s04_ann_pq", "s04b_ann_pq_prebuilt",
     "s05_knn_join_exact", "s06_range_search", "s07_knn_join_filtered",
     "s08_knn_join_truncated",
+    "s09_hybrid_rrf", // vector leg = s01's 1-row query-frame cross
     "p02_multimodal_ann")
 
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {

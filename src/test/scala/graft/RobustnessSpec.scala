@@ -184,6 +184,8 @@ class RobustnessSpec extends SparkSpec {
     // no sessions → no occupied instants; no pairs → an empty report
     assert(graft.operators.Cohort.c33(spark, dir).count() == 0)
     assert(graft.operators.Dedup.d11(spark, dir).count() == 0)
+    // no query doc → both retrieval legs empty → empty fusion
+    assert(graft.operators.Similarity.s09(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {

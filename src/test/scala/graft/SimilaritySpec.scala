@@ -212,6 +212,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.min >= 0.2, s"min recall ${recalls.min}")
   }
 
+  test("s09 hybrid RRF equals an independent two-leg recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qTok = docs(Similarity.S09_Q).split(" ", -1).toSet
+    val kwPool = docs.toSeq.collect {
+      case (id, t) if id != Similarity.S09_Q =>
+        id -> t.split(" ", -1).toSet.count(qTok)
+    }.filter(_._2 > 0).sortBy { case (id, sh) => (-sh, id) }
+      .take(Similarity.S09_POOL).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // the vector leg's reference: s01's scoring shape with k = POOL
+    val vecRanks = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= Similarity.S09_Q)
+      .withColumn("nrm", graft.functions.VectorFunctions
+        .dotFixed("embedding", "embedding", 64))
+      .crossJoin(broadcast(Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === Similarity.S09_Q)
+        .select(col("embedding").as("qv"),
+          graft.functions.VectorFunctions
+            .dotFixed("embedding", "embedding", 64).as("qnrm"))))
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), 64)
+        .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(Similarity.S09_POOL)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1).toLong }.toMap
+    val fused = (kwPool.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      val rrf =
+        kwPool.get(id).map(r => 1.0 / (r + Similarity.S09_RRF_K))
+          .getOrElse(0.0) +
+          vecRanks.get(id).map(r => 1.0 / (r + Similarity.S09_RRF_K))
+            .getOrElse(0.0)
+      (id, kwPool.get(id), vecRanks.get(id),
+        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+    val got = Similarity.s09(spark, sfDir).collect().map(r =>
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
+    assert(got == fused, s"got=$got\nexp=$fused")
+    // fusion is non-vacuous: the hybrid list is NOT the vector leg's
+    // top-10 alone — keyword evidence actually reordered it
+    val vecTop10 = vecRanks.toSeq.sortBy(_._2).take(10).map(_._1)
+    assert(got.map(_._1) != vecTop10)
+  }
+
   test("ad-hoc vector queries against the persisted indexes serve correctly") {
     // feed vec 0's own embedding as an ad-hoc (non-member) query: the
     // deterministic bucketing must land it in identical buckets/cells,
