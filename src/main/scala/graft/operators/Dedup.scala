@@ -109,6 +109,32 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** d02's near-dup semantics DELTA-SCOPED (Pipeline.p03's leg): only
+    * pairs with a deltaPred doc on the left are generated — the
+    * candidate join's stream side is delta-sized, the corpus side is
+    * the df-capped inverted index (at 100 TB: the PERSISTED artifact,
+    * cf. the d03b/d08b append machinery — df counts over the full
+    * index keep the cap exact under growth). Emits (doc_a = delta doc,
+    * doc_b = any partner, jaccard >= JACCARD_T).
+    */
+  private[graft] def deltaNearPairs(s: SparkSession, d: String,
+      isDelta: org.apache.spark.sql.Column): DataFrame = {
+    val sh = shingleIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val common = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > graft.GraftConf.dfCap(s))
+      .select("h")
+    val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
+    val cand = ci.filter(isDelta).toDF("h", "doc_a")
+      .join(ci.toDF("h", "doc_b"), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+      .filter(col("n_cap") >= MIN_SHARED)
+      .select("doc_a", "doc_b")
+    exactJaccard(cand, setRows(s, d))
+  }
+
   /** Unsorted core — the edge source for d06's components. */
   private[graft] def d02Core(s: SparkSession, d: String): DataFrame =
     // exact verify per candidate pair on the FULL shingle sets (array
@@ -867,7 +893,7 @@ object Dedup {
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
-  private val SQL_SHINGLES =
+  private[graft] val SQL_SHINGLES =
     """sh AS (
       | SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

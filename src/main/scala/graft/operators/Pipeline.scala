@@ -53,8 +53,66 @@ object Pipeline {
       .transform(Gate.ordered("split", "lang"))
   }
 
+  // -- p03: the nightly-import pipeline — delta decisions, no history
+  // recompute. Tonight's docs (doc_id % 5 == 4, d10's delta convention)
+  // get the FULL stage battery with every leg delta-scoped:
+  //   1. quality: t02's score computed on the delta scan only (the
+  //      modulo predicate reaches the reader);
+  //   2. exact dedup: d10's bloom gate — a constant-size filter over
+  //      corpus hashes prunes the delta BEFORE any corpus join; the
+  //      exact verify touches only bloom survivors; within-delta copies
+  //      resolve to the smallest delta id (d01's min-id rule);
+  //   3. near-dup: d02's df-capped candidate gate with the delta on the
+  //      stream side (Dedup.deltaNearPairs) — corpus wins regardless of
+  //      id, delta partners only when smaller-id (a deterministic
+  //      first-wins policy with no sequential dependency chain);
+  //   4. split: t05's content-addressed rule — needs no history at all.
+  // Emitted per delta doc: every stage's verdict plus the final keep
+  // bit, so the gate hash-checks each DECISION, not just the counts.
+  // At 100 TB: the corpus is touched by one bloom build (mergeable,
+  // maintainable across nights — d10) and the persisted shingle index
+  // (the d03b/d08b append machinery); every shuffle is delta-sized.
+  def p03(s: SparkSession, d: String): DataFrame = {
+    val isDelta = col("doc_id") % 5 === 4
+    val quality = TextAnalysis.t02Core(s, d).filter(isDelta)
+      .select(col("doc_id"), col("quality"))
+    val hashed = documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpusH = hashed.filter(!isDelta)
+    val deltaH = hashed.filter(isDelta)
+    val bf = graft.functions.Bloom.buildBytes(
+      corpusH, col("h"), graft.GraftConf.bloomItems(s))
+    val candH = deltaH
+      .filter(graft.functions.Bloom.mightContain(bf, col("h")))
+    val dupCorpus = corpusH
+      .join(candH.select("h").distinct(), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("corpus_dup"))
+    val firstDelta = deltaH.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_delta"))
+    val near = Dedup.deltaNearPairs(s, d, isDelta)
+      .filter(col("doc_b") % 5 =!= 4 || col("doc_b") < col("doc_a"))
+      .groupBy(col("doc_a")).agg(min(col("doc_b")).as("near_dup_of"))
+      .withColumnRenamed("doc_a", "doc_id")
+    deltaH
+      .join(quality, "doc_id")
+      .join(dupCorpus, Seq("h"), "left_outer")
+      .join(firstDelta, Seq("h"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("corpus_dup"),
+          when(col("first_delta") < col("doc_id"), col("first_delta")))
+          .as("dup_of"),
+        col("near_dup_of"),
+        TextAnalysis.splitOf(col("doc_id")).as("split"))
+      .withColumn("kept",
+        (col("quality") >= 0.5 && col("dup_of").isNull &&
+          col("near_dup_of").isNull).cast("int"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_pipeline_e2e" -> (p01 _)
+    "p01_pipeline_e2e" -> (p01 _),
+    "p03_pipeline_incremental" -> (p03 _)
   )
 
   /** The oracle composes the SAME stage fragments the per-operator
@@ -78,6 +136,50 @@ object Pipeline {
          |    SELECT doc_id FROM d06 WHERE doc_id <> keep_id))
          |SELECT split, lang, COUNT(*) AS n_docs,
          | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // every delta-scoped leg mirrored: exact-string shingles (the d02
+    // xxhash collision caveat), the same first-wins policies, the same
+    // raw-jaccard threshold before rounding
+    "p03_pipeline_incremental" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |dl AS (SELECT * FROM h WHERE doc_id % 5 = 4),
+         |q AS (SELECT doc_id, quality
+         |  FROM ${TextAnalysis.T02_SCORED_SQL} sc WHERE doc_id % 5 = 4),
+         |cd AS (SELECT d.doc_id, MIN(c.doc_id) AS corpus_dup
+         |  FROM dl d JOIN h c ON c.h = d.h AND c.doc_id % 5 <> 4
+         |  GROUP BY 1),
+         |fd AS (SELECT h, MIN(doc_id) AS first_delta FROM dl GROUP BY 1),
+         |${Dedup.SQL_SHINGLES},
+         |ci AS (SELECT * FROM sh WHERE shingle NOT IN (
+         |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > ${Dedup.DF_CAP})),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ci a JOIN ci b ON a.shingle = b.shingle
+         |   AND a.doc_id % 5 = 4 AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${Dedup.MIN_SHARED}),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pr AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS shared
+         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |   JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |np AS (SELECT doc_a AS doc_id, MIN(doc_b) AS near_dup_of FROM (
+         |  SELECT doc_a, doc_b,
+         |   CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE)
+         |    AS jac
+         |  FROM pr JOIN cnt ca ON ca.doc_id = doc_a
+         |   JOIN cnt cb ON cb.doc_id = doc_b)
+         | WHERE jac >= ${Dedup.JACCARD_T}
+         |  AND (doc_b % 5 <> 4 OR doc_b < doc_a) GROUP BY 1)
+         |SELECT doc_id, quality, dup_of, near_dup_of, split,
+         | CAST(quality >= 0.5 AND dup_of IS NULL AND near_dup_of IS NULL
+         |  AS INT) AS kept
+         |FROM (
+         | SELECT doc_id, q.quality,
+         |  COALESCE(cd.corpus_dup, CASE WHEN fd.first_delta < doc_id
+         |    THEN fd.first_delta END) AS dup_of,
+         |  np.near_dup_of,
+         |  ${TextAnalysis.SPLIT_CASE_SQL} AS split
+         | FROM dl d JOIN q USING (doc_id) LEFT JOIN cd USING (doc_id)
+         |  LEFT JOIN fd ON fd.h = d.h LEFT JOIN np USING (doc_id))
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -37,4 +37,86 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.map(_._1).sum < qualityOnly,
       "dedup stages dropped nothing — composition untested")
   }
+
+  test("p03 delta decisions verify leg-by-leg against raw recomputes") {
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashes = docs.view.mapValues(md5hex).toMap
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else w.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val setsOf = docs.view.mapValues(t => shingles(t).toSet).toMap
+    val rows = Pipeline.p03(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4), r.getInt(5)))
+    assert(rows.map(_._1).toSeq == docs.keys.filter(_ % 5 == 4).toSeq.sorted,
+      "every delta doc gets exactly one decision row")
+    rows.foreach { case (id, q, dup, near, _, kept) =>
+      // exact-dup leg: a named target really shares content and is the
+      // canonical (min corpus id, else min smaller delta id) choice;
+      // absence means NO copy exists (the bloom gate has no false
+      // negatives to hide one behind)
+      val corpusCopies = hashes.collect {
+        case (o, h) if o % 5 != 4 && h == hashes(id) => o }
+      val deltaPrior = hashes.collect {
+        case (o, h) if o % 5 == 4 && o < id && h == hashes(id) => o }
+      val expDup =
+        if (corpusCopies.nonEmpty) Some(corpusCopies.min)
+        else if (deltaPrior.nonEmpty) Some(deltaPrior.min) else None
+      assert(dup == expDup, s"doc $id: dup_of $dup vs $expDup")
+      // near-dup leg: any named partner is policy-legal and truly over
+      // the jaccard threshold
+      near.foreach { p =>
+        assert(p % 5 != 4 || p < id, s"doc $id: illegal partner $p")
+        val (a, b) = (setsOf(id), setsOf(p))
+        val jac = (a & b).size.toDouble / (a | b).size
+        assert(jac >= 0.7, s"doc $id ~ $p: jaccard $jac below threshold")
+      }
+      // keep bit is exactly the conjunction of the three verdicts
+      assert(kept == (if (q >= 0.5 && dup.isEmpty && near.isEmpty) 1 else 0))
+    }
+    // the near/quality legs fire on the generated corpus
+    assert(rows.exists(_._4.isDefined), "no near dup in the delta")
+    assert(rows.exists(r => r._2 < 0.5), "no quality drop in the delta")
+    assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0))
+  }
+
+  test("p03 exact-dup legs fire on a planted cross-slice corpus") {
+    // the generated corpus has no content copy straddling the delta
+    // slice (verified: zero matches at sf0.001 and sf0.01), so the
+    // exact-dup branches need planted coverage: a delta copy of a
+    // corpus doc, a delta copy of an EARLIER delta doc, and a near-dup
+    // (one token changed) of a corpus doc
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dir}/p03_planted"
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"w$i") :+ "zz").mkString(" ")
+    val docs = Seq(
+      0L -> "f0 g0 h0", 1L -> "f1 g1 h1", 2L -> "f2 g2 h2",
+      3L -> "x1 x2", // corpus original
+      4L -> "y1 y2", // delta original (first)
+      5L -> "f5 g5 h5",
+      6L -> base, // corpus near-dup anchor
+      9L -> "x1 x2", // delta copy of corpus 3
+      14L -> "y1 y2", // delta copy of delta 4
+      19L -> near // delta near-dup of corpus 6
+    )
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.p03(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(5)))).toMap
+    assert(got.keySet == Set(4L, 9L, 14L, 19L))
+    assert(got(4L) == ((None, None, 0)), "first delta copy is original")
+    assert(got(9L)._1 == Some(3L), "corpus copy wins")
+    assert(got(14L)._1 == Some(4L), "earlier delta copy wins")
+    assert(got(19L)._2 == Some(6L), "near-dup partner found")
+    assert(got(19L)._3 == 0 && got(9L)._3 == 0 && got(14L)._3 == 0)
+  }
 }

@@ -186,6 +186,8 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Dedup.d11(spark, dir).count() == 0)
     // no query doc → both retrieval legs empty → empty fusion
     assert(graft.operators.Similarity.s09(spark, dir).count() == 0)
+    // no delta → no decisions (bloom over the empty corpus included)
+    assert(graft.operators.Pipeline.p03(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {
