@@ -213,6 +213,10 @@ object Multimodal {
   private val ENERGY_MIN = 93.0
 
   def m04(s: SparkSession, d: String): DataFrame =
+    m04Core(s, d).transform(Gate.ordered("doc_id", "win_no"))
+
+  /** Unsorted core — composed by m06's sync join (the c09Core pattern). */
+  private def m04Core(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       // pinned-count repartition before the ~len/HOP explode (the same
       // single-input-partition trap frames() documents)
@@ -234,7 +238,40 @@ object Multimodal {
         ((1 to WIN).map(i => ascii(substring(col("wp"), i, 1)))
           .reduce(_ + _).cast("double") / WIN).as("energy"))
       .filter(col("energy") >= ENERGY_MIN)
-      .transform(Gate.ordered("doc_id", "win_no"))
+
+  // -- m06: audio-visual sync (each frame ↔ its best active window) ------
+  // The AV-training alignment step: paired (frame, audio-window)
+  // samples need each video frame labeled with the overlapping audio
+  // window that will encode alongside it — and frames over silence
+  // (every overlapping window energy-gated away) must surface as
+  // unpaired, not vanish. A frame at char p = frame_no*256 overlaps a
+  // 128-char window starting at win_no*64 iff p-128 < win_no*64 <
+  // p+64, i.e. exactly the two candidates win_no ∈ {4f-1, 4f} — so the
+  // alignment is a 2-candidate equi-join (q26's bounded-bin move:
+  // never a range join, never a nested loop), the best-window pick is
+  // a row_number over ≤2 rows per frame (energy desc, win_no tie), and
+  // silent frames come back on the left join as NULL sync. Energies
+  // are integer-sum/2^7 — exactly representable doubles, so the
+  // tie order is engine-stable without rounding.
+  def m06(s: SparkSession, d: String): DataFrame = {
+    val f = frames(s, d).select(col("doc_id"), col("frame_no"))
+    val cand = f.select(col("doc_id"), col("frame_no"),
+      explode(array(col("frame_no") * (STRIDE_CHARS / HOP) - 1,
+        col("frame_no") * (STRIDE_CHARS / HOP))).as("win_no"))
+      .filter(col("win_no") >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "frame_no")
+      .orderBy(col("energy").desc, col("win_no"))
+    val best = cand
+      .join(m04Core(s, d).select(col("doc_id"), col("win_no"), col("energy")),
+        Seq("doc_id", "win_no"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("frame_no"),
+        col("win_no").as("sync_win"), col("energy"))
+    f.join(best, Seq("doc_id", "frame_no"), "left_outer")
+      .transform(Gate.ordered("doc_id", "frame_no"))
+  }
 
   // -- m05: size-bounded shard manifest (the WebDataset export shape) ----
   // Training jobs read media as sequential SHARDS, not per-asset files;
@@ -276,6 +313,7 @@ object Multimodal {
     "m03_frame_features" -> (m03 _),
     "m04_audio_windows" -> (m04 _),
     "m05_shard_manifest" -> (m05 _),
+    "m06_av_sync" -> (m06 _),
     "p02_multimodal_ann" -> (p02 _)
   )
 
@@ -301,6 +339,23 @@ object Multimodal {
        |  LATERAL (SELECT unnest(range(0,
        |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r)""".stripMargin
   }
+
+  /** m04's active windows (doc_id, win_no, win_chars, energy — no
+    * ORDER) — ONE SQL definition shared by the m04 and m06 oracles.
+    */
+  private val M04_WINS_SQL =
+    s"""SELECT doc_id, win_no, win_chars, energy FROM (
+       | SELECT doc_id, i AS win_no,
+       |  length(w) AS win_chars,
+       |  CAST(list_sum(list_transform(string_split(rpad(w, $WIN, ' '), ''),
+       |    c -> ascii(c))) AS DOUBLE) / $WIN AS energy
+       | FROM (
+       |  SELECT doc_id, i,
+       |   substring(text, CAST(i * $HOP + 1 AS INT), $WIN) AS w
+       |  FROM documents,
+       |   LATERAL (SELECT unnest(range(0,
+       |     greatest((len(text) - $WIN) // $HOP, 0) + 1)) AS i) r))
+       |WHERE energy >= $ENERGY_MIN""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "m03_frame_features" ->
@@ -349,19 +404,28 @@ object Multimodal {
     // the single double division (a 128-term `+` chain exceeds DuckDB's
     // expression-binder recursion limit, hence the list form here)
     "m04_audio_windows" ->
-      s"""SELECT doc_id, win_no, win_chars, energy FROM (
-         | SELECT doc_id, i AS win_no,
-         |  length(w) AS win_chars,
-         |  CAST(list_sum(list_transform(string_split(rpad(w, $WIN, ' '), ''),
-         |    c -> ascii(c))) AS DOUBLE) / $WIN AS energy
-         | FROM (
-         |  SELECT doc_id, i,
-         |   substring(text, CAST(i * $HOP + 1 AS INT), $WIN) AS w
-         |  FROM documents,
-         |   LATERAL (SELECT unnest(range(0,
-         |     greatest((len(text) - $WIN) // $HOP, 0) + 1)) AS i) r))
-         |WHERE energy >= $ENERGY_MIN
+      s"""$M04_WINS_SQL
          |ORDER BY doc_id, win_no""".stripMargin,
+    // the same active-window fragment, 2-candidate join, best by
+    // (energy desc, win_no); silent frames stay as NULL rows
+    "m06_av_sync" ->
+      s"""WITH fr AS (SELECT doc_id,
+         |  unnest(range(0, greatest(len(text) // $STRIDE_CHARS, 1)))
+         |   AS frame_no FROM documents),
+         |wn AS (SELECT doc_id, win_no, energy FROM ($M04_WINS_SQL)),
+         |cand AS (SELECT doc_id, frame_no,
+         |  frame_no * ${STRIDE_CHARS / HOP} - 1 + k AS win_no
+         | FROM fr, LATERAL (SELECT unnest(range(0, 2)) AS k) r
+         | WHERE frame_no * ${STRIDE_CHARS / HOP} - 1 + k >= 0),
+         |j AS (SELECT c.doc_id, c.frame_no, c.win_no, wn.energy,
+         |  ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.frame_no
+         |   ORDER BY wn.energy DESC, c.win_no) AS rk
+         | FROM cand c JOIN wn ON wn.doc_id = c.doc_id
+         |  AND wn.win_no = c.win_no)
+         |SELECT fr.doc_id, fr.frame_no, j.win_no AS sync_win, j.energy
+         |FROM fr LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+         | ON j.doc_id = fr.doc_id AND j.frame_no = fr.frame_no
+         |ORDER BY fr.doc_id, fr.frame_no""".stripMargin,
     "m02_frame_sample" ->
       s"""SELECT doc_id, i AS frame_no,
          | md5(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))

@@ -575,6 +575,47 @@ object RoundTrip {
       .transform(Gate.ordered("day"))
   }
 
+  /** The FULL deployment layout for the fact table, composed: day-
+    * PARTITIONED (src04's pruning) AND user-BUCKETED (c13c's
+    * exchange-free aggregate) in one table — what SURVEY §5 prescribes
+    * for 100 TB of observation facts. src14 serves c01's panel query
+    * from it: the day-range filter prunes to 7 of 30 partition
+    * directories BEFORE any file opens, and the per-patient aggregate
+    * runs with ZERO hash exchange because the buckets already cluster
+    * by user_id (both plan-asserted in RoundTripSpec). Shares c01's
+    * oracle — the layout changes the plan, never the answer.
+    */
+  def src14(s: SparkSession, d: String): DataFrame = {
+    val nb = graft.GraftConf.indexBuckets(s)
+    val tbl = s"graft_events_layout_${graft.Scratch.tag(d)}_b$nb"
+    if (!s.catalog.tableExists(tbl))
+      // overwrite: a fresh metastore with a leftover directory from an
+      // earlier JVM must rebuild, not trip CTAS's non-empty-dir check
+      // (the ensureLshIndex convention)
+      graft.Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day")
+        .bucketBy(nb, "user_id").sortBy("user_id")
+        .option("path", s"$scratch/src14_layout/${graft.Scratch.tag(d)}_b$nb")
+        .saveAsTable(tbl)
+    src14Query(s.table(tbl))
+  }
+
+  /** c01's panel over the layout table: the [01-01, 01-08) timestamp
+    * window becomes a day-partition range (same rows — day IS the UTC
+    * date of ts).
+    */
+  private[graft] def src14Query(t: DataFrame): DataFrame = {
+    def nOf(et: String) =
+      count(when(col("event_type") === et, 1)).as(s"n_$et")
+    t.filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-07")
+      .groupBy(col("user_id"))
+      .agg(nOf("signup"), nOf("view"), nOf("purchase"), nOf("error"))
+      .filter((col("n_signup") >= 1 || col("n_view") >= 1) &&
+        col("n_purchase") >= 2 && col("n_error") === 0)
+      .transform(graft.Gate.ordered("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
@@ -588,11 +629,15 @@ object RoundTrip {
     "src10_xml_roundtrip" -> (src10 _),
     "src11_patient_erasure" -> (src11 _),
     "src12_avro_roundtrip" -> (src12 _),
-    "src13_document_ingest" -> (src13 _)
+    "src13_document_ingest" -> (src13 _),
+    "src14_layout_panel" -> (src14 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
   val oracle: Map[String, String] = Map(
+    // the layout changes the plan, never the answer: c01's oracle
+    "src14_layout_panel" ->
+      graft.operators.Cohort.oracle("c01_panel_cohort"),
     "src01_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -145,4 +145,26 @@ class MultimodalSpec extends SparkSpec {
     // the probe asset itself never appears as a neighbour
     assert(rows.forall(_.getLong(2) != 0L))
   }
+
+  test("m06 pairs every frame with its best overlapping active window") {
+    val wins = Multimodal.m04(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val frames = Multimodal.m02(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // overlap geometry: frame at 256f x 64 chars overlaps exactly the
+    // 128-char windows starting at 64*(4f-1) and 64*4f
+    val expected = frames.map { case (d, f) =>
+      val best = Seq(4 * f - 1, 4 * f).filter(_ >= 0)
+        .flatMap(wn => wins.get((d, wn)).map(e => (wn, e)))
+        .sortBy { case (wn, e) => (-e, wn) }.headOption
+      (d, f) -> best.map { case (wn, e) => (wn, e) }
+    }.toMap
+    val got = Multimodal.m06(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(w => (w.asInstanceOf[Long], r.getDouble(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty),
+      "both the synced and the silent branch must occur at this SF")
+  }
 }

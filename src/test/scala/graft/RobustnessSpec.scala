@@ -188,6 +188,10 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Similarity.s09(spark, dir).count() == 0)
     // no delta → no decisions (bloom over the empty corpus included)
     assert(graft.operators.Pipeline.p03(spark, dir).count() == 0)
+    // an empty fact table still lays out and serves the panel (empty)
+    assert(graft.sources.RoundTrip.src14(spark, dir).count() == 0)
+    // no assets → no frames, no windows, no sync rows
+    assert(graft.operators.Multimodal.m06(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {

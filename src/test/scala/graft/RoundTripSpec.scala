@@ -189,6 +189,25 @@ class RoundTripSpec extends SparkSpec {
     assert(df.count() == 7, "one row per day in the first week")
   }
 
+  test("src14 layout serves c01 pruned AND exchange-free, same answer") {
+    val df = RoundTrip.src14(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val c01 = graft.operators.Cohort.c01(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == c01, "the layout must never change the answer")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scan.contains("day"), s"day range must prune partitions:\n$scan")
+    // the bucketed layout clusters by user_id, so the panel aggregate
+    // needs NO hash exchange (the gate sort is a range exchange)
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 0,
+      s"bucketed layout must serve the aggregate exchange-free:\n$plan")
+  }
+
   test("src11 erases only touched partitions byte-identically elsewhere, idempotent") {
     import org.apache.spark.sql.functions._
     val layout = s"${graft.Scratch.dir}/src11_spec/${graft.Scratch.tag(sfDir)}"
