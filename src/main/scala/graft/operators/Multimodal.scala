@@ -259,16 +259,17 @@ object Multimodal {
       explode(array(col("frame_no") * (STRIDE_CHARS / HOP) - 1,
         col("frame_no") * (STRIDE_CHARS / HOP))).as("win_no"))
       .filter(col("win_no") >= 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id", "frame_no")
-      .orderBy(col("energy").desc, col("win_no"))
+    // best-of-≤2 via max(struct(energy, -win_no)) — field-order struct
+    // comparison IS the (energy desc, win_no asc) rule, and unlike a
+    // rank window it partial-aggregates map-side: no per-group sort,
+    // and the single shuffle carries one candidate per frame per task
     val best = cand
       .join(m04Core(s, d).select(col("doc_id"), col("win_no"), col("energy")),
         Seq("doc_id", "win_no"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"), col("frame_no"))
+      .agg(max(struct(col("energy"), (-col("win_no")).as("nw"))).as("m"))
       .select(col("doc_id"), col("frame_no"),
-        col("win_no").as("sync_win"), col("energy"))
+        (-col("m.nw")).as("sync_win"), col("m.energy").as("energy"))
     f.join(best, Seq("doc_id", "frame_no"), "left_outer")
       .transform(Gate.ordered("doc_id", "frame_no"))
   }

@@ -72,6 +72,11 @@ object Pipeline {
   // At 100 TB: the corpus is touched by one bloom build (mergeable,
   // maintainable across nights — d10) and the persisted shingle index
   // (the d03b/d08b append machinery); every shuffle is delta-sized.
+  // Bloom sizing is honest only to ~10^9-10^10 corpus keys (1-12 GB at
+  // 1% fp, spark.graft.dedup.bloomItems); past that the filter is
+  // PARTITIONED by hash prefix (each probe task joins its shard) or
+  // replaced by an anti-join against the hash-bucketed corpus table —
+  // same pruning role, still delta-sized probes (SURVEY §5).
   def p03(s: SparkSession, d: String): DataFrame = {
     val isDelta = col("doc_id") % 5 === 4
     val quality = TextAnalysis.t02Core(s, d).filter(isDelta)
