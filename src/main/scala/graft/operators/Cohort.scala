@@ -643,6 +643,57 @@ object Cohort {
       .transform(Gate.ordered("event_type", "day"))
   }
 
+  // -- c34: cohort overlap matrix (compare saved queries) ----------------
+  // The i2b2 QT comparison face: an analyst with several saved cohort
+  // definitions asks how they overlap (is "frequent purchasers" mostly
+  // inside "error-affected"?). Every pairwise intersection count comes
+  // from ONE fact pass: per-user conditional aggregates -> one 0/1
+  // flag per panel -> a single global aggregate of flag products; the
+  // 6 ordered-pair rows unfold from that 1-row frame in-row. At 100 TB
+  // the cost is one scan + one user-keyed shuffle for ANY number of
+  // panels — never k scans, never a self-join of patient sets.
+  def c34(s: SparkSession, d: String): DataFrame = {
+    // each saved query carries its own date constraint (the realistic
+    // i2b2 shape — and what makes the sets differ: over the full month
+    // every patient qualifies for everything)
+    def windowed(et: String, lo: String, hi: String) =
+      count(when(col("event_type") === et &&
+        col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"), 1))
+    val flags = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(windowed("purchase", "2024-01-01", "2024-01-03").as("n_purchase"),
+        windowed("error", "2024-01-15", "2024-01-16").as("n_error"),
+        windowed("view", "2024-01-20", "2024-01-22").as("n_view"))
+      .select((col("n_purchase") >= 2).cast("bigint").as("hb"),
+        (col("n_error") >= 1).cast("bigint").as("er"),
+        (col("n_view") >= 3).cast("bigint").as("br"))
+    // coalesce: an empty patient table means zero counts, not null rows
+    def c0(c: Column) = coalesce(sum(c), lit(0L))
+    flags
+      .agg(c0(col("br")).as("br"), c0(col("er")).as("er"),
+        c0(col("hb")).as("hb"),
+        c0(col("br") * col("er")).as("br_er"),
+        c0(col("br") * col("hb")).as("br_hb"),
+        c0(col("er") * col("hb")).as("er_hb"))
+      .select(explode(array(
+        struct(lit("browsers").as("panel_a"), lit("browsers").as("panel_b"),
+          col("br").as("n_both")),
+        struct(lit("browsers").as("panel_a"),
+          lit("error_seen").as("panel_b"), col("br_er").as("n_both")),
+        struct(lit("browsers").as("panel_a"),
+          lit("heavy_buyers").as("panel_b"), col("br_hb").as("n_both")),
+        struct(lit("error_seen").as("panel_a"),
+          lit("error_seen").as("panel_b"), col("er").as("n_both")),
+        struct(lit("error_seen").as("panel_a"),
+          lit("heavy_buyers").as("panel_b"), col("er_hb").as("n_both")),
+        struct(lit("heavy_buyers").as("panel_a"),
+          lit("heavy_buyers").as("panel_b"), col("hb").as("n_both"))))
+        .as("r"))
+      .select(col("r.panel_a"), col("r.panel_b"), col("r.n_both"))
+      .transform(Gate.ordered("panel_a", "panel_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -669,13 +720,41 @@ object Cohort {
     "c30_concept_cooccurrence" -> (c30 _),
     "c31_incidence_prevalence" -> (c31 _),
     "c32_concept_drift" -> (c32 _),
-    "c33_occupancy_census" -> (c33 _)
+    "c33_occupancy_census" -> (c33 _),
+    "c34_cohort_overlap" -> (c34 _)
   )
 
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    // the same flag products, ordered pairs a <= b alphabetically
+    "c34_cohort_overlap" ->
+      """WITH f AS (SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        |   THEN 1 END) >= 2 AS BIGINT) AS hb,
+        |  CAST(COUNT(CASE WHEN event_type = 'error'
+        |    AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        |   THEN 1 END) >= 1 AS BIGINT) AS er,
+        |  CAST(COUNT(CASE WHEN event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22'
+        |   THEN 1 END) >= 3 AS BIGINT) AS br
+        | FROM events GROUP BY 1)
+        |SELECT panel_a, panel_b, n_both FROM (
+        | SELECT 'browsers' AS panel_a, 'browsers' AS panel_b,
+        |  CAST(SUM(br) AS BIGINT) AS n_both FROM f
+        | UNION ALL SELECT 'browsers', 'error_seen',
+        |  CAST(SUM(br * er) AS BIGINT) FROM f
+        | UNION ALL SELECT 'browsers', 'heavy_buyers',
+        |  CAST(SUM(br * hb) AS BIGINT) FROM f
+        | UNION ALL SELECT 'error_seen', 'error_seen',
+        |  CAST(SUM(er) AS BIGINT) FROM f
+        | UNION ALL SELECT 'error_seen', 'heavy_buyers',
+        |  CAST(SUM(er * hb) AS BIGINT) FROM f
+        | UNION ALL SELECT 'heavy_buyers', 'heavy_buyers',
+        |  CAST(SUM(hb) AS BIGINT) FROM f)
+        |ORDER BY panel_a, panel_b""".stripMargin,
     // c09's session CTE with raw µs bounds + the same ceil/floor hour
     // coverage (DuckDB // floor-div equals Spark's `div` on the
     // non-negative epoch values; range() is exclusive-stop and empty

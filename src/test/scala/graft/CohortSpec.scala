@@ -298,6 +298,43 @@ class CohortSpec extends SparkSpec {
       "no sub-hour visit straddling zero instants — the guard is untested")
   }
 
+  test("c34 overlap matrix equals per-user flag recomputes, non-trivially") {
+    import org.apache.spark.sql.functions._
+    def day(s: String) = java.time.LocalDate.parse(s)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    def panel(et: String, lo: String, hi: String, n: Int) =
+      byUser.collect { case (u, es) if es.count(e =>
+        e._1 == et && e._2 >= day(lo) && e._2 < day(hi)) >= n => u }.toSet
+    val hb = panel("purchase", "2024-01-01", "2024-01-03", 2)
+    val er = panel("error", "2024-01-15", "2024-01-16", 1)
+    val br = panel("view", "2024-01-20", "2024-01-22", 3)
+    val expected = Map(
+      ("browsers", "browsers") -> br.size, ("browsers", "error_seen") -> (br & er).size,
+      ("browsers", "heavy_buyers") -> (br & hb).size,
+      ("error_seen", "error_seen") -> er.size,
+      ("error_seen", "heavy_buyers") -> (er & hb).size,
+      ("heavy_buyers", "heavy_buyers") -> hb.size)
+      .view.mapValues(_.toLong).toMap
+    val got = Cohort.c34(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // intersections bounded by their diagonals, and at least one is a
+    // PROPER overlap (neither empty nor containment) — the comparison
+    // face is non-vacuous at this SF
+    assert(got(("browsers", "error_seen")) <=
+      math.min(got(("browsers", "browsers")), got(("error_seen", "error_seen"))))
+    assert(Seq(("browsers", "error_seen"), ("browsers", "heavy_buyers"),
+      ("error_seen", "heavy_buyers")).exists { p =>
+      val n = got(p)
+      n > 0 && n < math.min(got((p._1, p._1)), got((p._2, p._2)))
+    })
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

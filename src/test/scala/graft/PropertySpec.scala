@@ -69,4 +69,53 @@ class PropertySpec extends AnyFunSuite {
       RollingFingerprint.fingerprint(bytes, w, b) == naive
     })
   }
+
+  // t14's start rule as pure arithmetic (the spec proves the engine
+  // matches the rule; this proves the RULE meets its contract for every
+  // geometry, not just the defaults the corpus exercises)
+  test("chunk start rule: full coverage, tail hit, minimal chunk count") {
+    val geo = for {
+      len <- Gen.choose(1, 400)
+      c <- Gen.choose(1, 64)
+      st <- Gen.choose(1, 64).map(math.min(_, c))
+    } yield (len, c, st)
+    check(Prop.forAll(geo) { case (len, c, st) =>
+      val n = (math.max(0, len - c) + st - 1) / st + 1
+      val covered = (0 until n)
+        .flatMap(i => (i * st) until math.min(i * st + c, len)).toSet
+      val coverage = covered == (0 until len).toSet
+      val tail = (n - 1) * st < len // last chunk is non-empty
+      val minimal = n == 1 || (n - 2) * st + c < len // n-1 would miss the tail
+      coverage && tail && minimal
+    })
+  }
+
+  // st08's membership arithmetic: every instant belongs to exactly the
+  // 4 slide-aligned windows the oracle enumerates, and to no others
+  test("sliding-window membership is exactly the 4 enumerated windows") {
+    val SLIDE = 1800000000L
+    val WIN = 4 * SLIDE
+    check(Prop.forAll(Gen.choose(0L, 40L * 24 * 3600 * 1000000)) { ts =>
+      val enumerated = (0L to 3L).map(k => (ts / SLIDE - k) * SLIDE).toSet
+      val brute = ((ts - WIN) / SLIDE - 1 to ts / SLIDE + 1)
+        .map(_ * SLIDE).filter(w => w >= 0 || true)
+        .filter(w => w <= ts && ts < w + WIN).toSet
+      enumerated == brute
+    })
+  }
+
+  // c33's ceil/floor hour coverage equals a brute scan of the span
+  test("occupancy hour coverage equals brute interval membership") {
+    val H = 3600000000L
+    val span = for {
+      s0 <- Gen.choose(0L, 10L * 24 * 3600 * 1000000)
+      d <- Gen.choose(0L, 8L * 3600 * 1000000)
+    } yield (s0, s0 + d)
+    check(Prop.forAll(span) { case (s0, s1) =>
+      val formula = ((s0 + H - 1) / H) to (s1 / H)
+      val brute = (s0 / H to s1 / H + 1)
+        .filter(h => s0 <= h * H && h * H <= s1)
+      formula.toSet == brute.toSet
+    })
+  }
 }

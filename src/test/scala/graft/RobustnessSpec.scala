@@ -192,6 +192,10 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.sources.RoundTrip.src14(spark, dir).count() == 0)
     // no assets → no frames, no windows, no sync rows
     assert(graft.operators.Multimodal.m06(spark, dir).count() == 0)
+    // no patients → every panel empty, but the 6 matrix rows (all 0)
+    // still emerge from the in-row unfold of the 1-row aggregate
+    val c34 = graft.operators.Cohort.c34(spark, dir).collect()
+    assert(c34.length == 6 && c34.forall(_.getLong(2) == 0L))
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {
