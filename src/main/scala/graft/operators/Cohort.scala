@@ -694,6 +694,28 @@ object Cohort {
       .transform(Gate.ordered("panel_a", "panel_b"))
   }
 
+  // -- c36: care-pathway transition matrix -------------------------------
+  // The pathway-mining face: which clinical event FOLLOWS which, per
+  // patient, over the whole corpus (triage→diagnostic→disposition
+  // chains; here event_type plays the concept). One lag window per
+  // patient (the c09 shuffle shape — ordered by (ts, event_id) so ties
+  // are deterministic) emits each consecutive (prev, next) step; one
+  // aggregate counts the matrix. n_patients per transition comes from
+  // the same pass (countDistinct over the grouped frame). At 100 TB:
+  // one user-keyed shuffle + one matrix-sized aggregate — the matrix
+  // is vocabulary², never events².
+  def c36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_steps"),
+        countDistinct(col("user_id")).as("n_patients"))
+      .transform(Gate.ordered("prev_type", "event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -721,13 +743,26 @@ object Cohort {
     "c31_incidence_prevalence" -> (c31 _),
     "c32_concept_drift" -> (c32 _),
     "c33_occupancy_census" -> (c33 _),
-    "c34_cohort_overlap" -> (c34 _)
+    "c34_cohort_overlap" -> (c34 _),
+    "c36_pathway_transitions" -> (c36 _)
   )
 
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    // identical per-patient (ts, event_id) order, so the lag pairs are
+    // engine-stable
+    "c36_pathway_transitions" ->
+      """SELECT prev_type, event_type, COUNT(*) AS n_steps,
+        | COUNT(DISTINCT user_id) AS n_patients
+        |FROM (
+        | SELECT user_id, event_type,
+        |  LAG(event_type, 1) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_type
+        | FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the same flag products, ordered pairs a <= b alphabetically
     "c34_cohort_overlap" ->
       """WITH f AS (SELECT user_id,

@@ -501,7 +501,31 @@ object Relational {
         "segment", "balance")
       .transform(Gate.ordered("n_name", "segment"))
 
+  // -- q34: NTILE decile profile -----------------------------------------
+  // The BI banding shape q19's fixed CASE buckets can't give: DATA-
+  // driven equal-population deciles of account balance per market
+  // segment (risk tiers, spend bands). ntile's rank order carries the
+  // c_custkey tie-break so equal balances band identically on every
+  // engine; the decile summary (count, min/max balance) aggregates the
+  // windowed frame in the same per-segment shuffle. Scale note: ntile
+  // needs its partition sorted — per-SEGMENT sort, parallel across
+  // segments; a global-percentile variant at 100 TB would use q15b's
+  // GK sketch to derive boundaries without the sort.
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      .transform(Gate.ordered("c_mktsegment", "decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_ntile_deciles" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
     "q03_multijoin_revenue" -> (q03 _),
@@ -540,6 +564,16 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // identical (balance, custkey) rank order -> identical banding
+    "q34_ntile_deciles" ->
+      """SELECT c_mktsegment, decile, COUNT(*) AS n,
+        | MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        |FROM (
+        | SELECT c_mktsegment, c_acctbal,
+        |  NTILE(10) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal, c_custkey) AS decile
+        | FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle keeps the CORRELATED form (EXISTS + NOT EXISTS over
     // the per-(order, supplier) late flags) that the Spark side
     // decorrelates into the per-order rollup join — same answer proves

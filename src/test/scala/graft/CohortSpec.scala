@@ -335,6 +335,28 @@ class CohortSpec extends SparkSpec {
     })
   }
 
+  test("c36 transition matrix equals a driver lag recompute and accounts") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val steps = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (u, a, b) }
+    }
+    val expected = steps.groupBy(s => (s._2, s._3)).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._1).distinct.size.toLong)) }
+    val got = Cohort.c36(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // conservation: every event except each patient's first is the
+    // target of exactly one step
+    val nUsers = evs.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum == evs.length - nUsers)
+  }
+
   test("c15 obfuscated counts stay within ±3 of truth and respect the floor") {
     import org.apache.spark.sql.functions._
     val truth = Tables.events(spark, sfDir)

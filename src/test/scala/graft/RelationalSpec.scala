@@ -175,6 +175,29 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set(gateOff, "true")
   }
 
+  test("q34 deciles are balanced, ordered, and exhaustive per segment") {
+    val rows = Relational.q34(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "every customer lands in a band")
+    rows.groupBy(_._1).foreach { case (seg, bands) =>
+      assert(bands.map(_._2).sorted.toSeq == (1 to bands.length),
+        s"$seg: deciles must be dense from 1")
+      // NTILE's equal-population contract: sizes differ by at most 1
+      val sizes = bands.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$seg: unbalanced $sizes")
+      // data-driven boundaries: each band's range is sane and bands
+      // never regress (hi of band k <= hi of band k+1; lo <= hi)
+      val ordered = bands.sortBy(_._2).toSeq
+      ordered.foreach { b => assert(b._4 <= b._5) }
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a._5 <= b._5 && a._4 <= b._4,
+          s"$seg: band ${a._2} overtakes band ${b._2}")
+      }
+    }
+  }
+
   test("q24 covers every nation that has customers or suppliers") {
     val rows = Relational.q24(spark, sfDir).collect()
     assert(rows.forall(r => r.getAs[Long]("c_cnt") + r.getAs[Long]("s_cnt") > 0))

@@ -196,6 +196,8 @@ class RobustnessSpec extends SparkSpec {
     // still emerge from the in-row unfold of the 1-row aggregate
     val c34 = graft.operators.Cohort.c34(spark, dir).collect()
     assert(c34.length == 6 && c34.forall(_.getLong(2) == 0L))
+    // no events → no steps, an empty transition matrix
+    assert(graft.operators.Cohort.c36(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {
