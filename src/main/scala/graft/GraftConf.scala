@@ -49,6 +49,15 @@ object GraftConf {
   def dedupCellsAssign(s: SparkSession): Int =
     s.conf.get("spark.graft.dedup.cells.assign", "5").toInt
 
+  /** Round cap of the connected-components fixpoint (d06/d09 dedup
+    * decision; default 50). The alternating large-star/small-star
+    * contraction converges in O(log^2 n) rounds, so 50 covers any
+    * physically storable corpus; the cap exists to turn a logic bug
+    * into a loud error instead of an unbounded shuffle loop.
+    */
+  def ccMaxIter(s: SparkSession): Int =
+    s.conf.get("spark.graft.cc.maxIter", "50").toInt
+
   /** Document-frequency cap of the shingle inverted index (d02/d03/d07
     * candidate gate; default 50). The oracle SQL under the gate mirrors
     * the DEFAULT — overriding the conf moves the operator off its

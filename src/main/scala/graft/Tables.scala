@@ -39,12 +39,35 @@ object Tables {
     *    nanos-era values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+    // guard, not just doc: nanos-era files fail schema resolution with
+    // Spark's opaque "Illegal Parquet type: INT64 (TIMESTAMP(NANOS))"
+    // unless the legacy flag is on — name the config in the rethrow so
+    // a mis-built session is a one-line fix, not a parquet spelunk
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet carries TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session " +
+              "construction (Verify/Bench/SparkSpec do)", e)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case t =>
+        // the NTZ->timestamp cast below re-labels the wall-clock
+        // instant; only a UTC session makes that the identity the
+        // nanos-era numbers (and the DuckDB oracle) expect
+        if (t == org.apache.spark.sql.types.TimestampNTZType) {
+          val tz = s.conf.get("spark.sql.session.timeZone", "")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; casting to timestamp is only " +
+              s"correct under spark.sql.session.timeZone=UTC (session has " +
+              s"'$tz')")
+        }
+        raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -100,9 +100,12 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > graft.GraftConf.dfCap(s))
       .select("h")
+    // rename by NAME, not position: a using-join reorders its output
+    // (join key first), so toDF here would silently relabel doc ids as
+    // hashes if Spark ever changed that ordering contract
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
-    ci.toDF("h", "doc_a")
-      .join(ci.toDF("h", "doc_b"), "h")
+    ci.select(col("h"), col("doc_id").as("doc_a"))
+      .join(ci.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
       .filter(col("n_cap") >= MIN_SHARED)
@@ -125,9 +128,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > graft.GraftConf.dfCap(s))
       .select("h")
+    // by-name renames for the same reason as cappedCandidates above
     val ci = sh.join(broadcast(common), Seq("h"), "left_anti")
-    val cand = ci.filter(isDelta).toDF("h", "doc_a")
-      .join(ci.toDF("h", "doc_b"), "h")
+    val cand = ci.filter(isDelta)
+      .select(col("h"), col("doc_id").as("doc_a"))
+      .join(ci.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
       .filter(col("n_cap") >= MIN_SHARED)
@@ -359,15 +364,21 @@ object Dedup {
   // -- d06: dedup DECISION — near-dup clusters and their representative --
   // Pair lists are not a dedup policy: the pipeline must group pairs
   // into connected components and keep ONE representative per cluster
-  // (a~b, b~c ⇒ keep one of {a,b,c}). Components via min-label
-  // propagation as pure DataFrame ops — per iteration one join + one
-  // min-aggregate, labels reach k hops after k iterations. Iterates TO
-  // THE FIXPOINT (no labels changed) with a hard cap — a fixed round
-  // count would silently split any component whose min-id member sits
-  // more hops away, exactly the long-chain case a billion-doc corpus
-  // can produce. At 100 TB each iteration is one shuffle + one cheap
-  // convergence check; lineage is checkpointed per iteration.
-  private val CC_MAX_ITER = 50
+  // (a~b, b~c ⇒ keep one of {a,b,c}). Components via ALTERNATING
+  // large-star/small-star contraction (Kiveris, Lattanzi, Mirrokni,
+  // Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+  // Beyond", SoCC 2014): each round re-hangs every node under the
+  // minimum of its neighborhood, which HALVES tree heights instead of
+  // walking them, so the round count is O(log^2 n) in the worst case —
+  // independent of component DIAMETER. (The previous min-label
+  // propagation needed one round per hop to the component min; a
+  // boilerplate-chained crawl component with diameter in the hundreds
+  // — routine at 100 TB — would exhaust any fixed cap. DedupSpec's
+  // 250-node path graph converges in a handful of rounds here and
+  // provably could not under per-hop propagation with the same cap.)
+  // Iterates TO THE FIXPOINT (round output == input) with a conf'd cap
+  // (spark.graft.cc.maxIter) that exists to make a logic bug loud, not
+  // to bound real corpora; lineage is checkpointed per round.
 
   /** Unsorted core — composed by Pipeline.p01. The checkpointer is the
     * deployment knob (graft.Checkpointing): local for single-JVM runs,
@@ -384,58 +395,124 @@ object Dedup {
     * whatever produced the pairs — d06 runs it over d02's text
     * near-dups, d09 over d05's embedding near-dups.
     */
+  /** Both neighborhood orientations of a directed parent-edge set. */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+
+  /** Large-star: every node u re-hangs its STRICTLY LARGER neighbors
+    * under m = min(Γ(u) ∪ {u}). Each undirected edge {u,v}, u<v, is
+    * seen from both endpoints but emitted only from the smaller one —
+    * as (v, m_u) with m_u ≤ u < v, so no self loops can appear.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val s = symmetrize(e)
+    val m = s.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    s.join(m, "a").filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node u re-hangs its smaller-or-equal closure
+    * N⁻(u) ∪ {u} (N⁻ = strictly smaller neighbors) under its minimum.
+    * Nodes with no smaller neighbor emit nothing — they are candidate
+    * roots and keep whatever edges largeStar gave their children.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val s = symmetrize(e)
+    val n = s.filter(col("b") < col("a"))
+    val m = n.groupBy(col("a")).agg(min(col("b")).as("m"))
+    n.join(m, "a")
+      .select(col("b").as("v"), col("m"))
+      .unionByName(m.select(col("a").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
   private[graft] def componentsOf(pairs: DataFrame,
       cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val maxIter = graft.GraftConf.ccMaxIter(pairs.sparkSession)
     // LINEAGE TRUNCATION is load-bearing for every iterative DataFrame
-    // algorithm: without the checkpoint, iteration k's plan embeds TWO
-    // copies of iteration k-1 (join left + union right) — the analyzed
-    // plan doubles per iteration and Catalyst grinds to a halt around
-    // k=8. Materialize the edge list once and each label generation.
-    val edges = cp(pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct())
-    var labels = cp(edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var converged = false
+    // algorithm: an uncut plan embeds every prior round twice (join
+    // left + union right) and Catalyst grinds to a halt around round 8.
+    // Materialize the edge state once per round; within a round the
+    // two star steps stay lazy (constant plan depth).
+    var edges = cp(pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     var iter = 0
-    while (!converged && iter < CC_MAX_ITER) {
-      val viaNeighbor = edges.toDF("nb", "id")
-        .join(labels.toDF("nb", "nl"), "nb")
-        .select(col("id"), col("nl").as("label"), lit(false).as("own"))
-      // convergence is decided INSIDE the same min-aggregate: labels
-      // only ever decrease, so the generation changed iff some id's new
-      // min undercuts its own previous label (carried through the union
-      // as the `own` row) — one cheap filter on the aggregate output
-      // replaces the old per-iteration join-back shuffle (measured at
-      // matched load, sf0.1: d06 3.5→2.2 s, d09 2.5→1.2 s; DedupSpec
-      // pins exact equality vs union-find either way)
-      val next = cp(viaNeighbor
-        .unionByName(labels.withColumn("own", lit(true)))
-        .groupBy(col("id")).agg(min(col("label")).as("label"),
-          min(when(col("own"), col("label"))).as("prev")))
-      converged = next.filter(col("label") < col("prev")).isEmpty
-      labels = next.select(col("id"), col("label"))
+    while (!converged && iter < maxIter) {
+      val next = cp(smallStar(largeStar(edges)))
+      val nNext = next.count()
+      // fixpoint test is EXACT set equality (both frames are distinct
+      // sets: equal counts + one empty difference ⇒ equal) — at the
+      // fixpoint every component is a star centered on its minimum
+      converged = nNext == nEdges && next.except(edges).isEmpty
+      edges = next
+      nEdges = nNext
       iter += 1
     }
     require(converged,
-      s"label propagation did not converge within $CC_MAX_ITER iterations")
-    labels.select(col("id"), col("label").as("keep_id"))
+      s"components did not converge within $maxIter rounds " +
+        "(spark.graft.cc.maxIter)")
+    // star edges are (member, component-min); the root labels itself
+    edges.select(col("a").as("id"), col("b").as("label"))
+      .unionByName(edges.select(col("b").as("id"), col("b").as("label"))
+        .distinct())
+      .select(col("id"), col("label").as("keep_id"))
   }
 
   def d06(s: SparkSession, d: String): DataFrame =
     d06Core(s, d).transform(Gate.ordered("doc_id"))
 
+  /** Persist a (doc_id, keep_id) decision frame as a doc_id-bucketed
+    * table — i2b2's QT result-lifecycle pattern (a query runs once,
+    * its patient set is materialized, every report joins the saved
+    * set; cf. Panels.ensureSavedPatientSet) applied to the dedup
+    * decision: the components fixpoint is the expensive step, and
+    * every consumer after it (the d11 audit, p01's keep-list
+    * application, ad-hoc "is this kept?" joins) only needs the tiny
+    * decision table. Bucketed by doc_id so corpus-side joins on the
+    * same bucketing are exchange-free (src03's technique).
+    */
+  def saveDecision(s: SparkSession, decision: DataFrame, tag: String): String = {
+    val nb = graft.GraftConf.indexBuckets(s)
+    val name = s"graft_dedup_decision_$tag"
+    decision.write.mode("overwrite")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
+      .option("path", s"$scratch/dedup_decision/$tag")
+      .saveAsTable(name)
+    name
+  }
+
+  /** Build-if-absent the persisted d06 decision for a test-SF dir. The
+    * tag encodes the candidate gate's accuracy knob (dfCap) and the
+    * bucket count, so changing either rebuilds instead of serving a
+    * decision computed under different semantics/geometry.
+    */
+  def ensureDecision(s: SparkSession, d: String): String = {
+    val tag = s"${sanitize(d)}_df${graft.GraftConf.dfCap(s)}" +
+      s"_b${graft.GraftConf.indexBuckets(s)}"
+    if (!s.catalog.tableExists(s"graft_dedup_decision_$tag"))
+      saveDecision(s, d06Core(s, d), tag)
+    s"graft_dedup_decision_$tag"
+  }
+
   // -- d11: dedup savings report (the audit face of the d06 decision) ---
   // What a pipeline owner actually reviews before enabling a dedup
   // stage: how many clusters of each size, how many documents the
   // keep-one rule removes, and how many bytes that saves. Two tiny
-  // aggregates over d06's (doc_id, keep_id) frame joined to the doc
-  // sizes — the report costs nothing beyond the decision it audits
-  // (the components fixpoint dominates; the per-cluster rollup groups
-  // on keep_id, already the frame's natural key). bytes_saved counts
-  // non-representative docs only: what the keep-one rewrite deletes.
+  // aggregates over the PERSISTED (doc_id, keep_id) decision joined to
+  // the doc sizes — the components fixpoint ran once at save time
+  // (ensureDecision), so the audit costs only the rollup; before r9 it
+  // re-ran the whole fixpoint inline per consumer (DedupSpec asserts
+  // the plan carries no fixpoint artifacts, only the table scan).
+  // bytes_saved counts non-representative docs only: what the keep-one
+  // rewrite deletes.
   def d11(s: SparkSession, d: String): DataFrame =
-    d06Core(s, d)
+    s.table(ensureDecision(s, d))
       .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy(col("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),

@@ -39,7 +39,11 @@ object Pipeline {
     val quality = TextAnalysis.t02Core(s, d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val exactKeep = Dedup.d01Core(s, d).select(col("keep_id").as("doc_id"))
-    val nearDrop = Dedup.d06Core(s, d)
+    // the near-dup keep list comes from the PERSISTED decision
+    // (Dedup.ensureDecision): the components fixpoint runs once at
+    // save time, not once per pipeline composition — at 100 TB the
+    // pipeline rerun must not re-pay the decision it already made
+    val nearDrop = s.table(Dedup.ensureDecision(s, d))
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
     docs
       .join(quality, "doc_id")

@@ -804,11 +804,11 @@ object Similarity {
     "s01_ann_bruteforce" ->
       s"""WITH e AS (
          | SELECT vec_id, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings)
          |SELECT vec_id, ROUND(cos, 6) AS cosine FROM (
          | SELECT a.vec_id,
-         |  (${sqlDotFixed("a.v", "q.v", 64)}) / sqrt(a.nrm * q.nrm) AS cos
+         |  (${sqlDotFixed("a.v", "q.v", DIM)}) / sqrt(a.nrm * q.nrm) AS cos
          | FROM e a JOIN e q ON q.vec_id = $QUERY_VEC
          | WHERE a.vec_id <> $QUERY_VEC)
          |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin,
@@ -818,13 +818,13 @@ object Similarity {
       val ids = KNN_PROBE_IDS.mkString(", ")
       s"""WITH e AS (
          | SELECT vec_id, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings),
          |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
          |  WHERE vec_id IN ($ids)),
          |scored AS (
          | SELECT p.q_id, e.vec_id,
-         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         |  (${sqlDotFixed("e.v", "p.qv", DIM)}) / sqrt(e.nrm * p.qnrm) AS cos
          | FROM e, p WHERE e.vec_id <> p.q_id),
          |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
          |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored)
@@ -837,13 +837,13 @@ object Similarity {
       val ids = KNN_PROBE_IDS.mkString(", ")
       s"""WITH e AS (
          | SELECT vec_id, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings),
          |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
          |  WHERE vec_id IN ($ids))
          |SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM (
          | SELECT p.q_id, e.vec_id,
-         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         |  (${sqlDotFixed("e.v", "p.qv", DIM)}) / sqrt(e.nrm * p.qnrm) AS cos
          | FROM e, p WHERE e.vec_id <> p.q_id)
          |WHERE cos >= $RANGE_T ORDER BY q_id, vec_id""".stripMargin
     },
@@ -863,10 +863,10 @@ object Similarity {
          |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY shared DESC, doc_id)
          |   AS kr FROM kw) WHERE kr <= $S09_POOL),
          |e AS (SELECT vec_id, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings),
          |sc AS (SELECT a.vec_id AS doc_id,
-         |  (${sqlDotFixed("a.v", "q.v", 64)}) / sqrt(a.nrm * q.nrm) AS cos
+         |  (${sqlDotFixed("a.v", "q.v", DIM)}) / sqrt(a.nrm * q.nrm) AS cos
          | FROM e a JOIN e q ON q.vec_id = $S09_Q
          | WHERE a.vec_id <> $S09_Q),
          |vr AS (SELECT doc_id, vr FROM (
@@ -887,7 +887,7 @@ object Similarity {
       s"""WITH e AS (
          | SELECT vec_id, embedding AS v,
          |  ${sqlDotFixed("embedding", "embedding", S08_PRE_DIM)} AS pnrm,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings),
          |p AS (SELECT vec_id AS q_id, v AS qv, pnrm AS qpnrm,
          |  nrm AS qnrm FROM e WHERE vec_id IN ($ids)),
@@ -902,7 +902,7 @@ object Similarity {
          | WHERE prk <= $S08_CAND),
          |s2 AS (
          | SELECT c.q_id, c.vec_id,
-         |  (${sqlDotFixed("e.v", "p.qv", 64)}) / sqrt(e.nrm * p.qnrm) AS cos
+         |  (${sqlDotFixed("e.v", "p.qv", DIM)}) / sqrt(e.nrm * p.qnrm) AS cos
          | FROM c JOIN e ON e.vec_id = c.vec_id JOIN p ON p.q_id = c.q_id),
          |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
          |  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s2)
@@ -916,13 +916,13 @@ object Similarity {
       val ids = KNN_PROBE_IDS.mkString(", ")
       s"""WITH e AS (
          | SELECT vec_id, label, embedding AS v,
-         |  ${sqlDotFixed("embedding", "embedding", 64)} AS nrm
+         |  ${sqlDotFixed("embedding", "embedding", DIM)} AS nrm
          | FROM embeddings),
          |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
          |  WHERE vec_id IN ($ids)),
          |scored AS (
          | SELECT p.q_id, f.vec_id,
-         |  (${sqlDotFixed("f.v", "p.qv", 64)}) / sqrt(f.nrm * p.qnrm) AS cos
+         |  (${sqlDotFixed("f.v", "p.qv", DIM)}) / sqrt(f.nrm * p.qnrm) AS cos
          | FROM (SELECT * FROM e WHERE label < $S07_MAX_LABEL) f, p
          | WHERE f.vec_id <> p.q_id),
          |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (

@@ -223,6 +223,26 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty && comp.nonEmpty)
   }
 
+  test("d11/p01 consume the persisted decision — no inline fixpoint in the plan") {
+    val t = Dedup.ensureDecision(spark, sfDir)
+    // the saved table IS the live fixpoint's labels, bit for bit
+    val saved = spark.table(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = Dedup.d06Core(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saved == live)
+    // consumers scan the bucketed table; a live fixpoint would show up
+    // as checkpointed ExistingRDD leaves in the executed plan
+    for (q <- Seq(Dedup.d11(spark, sfDir),
+        graft.operators.Pipeline.p01(spark, sfDir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_dedup_decision"),
+        "consumer must scan the persisted decision table")
+      assert(!plan.contains("ExistingRDD"),
+        "consumer plan must not embed the components fixpoint")
+    }
+  }
+
   test("d06 reaches identical labels under local and reliable checkpointing") {
     val local = Dedup.d06Core(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -235,6 +255,27 @@ class DedupSpec extends SparkSpec {
     val f = new java.io.File(dir)
     assert(f.exists && f.listFiles().nonEmpty,
       "reliable checkpointing must materialize into the given directory")
+  }
+
+  // the long-chain corpus shape (boilerplate-chained crawl dups) the
+  // alternating star contraction exists for: diameter 250 with the
+  // component min at the far end. Per-hop min-label propagation needs
+  // one round per hop — 250 > the 50-round cap — so this graph is
+  // unreachable for the pre-r9 implementation; large-star/small-star
+  // re-hangs subtrees and lands in O(log^2 n) rounds.
+  test("componentsOf converges on a 250-hop path graph within the round cap") {
+    import spark.implicits._
+    val n = 250
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+    // a second, disjoint 3-node component keeps the test honest about
+    // per-component mins (no single global min shortcut)
+    val pairs = (chain ++ Seq((1000L, 1001L), (1001L, 1002L)))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.componentsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n + 4)
+    assert((0 to n).forall(i => labels(i.toLong) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(labels(_) == 1000L))
   }
 
   test("d09 semantic dedup decision equals an exact union-find over d05's pairs") {

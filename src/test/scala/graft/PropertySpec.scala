@@ -97,8 +97,11 @@ class PropertySpec extends AnyFunSuite {
     val WIN = 4 * SLIDE
     check(Prop.forAll(Gen.choose(0L, 40L * 24 * 3600 * 1000000)) { ts =>
       val enumerated = (0L to 3L).map(k => (ts / SLIDE - k) * SLIDE).toSet
+      // no non-negativity guard: the enumerated side deliberately
+      // includes negative window starts (ts < 3*SLIDE), so the brute
+      // side must enumerate them too for the equality to mean anything
       val brute = ((ts - WIN) / SLIDE - 1 to ts / SLIDE + 1)
-        .map(_ * SLIDE).filter(w => w >= 0 || true)
+        .map(_ * SLIDE)
         .filter(w => w <= ts && ts < w + WIN).toSet
       enumerated == brute
     })
