@@ -199,20 +199,33 @@ object Cohort {
       .transform(Gate.ordered("hour_ts"))
 
   // -- c10: ordered funnel view -> click -> purchase ------------------------
+  // ONE fact scan + ONE user_id shuffle: each stage's "first X after
+  // the previous stage" is a min-over-partition window that reads the
+  // previous stage's window column, so the three chained WindowExecs
+  // share a single hash(user_id) exchange and the per-user rollup
+  // after them reuses the same partitioning. (The r1 form derived
+  // fv/fc/fp as separate join+agg frames, each consumed twice — the
+  // printed plan carried 12 parquet scans of the fact table; at 100 TB
+  // that is ~6 redundant corpus reads for three numbers.)
   def c10(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select("user_id", "event_type", "ts")
-    val fv = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("u1")).agg(min(col("ts")).as("first_view"))
-    val fc = e.join(fv, e("user_id") === col("u1"))
-      .filter(col("event_type") === "click" && col("ts") > col("first_view"))
-      .groupBy(col("u1").as("u2")).agg(min(col("ts")).as("first_click"))
-    val fp = e.join(fc, e("user_id") === col("u2"))
-      .filter(col("event_type") === "purchase" && col("ts") > col("first_click"))
-      .groupBy(col("u2").as("u3")).agg(min(col("ts")).as("first_purchase"))
-    val n1 = fv.agg(count(lit(1)).as("n_view"))
-    val n2 = fc.agg(count(lit(1)).as("n_view_click"))
-    val n3 = fp.agg(count(lit(1)).as("n_view_click_purchase"))
-    n1.crossJoin(n2).crossJoin(n3)
+    val w = Window.partitionBy("user_id")
+    events(s, d).select("user_id", "event_type", "ts")
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("first_view"), col("ts"))).over(w))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_click"), col("ts"))).over(w))
+      // the window columns are per-user constants; max() just picks them
+      .groupBy(col("user_id"))
+      .agg(max(col("first_view")).as("fv"), max(col("first_click")).as("fc"),
+        max(col("first_purchase")).as("fp"))
+      // count() skips nulls: users that never reached the stage
+      .agg(count(col("fv")).as("n_view"),
+        count(col("fc")).as("n_view_click"),
+        count(col("fp")).as("n_view_click_purchase"))
   }
 
   // -- c11: concept x day patient counts (i2b2 breakdown) -------------------

@@ -476,6 +476,35 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(upsertState)
   }
 
+  /** Idempotent CDC-emission sink for [[upsertStream]] — the same
+    * overwrite-by-batch contract as [[writeSessionBatch]]: emissions
+    * land partitioned by batch_id, so a crash-replayed batch rewrites
+    * its own partition instead of appending duplicates.
+    */
+  def writeUpsertBatch(batch: Dataset[Latest], batchId: Long,
+      outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Exactly-once continuous upsert: checkpointed offsets + per-key
+    * latest-wins state + the idempotent sink above. Kill + restart
+    * resumes from the checkpoint; a replayed update loses against the
+    * state it already wrote and emits nothing (StreamingSpec kills the
+    * query between generations and replays the full history).
+    */
+  def upsertSink(s: SparkSession, updates: Dataset[Upd], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    upsertStream(s, updates)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Latest], batchId: Long) =>
+        writeUpsertBatch(batch, batchId, outDir))
+      .start()
+
   /** Exact batch twin — the `queries` entry (src08's oracle): the same
     * comparator folded with reduceGroups, which — unlike src08's
     * window — partial-aggregates map-side (at 100 TB the shuffle

@@ -46,6 +46,38 @@ class CohortSpec extends SparkSpec {
     assert(scans == 1, s"multi-section report must be ONE scan, saw $scans")
   }
 
+  test("c10 funnel is one scan + one keyed shuffle and matches a staged recompute") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val df = Cohort.c10(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 1, s"funnel must read the fact table once, saw $scans")
+    // the three stage windows + per-user rollup must share ONE
+    // hash(user_id) exchange (the final 1-row agg is SinglePartition)
+    val keyed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"stages must share one user_id shuffle, saw $keyed")
+    // staged per-user recompute in exact microseconds (getTimestamp
+    // would truncate to millis and corrupt the strict > comparisons)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stages = evs.groupBy(_._1).values.toSeq.map { es =>
+      def first(t: String, after: Long): Option[Long] = {
+        val c = es.filter(e => e._2 == t && e._3 > after).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val fv = first("view", Long.MinValue)
+      val fc = fv.flatMap(first("click", _))
+      val fp = fc.flatMap(first("purchase", _))
+      (fv.isDefined, fc.isDefined, fp.isDefined)
+    }
+    val got = df.collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (stages.count(_._1).toLong, stages.count(_._2).toLong,
+        stages.count(_._3).toLong))
+  }
+
   test("c20 incremental report: exact counts, bounded sketch error, merge-invariant") {
     val exact = Cohort.c18(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))

@@ -250,6 +250,39 @@ class PanelsSpec extends SparkSpec {
     assert(viaXml == direct && viaXml.nonEmpty)
   }
 
+  test("result envelope round-trips the patient set + breakdown exactly") {
+    import graft.operators.{Cohort, ResultEnvelope}
+    val patients = Panels.c13(spark, sfDir)
+    val breakdown = Cohort.c17(spark, sfDir)
+    val doc = ResultEnvelope.render("panel_cohort", patients,
+      Seq("demographics" -> breakdown))
+    val got = ResultEnvelope.parse(doc)
+    // the parsed document IS the DataFrames' content
+    val wantIds = patients.collect().map(_.getLong(0)).toSeq.sorted
+    assert(got.patientIds == wantIds)
+    assert(got.setSize == wantIds.length && !got.truncated)
+    assert(got.status == "FINISHED" && got.queryName == "panel_cohort")
+    val wantBx = breakdown.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.breakdowns == Seq("demographics" -> wantBx))
+    // bounded delivery: the id list pages, the true set size survives
+    import spark.implicits._
+    val five = Seq(5L, 1L, 4L, 2L, 3L).toDF("user_id")
+    val paged = ResultEnvelope.parse(
+      ResultEnvelope.render("paged", five, maxPatients = 2))
+    assert(paged.patientIds == Seq(1L, 2L) && paged.truncated &&
+      paged.setSize == 5L)
+    // strict rejection: an unknown element must not be silently dropped
+    intercept[IllegalArgumentException] {
+      ResultEnvelope.parse(doc.replace("<patientSet", "<extra/><patientSet"))
+    }
+    // the saved-patient-set face (c23b's QT lifecycle) renders the same
+    // envelope shape
+    val saved = ResultEnvelope.parse(
+      ResultEnvelope.render("saved_set", Panels.c23b(spark, sfDir)))
+    assert(saved.setSize == saved.patientIds.length && saved.setSize > 0)
+  }
+
   test("patient-set composition intersects cohorts with unchanged counts") {
     val standalone = Panels.c13(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.toSeq).toMap

@@ -214,6 +214,59 @@ class RobustnessSpec extends SparkSpec {
     assert(spark.read.parquet(layout).count() == before)
   }
 
+  // the skew shape a hospital-scale deployment actually hits: one
+  // "patient" (a test account, a bot, a merged MRN) owning a visible
+  // fraction of the fact table. The panel/timeline path groups and
+  // windows by user_id, so the hot key lands in one task — this test
+  // pins that (a) results are invariant to shuffle geometry (the hot
+  // key computes the same answer whichever partition absorbs it),
+  // (b) the plan SHAPE is the uniform plan (no extra exchanges, no
+  // fallback to a broadcast/cartesian), and (c) c27's timeline cap
+  // bounds the hot user's materialized state. Runtimes are printed for
+  // the SURVEY §5 record.
+  test("panel path holds on a hot-user slice (one user owns 10% of events)") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.01"
+    val dir = s"${graft.Scratch.dir}/skew_hot"
+    Tables.events(spark, src)
+      .withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    val (total, hot) =
+      (ev.count(), ev.filter(col("user_id") === 0).count())
+    assert(hot >= total / 10, s"planted skew missing: $hot of $total")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    val queries = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+      "c01" -> (x => graft.operators.Cohort.c01(spark, x)),
+      "c13" -> (x => Panels.c13(spark, x)),
+      "c27" -> (x => graft.operators.Cohort.c27(spark, x)))
+    for ((name, q) <- queries) {
+      assert(exchanges(q(dir)) == exchanges(q(src)),
+        s"$name: hot slice changed the plan shape")
+      val t0 = System.nanoTime()
+      val rows = q(dir).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(rows.nonEmpty, s"$name returned nothing on the hot slice")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try assert(q(dir).collect().map(_.toString).sorted.toSeq ==
+          rows.map(_.toString).sorted.toSeq,
+        s"$name not invariant to shuffle geometry under skew")
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      info(f"$name hot-slice: ${rows.length} rows in $ms%.0f ms")
+    }
+    // the hot user's timeline is CAPPED: per-user state stays bounded
+    // no matter how many events the key owns
+    val hotRow = graft.operators.Cohort.c27(spark, dir)
+      .filter(col("user_id") === 0).collect().head
+    assert(hotRow.getAs[Long]("n_events") == hot)
+    assert(hotRow.getAs[String]("timeline").count(_ == '>') <
+      graft.operators.Cohort.TIMELINE_CAP)
+  }
+
   test("registerViews points SQL at the LAST registered dir (dir switch)") {
     Tables.registerViews(spark, sfDir)
     val n1 = spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0)

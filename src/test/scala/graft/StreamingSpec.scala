@@ -410,6 +410,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st06 CDC sink survives kill + restart + full-history replay") {
+    import spark.implicits._
+    import org.apache.commons.io.FileUtils
+    val baseDir = "/root/repo/target/roundtrip/st06_chaos"
+    val (feed, out, ckpt) = (s"$baseDir/feed", s"$baseDir/out", s"$baseDir/ckpt")
+    FileUtils.deleteQuietly(new java.io.File(baseDir))
+    def updRows(df: org.apache.spark.sql.DataFrame): Seq[EventStreams.Upd] =
+      EventStreams.withUpdHash(df).as[EventStreams.Upd].collect().toSeq
+    val base = updRows(graft.sources.RoundTrip.src08Base(spark, sfDir))
+    val delta = updRows(graft.sources.RoundTrip.src08Delta(spark, sfDir))
+
+    def mkQuery() = EventStreams.upsertSink(spark,
+      spark.readStream.schema(spark.createDataset(base).schema).parquet(feed)
+        .as[EventStreams.Upd], out, ckpt)
+
+    // generation 1 lands, the query commits it and is KILLED; while it
+    // is down the delta arrives TOGETHER WITH a full replay of
+    // generation 1 (the crash-recovery double-feed); a new instance
+    // resumes from the checkpoint
+    spark.createDataset(base).write.mode("overwrite").parquet(feed)
+    val q1 = mkQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.createDataset(delta ++ base).write.mode("append").parquet(feed)
+    val q2 = mkQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // emission count is exactly the state-machine's: every key emits
+    // once for generation 1; after restart only keys the delta IMPROVES
+    // emit again — replayed generation-1 rows emit nothing
+    def bestOf(rows: Seq[EventStreams.Upd]): Map[Long, EventStreams.Upd] =
+      rows.groupBy(_.o_orderkey).map { case (k, rs) =>
+        k -> rs.reduce((a, b) => if (EventStreams.better(b, a)) b else a)
+      }
+    val st1 = bestOf(base)
+    val improved = bestOf(delta ++ base).count { case (k, b) =>
+      EventStreams.better(b, st1(k))
+    }
+    val emitted = spark.read.parquet(out)
+    assert(emitted.count() == st1.size + improved,
+      "replayed updates must be absorbed by restored state, not re-emitted")
+
+    // converged materialization == the batch upsert twin
+    val latest = emitted.as[EventStreams.Latest].collect()
+      .groupBy(_.o_orderkey)
+      .map { case (_, rows) => rows.maxBy(_.__v) }
+      .map(l => (l.o_orderkey, l.o_orderstatus, l.o_totalprice)).toSet
+    val batch = graft.sources.RoundTrip.src08(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(latest == batch,
+      s"missing=${(batch -- latest).take(3)} extra=${(latest -- batch).take(3)}")
+
+    // crash-window replay: re-running a committed batch rewrites its own
+    // partition — the sink is idempotent per batch
+    val lastBatch = emitted
+      .agg(org.apache.spark.sql.functions.max(col("batch_id").cast("long")))
+      .collect()(0).getLong(0)
+    val replay = spark.read.parquet(s"$out/batch_id=$lastBatch")
+      .as[EventStreams.Latest]
+    EventStreams.writeUpsertBatch(replay, lastBatch, out)
+    assert(spark.read.parquet(out).count() == st1.size + improved,
+      "replaying a committed batch must be a no-op")
+  }
+
   test("continuous document ingest accumulates to src13's batch answer") {
     import org.apache.spark.sql.functions.{col, date_format}
     val dir = graft.sources.RoundTrip.cdaCorpus(spark, sfDir)
