@@ -36,6 +36,15 @@ object TextFunctions {
        |    i -> concat($tokensCol[i], ' ', $tokensCol[i+1], ' ', $tokensCol[i+2]))
        |ELSE array() END""".stripMargin)
 
+  /** ALL word bigram occurrences (the t17 language-model signal needs
+    * multiplicity, like shingles3All).
+    */
+  def bigramsAll(tokensCol: String): Column = expr(
+    s"""CASE WHEN size($tokensCol) >= 2 THEN
+       |  transform(sequence(0, size($tokensCol) - 2),
+       |    i -> concat($tokensCol[i], ' ', $tokensCol[i+1]))
+       |ELSE array() END""".stripMargin)
+
   /** MinHash as codegen'd aggregates over an exploded (doc, base-hash)
     * frame: the variable-length shingle is xxhash64'd ONCE; each of the k
     * family members is a seeded re-hash of that fixed 8-byte value, and

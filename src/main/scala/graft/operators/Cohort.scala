@@ -729,7 +729,36 @@ object Cohort {
       .transform(Gate.ordered("prev_type", "event_type"))
   }
 
+  // -- c37: 24h readmission rate by discharge day ------------------------
+  // The ED quality KPI the AKTIN monthly report family tracks
+  // (unplanned revisits): a DISCHARGE (end of a c09 visit) counts as a
+  // readmission when the SAME patient's next visit starts within 24
+  // hours. Reuses the one c09Core visit definition; lead(start) over
+  // the per-user session sequence rides the same hash(user_id) shuffle
+  // the session fold just produced — no second fact scan, no self-join
+  // of visits. The last visit per user has no successor and can never
+  // be a readmission; visits are non-overlapping by construction
+  // (30-min gap rule), so lead(start) ≥ this end always.
+  private val READMIT_US = 24L * 3600 * 1000000
+  def c37(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("session_id"))
+    c09Core(s, d)
+      .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
+      .withColumn("readmit",
+        when(col("next_start_us").isNotNull &&
+          col("next_start_us") - col("last_us") <= READMIT_US, 1).otherwise(0))
+      .groupBy(date_format(timestamp_micros(col("last_us")), "yyyy-MM-dd")
+        .as("discharge_day"))
+      .agg(count(lit(1)).as("n_discharges"),
+        sum(col("readmit")).as("n_readmit_24h"))
+      .withColumn("readmit_rate",
+        round(col("n_readmit_24h").cast("double") /
+          col("n_discharges").cast("double"), 6))
+      .transform(Gate.ordered("discharge_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c37_readmission_rate" -> (c37 _),
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
     "c03_eav_pivot" -> (c03 _),
@@ -764,6 +793,41 @@ object Cohort {
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
   val oracle: Map[String, String] = Map(
+    // same session fold as c09's oracle, then LEAD over the per-user
+    // session sequence; HUGEINT discipline on SUM
+    "c37_readmission_rate" ->
+      s"""WITH sess AS (
+         | SELECT user_id, session_id,
+         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
+         | FROM (
+         |  SELECT user_id, ts,
+         |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM (
+         |   SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_us IS NULL
+         |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+         |     AS is_new
+         |   FROM (SELECT user_id, event_id, ts,
+         |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |    FROM events)))
+         | GROUP BY user_id, session_id),
+         |r AS (
+         | SELECT last_us,
+         |  CASE WHEN next_start_us IS NOT NULL
+         |    AND next_start_us - last_us <= $READMIT_US THEN 1 ELSE 0 END
+         |   AS readmit
+         | FROM (SELECT last_us, LEAD(start_us, 1) OVER (
+         |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
+         |   FROM sess))
+         |SELECT strftime(make_timestamp(last_us), '%Y-%m-%d')
+         |  AS discharge_day,
+         | COUNT(*) AS n_discharges,
+         | CAST(SUM(readmit) AS BIGINT) AS n_readmit_24h,
+         | ROUND(CAST(SUM(readmit) AS DOUBLE) / COUNT(*), 6) AS readmit_rate
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical per-patient (ts, event_id) order, so the lag pairs are
     // engine-stable
     "c36_pathway_transitions" ->

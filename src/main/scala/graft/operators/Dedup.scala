@@ -524,6 +524,29 @@ object Dedup {
         sum(col("saved")).as("bytes_saved"))
       .transform(Gate.ordered("cluster_size"))
 
+  // -- d12: quality-aware canonical selection ----------------------------
+  // The keep-one rule most production dedups actually want: within each
+  // near-dup cluster keep the HIGHEST-QUALITY member (t02's score), not
+  // the smallest id — the min-id decision can keep a truncated OCR copy
+  // and delete the clean one. Composes the persisted d06 decision with
+  // t02's scoring core: one scan of the tiny decision table, one
+  // quality join (doc-keyed, AQE-splittable), one argmax aggregate per
+  // cluster via max(struct) — no window sort, no second fixpoint
+  // (ensureDecision). quality is already rounded to 6, so the
+  // (quality desc, doc_id asc) argmax picks the same member on every
+  // engine and partitioning.
+  def d12(s: SparkSession, d: String): DataFrame =
+    s.table(ensureDecision(s, d))
+      .join(TextAnalysis.t02Core(s, d).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .groupBy(col("keep_id").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg_id")).as("keep_doc"),
+        col("best.quality").as("best_quality"))
+      .transform(Gate.ordered("cluster_id"))
+
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // so the candidate generation is SQL-expressible and the cosine math
@@ -966,7 +989,8 @@ object Dedup {
     "d08b_dedup_passage_prebuilt" -> (d08b _),
     "d09_dedup_semantic" -> (d09 _),
     "d10_dedup_incremental_bloom" -> (d10 _),
-    "d11_dedup_savings" -> (d11 _)
+    "d11_dedup_savings" -> (d11 _),
+    "d12_dedup_canonical_quality" -> (d12 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -1095,6 +1119,22 @@ object Dedup {
         | (SELECT MIN(c.doc_id) FROM h c
         |  WHERE c.doc_id % 3 <> 2 AND c.h = d.h) AS dup_of
         |FROM h d WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id""".stripMargin,
+    // d06's recursive components joined to t02's quality expression;
+    // the argmax is a ROW_NUMBER with the identical rounded-quality
+    // tie-break the Spark max(struct) encodes
+    "d12_dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $D06_CTES,
+         |q AS (SELECT doc_id, quality
+         | FROM ${graft.operators.TextAnalysis.T02_SCORED_SQL}),
+         |r AS (
+         | SELECT keep_id AS cluster_id, d06.doc_id, quality,
+         |  ROW_NUMBER() OVER (PARTITION BY keep_id
+         |   ORDER BY quality DESC, d06.doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY keep_id) AS cluster_size
+         | FROM d06 JOIN q USING (doc_id))
+         |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         | doc_id AS keep_doc, quality AS best_quality
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // the same recursive-CTE components as d06's oracle, rolled up to
     // per-cluster sizes and the keep-one deletion's byte savings
     "d11_dedup_savings" ->

@@ -524,7 +524,41 @@ object Relational {
       .transform(Gate.ordered("c_mktsegment", "decile"))
   }
 
+  // -- q35: trailing-interval window (RANGE BETWEEN 7 days) ---------------
+  // Time-based window frames q11's row-based running totals can't give:
+  // each order's trailing-7-day customer revenue — the "recent spend"
+  // feature every risk/abuse model wants. RANGE on epoch-µs makes the
+  // frame a true time interval (peers at the same instant all join the
+  // frame, so ties are order-independent); the exact-decimal sum keeps
+  // the double reproducible across engines and partitionings. One
+  // hash(custkey) shuffle carries both the sort and the frame scan;
+  // at 100 TB the per-customer partitions are tiny (orders/customer is
+  // bounded), so the sort parallelises perfectly.
+  private val Q35_WIN_US = 7L * 86400 * 1000000
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      // o_orderdate reads as TIMESTAMP_NTZ; the cast under the UTC
+      // session re-labels the same wall-clock instant (Tables.events
+      // doc) so epoch-µs frames agree with the oracle's epoch_us
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-Q35_WIN_US, 0)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      // Det.dsum's windowed form: OVER binds to the SUM, the exact
+      // decimal result casts back to double outside the window
+      .withColumn("trailing_7d_spend",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("n_trailing_7d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_totalprice"), col("trailing_7d_spend"), col("n_trailing_7d"))
+      .transform(Gate.ordered("o_custkey", "o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_trailing_window" -> (q35 _),
     "q34_ntile_deciles" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_topk_shipping" -> (q02 _),
@@ -564,6 +598,19 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // RANGE frame on epoch-µs: peers at one instant join the frame in
+    // both engines, so tie order cannot change the sum; decimal-sum
+    // rendition matches Det.dsum bit-for-bit
+    "q35_trailing_window" ->
+      s"""SELECT o_custkey, o_orderkey,
+         | strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_totalprice,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |  AS trailing_7d_spend,
+         | CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_7d
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         | RANGE BETWEEN $Q35_WIN_US PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // identical (balance, custkey) rank order -> identical banding
     "q34_ntile_deciles" ->
       """SELECT c_mktsegment, decile, COUNT(*) AS n,

@@ -735,6 +735,84 @@ object Similarity {
       .transform(graft.Gate.orderedBy(col("rrf").desc, col("doc_id")))
   }
 
+  // -- s10: MMR-diversified top-k (Maximal Marginal Relevance) -----------
+  // The serving-side re-rank between ANN retrieval and the consumer
+  // (RAG context assembly, dedup-aware search): greedily pick k results
+  // maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+  // (Carbonell & Goldstein, SIGIR 1998). Scale shape: relevance and the
+  // candidate pool come from the s01 distributed plan (at production
+  // scale, from a prebuilt-index probe — the pool source is
+  // interchangeable); the greedy selection is INHERENTLY sequential in
+  // k, so it runs as ONE executor task over the coalesced pool — the
+  // pool is bounded by construction (MMR_POOL rows), never the corpus,
+  // and no row reaches the driver. Fixed-order double accumulation in
+  // the task makes every pairwise cosine partitioning-independent.
+  private[graft] val MMR_POOL = 50
+  private[graft] val MMR_LAMBDA = 0.7
+
+  def s10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pool = embeddings(s, d)
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("rel"),
+        col("embedding"), col("nrm"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MMR_POOL)
+    val picked = pool.toDF("_1", "_2", "_3", "_4")
+      .as[(Long, Double, Array[Float], Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val cands = it.toArray.sortBy { case (id, rel, _, _) => (-rel, id) }
+        mmrSelect(cands, K, MMR_LAMBDA).iterator
+      }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+    picked.transform(graft.Gate.ordered("rank"))
+  }
+
+  /** The greedy MMR loop over a bounded candidate array. Exposed for the
+    * spec's step-optimality check. Ties (after 1e-6 rounding of the
+    * objective) break on the smaller vec_id, so the selection is a pure
+    * function of the pool.
+    */
+  private[graft] def mmrSelect(cands: Array[(Long, Double, Array[Float], Double)],
+      k: Int, lambda: Double): Seq[(Long, Long, Double, Double)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    while (out.size < k && selected.size < cands.length) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      cands.indices.foreach { i =>
+        if (!selected.contains(i)) {
+          val (id, rel, v, nrm) = cands(i)
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map { j =>
+              val (_, _, vj, nrmj) = cands(j)
+              dot(v, vj) / math.sqrt(nrm * nrmj)
+            }.max
+          val score = r6(lambda * rel - (1 - lambda) * maxSim)
+          if (score > bestScore ||
+            (score == bestScore && bestIdx >= 0 && id < cands(bestIdx)._1)) {
+            bestIdx = i; bestScore = score
+          }
+        }
+      }
+      selected += bestIdx
+      val (id, rel, _, _) = cands(bestIdx)
+      out += ((out.size + 1L, id, r6(rel), bestScore))
+    }
+    out.toSeq
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -782,6 +860,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
+    "s10_mmr_rerank" -> (s10 _),
     "s02_ann_lsh" -> (s02 _),
     "s02b_ann_lsh_prebuilt" -> (s02b _),
     "s03_ann_ivf" -> (s03 _),

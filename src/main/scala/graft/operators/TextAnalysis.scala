@@ -449,7 +449,75 @@ object TextAnalysis {
       .transform(Gate.ordered("lang", "rk"))
   }
 
+  // -- t16: TF-IDF keyword extraction ------------------------------------
+  // The per-document salient-term face (search indexing, topic tagging,
+  // near-dup EXPLANATION): top-3 tokens by tf·idf. Scale shape mirrors
+  // t10: one corpus token scan feeds BOTH the per-(doc, token) tf
+  // aggregate and the vocabulary-sized document-frequency table (built
+  // FROM the tf frame — one row per (doc, token) — so no second scan,
+  // with map-side partials); the idf tag-back is a vocabulary join AQE
+  // can split on stop-word skew; the top-3 is a row_number over the
+  // per-doc partition. Both engines rank by the ROUNDED score (then
+  // token) so float noise below 1e-6 cannot reorder the cut.
+  private val T16_K = 3
+  def t16(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    val docs = documents(s, d).filter(col("text").isNotNull)
+    val tf = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_docs"))
+    val n = docs.select(count(lit(1)).as("n_docs")) // 1 row — bounded
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") /
+          (col("df_docs") + 1).cast("double")) + 1.0), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= T16_K)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df_docs"), col("score"))
+      .transform(Gate.ordered("doc_id", "rank"))
+  }
+
+  // -- t17: bigram-LM fluency score --------------------------------------
+  // The cheap statistical-fluency filter between t02's surface
+  // heuristics and a neural perplexity pass: per document, the mean
+  // corpus log-probability of its word bigrams, ln c(w1 w2) − ln c(w1 ·)
+  // under the corpus's own bigram counts (documents full of never-
+  // repeated word sequences — OCR noise, shuffled text — score far
+  // below fluent ones). Scale shape: bigrams come from an in-row
+  // transform (no explode before the pinned repartition), corpus
+  // counts are vocabulary²-bounded aggregates with map-side partials,
+  // and both tag-backs are joins AQE can split on skew — never a
+  // window over a hot bigram's partition. The first-word total is
+  // derived FROM the bigram table (sum over w2), not a second corpus
+  // pass. Integer counts throughout; the single double expression at
+  // the end is rounded to 6.
+  def t17(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramsAll("w")).as("bg"))
+    val cBi = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val cW1 = cBi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    bi.join(cBi, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cW1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_bg").cast("double")) -
+          log(col("c_w1").cast("double"))), 6).as("mean_logp"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_tfidf_keywords" -> (t16 _),
+    "t17_bigram_fluency" -> (t17 _),
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_stats" -> (t03 _),
@@ -499,6 +567,42 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // both engines rank by the ROUNDED score then token, so a <1e-6
+    // ln() ulp difference cannot reorder the top-3 cut
+    "t16_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents
+         |  WHERE text IS NOT NULL),
+         |scored AS (
+         | SELECT doc_id, tok, tf, df_docs,
+         |  ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+         |    / CAST(df_docs + 1 AS DOUBLE)) + 1.0), 6) AS score
+         | FROM tf JOIN df USING (tok) CROSS JOIN n)
+         |SELECT doc_id, rank, tok, tf, df_docs, score FROM (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |   ORDER BY score DESC, tok) AS rank
+         | FROM scored)
+         |WHERE rank <= $T16_K ORDER BY doc_id, rank""".stripMargin,
+    // 1-based bigram positions 1..len-1; c_w1 derived from the bigram
+    // table exactly as the Spark side does; HUGEINT discipline on SUM
+    "t17_bigram_fluency" ->
+      """WITH bi AS (
+        | SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE text IS NOT NULL),
+        |  LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i) r),
+        |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY 1),
+        |cw AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |  CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(AVG(ln(CAST(c_bg AS DOUBLE)) - ln(CAST(c_w1 AS DOUBLE))), 6)
+        |  AS mean_logp
+        |FROM bi JOIN cb USING (bg)
+        |JOIN cw ON string_split(bg, ' ')[1] = cw.w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same start rule (non-negative ceil-div keeps // and Spark's
     // truncating int division identical), 1-based inclusive slice
     // mirrors Spark's `slice`; defaults mirror spark.graft.chunk.*

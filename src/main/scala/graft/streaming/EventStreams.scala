@@ -189,6 +189,97 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionizeState)
   }
 
+  // ---------------------------------------------------------------- st09
+  // Streaming funnel: c10's view→click→purchase stage timestamps as a
+  // per-user fold. Processed in ascending (ts, event_id) order the fold
+  // IS c10's window formulation (fv = global min view because no later
+  // event can precede it in the sort; first click strictly after fv is
+  // the first qualifying one encountered; ties skip under either
+  // processing order since the > is strict). State is three epoch-µs
+  // slots per user — constant, never an event buffer.
+  case class TEv(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+  /** -1 = stage not reached; ts_us is always >= 0 in this corpus. */
+  case class FunnelState(fv: Long, fc: Long, fp: Long)
+  private[graft] val FunnelEmpty = FunnelState(-1L, -1L, -1L)
+
+  /** The shared stage fold — batch twin and stream apply the same
+    * function, so the streaming semantics chain to c10's SQL oracle.
+    */
+  def funnelAdvance(st: FunnelState, sorted: Seq[TEv]): FunnelState =
+    sorted.foldLeft(st) { (s, e) =>
+      e.event_type match {
+        case "view" if s.fv < 0 => s.copy(fv = e.ts_us)
+        case "click" if s.fc < 0 && s.fv >= 0 && e.ts_us > s.fv =>
+          s.copy(fc = e.ts_us)
+        case "purchase" if s.fp < 0 && s.fc >= 0 && e.ts_us > s.fc =>
+          s.copy(fp = e.ts_us)
+        case _ => s
+      }
+    }
+
+  /** Batch twin — the `queries` entry (c10's oracle verbatim): st02's
+    * secondary-sort shape (one user_id shuffle, spillable partition
+    * sort, constant-memory fold) then one tiny global aggregate.
+    */
+  def st09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[TEv]
+    evs
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[TEv]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var open: Option[FunnelState] = None
+        val runs = it.flatMap { e =>
+          val boundary = if (open.isDefined && e.user_id != curUser) {
+            val r = Seq((curUser, open.get)); open = None; r
+          } else Nil
+          curUser = e.user_id
+          open = Some(funnelAdvance(open.getOrElse(FunnelEmpty), Seq(e)))
+          boundary
+        }
+        runs ++ new Iterator[(Long, FunnelState)] {
+          def hasNext: Boolean = open.isDefined
+          def next(): (Long, FunnelState) = {
+            val r = (curUser, open.get); open = None; r
+          }
+        }
+      }
+      .toDF("user_id", "f")
+      .agg(count(when(col("f.fv") >= 0, 1)).as("n_view"),
+        count(when(col("f.fc") >= 0, 1)).as("n_view_click"),
+        count(when(col("f.fp") >= 0, 1)).as("n_view_click_purchase"))
+  }
+
+  /** Streaming form: each batch's events fold onto the per-user stage
+    * state (batch sorted like st02; the feed is time-ordered across
+    * batches, the st02 convention). Update mode emits the user's state
+    * after every batch that touches it — the latest emission per user
+    * is the funnel row.
+    */
+  def funnelState(user: Long, batch: Iterator[TEv],
+      state: GroupState[FunnelState]): Iterator[(Long, Long, Long, Long)] = {
+    val sorted = batch.toVector.sortBy(e => (e.ts_us, e.event_id))
+    val st = funnelAdvance(state.getOption.getOrElse(FunnelEmpty), sorted)
+    state.update(st)
+    Iterator.single((user, st.fv, st.fc, st.fp))
+  }
+
+  def funnelStream(s: SparkSession, stream: Dataset[TEv])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(funnelState)
+  }
+
   // ---------------------------------------------------------------- st03
   /** Shared view→click attribution join: every click paired with the
     * same user's views in the 6 hours before it (inclusive both ends).
@@ -531,10 +622,14 @@ object EventStreams {
     "st05_stream_document_ingest" -> (st05 _),
     "st06_stream_upsert" -> (st06 _),
     "st07_stream_attribution_outer" -> (st07 _),
-    "st08_stream_sliding_census" -> (st08 _)
+    "st08_stream_sliding_census" -> (st08 _),
+    "st09_stream_funnel" -> (st09 _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the funnel fold IS c10's window formulation (see st09 doc) — the
+    // oracle is c10's, verbatim by reference, so they cannot fork
+    "st09_stream_funnel" -> graft.operators.Cohort.oracle("c10_funnel"),
     // each event expands to its 4 containing slide-aligned windows
     // (k = 0..3 strictly: window/slide = 4, and ts - start_k < (k+1) *
     // slide <= window holds for every k <= 3, so membership is exact —

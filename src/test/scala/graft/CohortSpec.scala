@@ -405,6 +405,42 @@ class CohortSpec extends SparkSpec {
     }
   }
 
+  test("c37 readmissions recompute exactly from c09's session table") {
+    // independent recompute: collect the oracle-checked c09 sessions
+    // and redo the lead-within-24h logic in plain Scala
+    val fmtT = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val sess = Cohort.c09(spark, sfDir).collect().map { r =>
+      val ldt = java.time.LocalDateTime
+        .parse(r.getAs[String]("session_start"), fmtT)
+      val startUs =
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        startUs, startUs + (r.getAs[Double]("dur_sec") * 1e6).round)
+    }
+    val expected = sess.groupBy(_._1).values.flatMap { vs =>
+      val sorted = vs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, _, _, lastUs), i) =>
+        val readmit = i + 1 < sorted.length &&
+          sorted(i + 1)._3 - lastUs <= 24L * 3600 * 1000000
+        (java.time.Instant.ofEpochMilli(lastUs / 1000)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString, readmit)
+      }
+    }.toSeq
+    val wantByDay = expected.groupBy(_._1).map { case (day, xs) =>
+      day -> ((xs.size.toLong, xs.count(_._2).toLong))
+    }
+    val got = Cohort.c37(spark, sfDir).collect()
+    assert(got.length == wantByDay.size)
+    got.foreach { r =>
+      val (nd, nr) = wantByDay(r.getAs[String]("discharge_day"))
+      assert(r.getAs[Long]("n_discharges") == nd)
+      assert(r.getAs[Long]("n_readmit_24h") == nr)
+      assert(math.abs(r.getAs[Double]("readmit_rate") -
+        nr.toDouble / nd) < 1e-6)
+    }
+  }
+
   test("exportReport delivers c18's table with a matching write audit") {
     val dir = s"${graft.Scratch.dir}/report_export"
     val audit = Cohort.exportReport(spark, sfDir, dir)

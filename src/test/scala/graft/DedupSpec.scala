@@ -499,6 +499,32 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pairJoin.broadcastBytes")
   }
 
+  test("d12 keeps the max-quality member of every d06 cluster") {
+    val quality = operators.TextAnalysis.t02(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val clusters = Dedup.d06(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep_id")))
+      .groupBy(_._2).map { case (k, xs) => k -> xs.map(_._1).sorted.toSeq }
+    val got = Dedup.d12(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("keep_doc"),
+          r.getAs[Double]("best_quality")))).toMap
+    assert(got.keySet == clusters.keySet)
+    clusters.foreach { case (cid, members) =>
+      val (size, keep, bq) = got(cid)
+      assert(size == members.length)
+      // argmax with (quality desc, id asc) tie-break — recomputed
+      val want = members.map(m => (m, quality(m)))
+        .minBy { case (m, q) => (-q, m) }
+      assert(keep == want._1, s"cluster $cid keeps $keep, want ${want._1}")
+      assert(bq == want._2)
+      // the min-id rule would have kept members.head — d12 must only
+      // differ when a higher-quality member exists
+      if (keep != members.head)
+        assert(quality(keep) > quality(members.head))
+    }
+  }
+
   test("a non-default cell-index geometry builds apart and answers the same") {
     val default = Dedup.d05b(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

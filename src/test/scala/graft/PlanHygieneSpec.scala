@@ -35,6 +35,8 @@ class PlanHygieneSpec extends SparkSpec {
     "s05_knn_join_exact", "s06_range_search", "s07_knn_join_filtered",
     "s08_knn_join_truncated",
     "s09_hybrid_rrf", // vector leg = s01's 1-row query-frame cross
+    "s10_mmr_rerank", // s01's 1-row query-frame cross feeds the pool
+    "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {

@@ -230,6 +230,32 @@ class RelationalSpec extends SparkSpec {
       Some("""{"value":58.5}""")))
   }
 
+  test("q35 trailing window equals a brute-force per-row recompute") {
+    // different plan shape on purpose: self-join + filter instead of a
+    // RANGE window — the window frame semantics are what's under test
+    val rows = operators.Relational.q35(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        // NTZ column collects as LocalDateTime; UTC re-label
+        r.getAs[java.time.LocalDateTime](2)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L,
+        r.getDouble(3)))
+    val byCust = orders.groupBy(_._1)
+    val win = 7L * 86400 * 1000000
+    rows.foreach { r =>
+      val (ck, ok) = (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"))
+      val me = byCust(ck).find(_._2 == ok).get
+      val inFrame = byCust(ck).filter(o => o._3 >= me._3 - win && o._3 <= me._3)
+      assert(r.getAs[Long]("n_trailing_7d") == inFrame.length,
+        s"order $ok frame size")
+      val want = BigDecimal(inFrame.map(o => BigDecimal(o._4)).sum.toDouble)
+      assert(math.abs(r.getAs[Double]("trailing_7d_spend") - want.toDouble) < 1e-6,
+        s"order $ok trailing sum")
+    }
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
@@ -240,7 +266,7 @@ class RelationalSpec extends SparkSpec {
       "s04_ann_pq", "s04b_ann_pq_prebuilt", "s05b_knn_join_lsh",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
-      "c20_report_incremental")
+      "c20_report_incremental", "s10_mmr_rerank")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -284,4 +284,47 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.collect()(0).getDouble(1) == 1.0)
     assert(ids(pq).tail == ids(Similarity.s04(spark, sfDir)))
   }
+
+  test("s10 MMR selection matches an independent greedy recomputation") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.s10(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("relevance"), r.getAs[Double]("mmr_score")))
+    assert(out.map(_._1).toSeq == (1L to out.length))
+    assert(out.map(_._2).distinct.length == out.length)
+
+    // independent reference: pool + greedy recomputed from the raw
+    // parquet with this test's own code (not mmrSelect)
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val q = vecs(0L)
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / math.sqrt(dot(vecs(a), vecs(a)) * dot(vecs(b), vecs(b)))
+    val pool = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => id -> cos(id, 0L)).sortBy { case (id, rel) => (-rel, id) }
+      .take(Similarity.MMR_POOL)
+    var selected = Vector.empty[Long]
+    pool.foreach { _ =>
+      if (selected.size < 10) {
+        val cand = pool.filterNot(p => selected.contains(p._1)).map {
+          case (id, rel) =>
+            val maxSim = if (selected.isEmpty) 0.0
+              else selected.map(sid => cos(id, sid)).max
+            (id, r6(Similarity.MMR_LAMBDA * rel -
+              (1 - Similarity.MMR_LAMBDA) * maxSim))
+        }
+        val best = cand.minBy { case (id, sc) => (-sc, id) }
+        selected :+= best._1
+      }
+    }
+    assert(out.map(_._2).toSeq == selected,
+      s"spark=${out.map(_._2).toSeq} ref=$selected")
+    // rank 1 is pure relevance: must be s01's top hit
+    val s01Top = Similarity.s01(spark, sfDir)
+      .collect().head.getAs[Long]("vec_id")
+    assert(out.head._2 == s01Top)
+  }
 }

@@ -495,4 +495,54 @@ class StreamingSpec extends SparkSpec {
         "accumulated stream extraction must be row-exact vs batch")
     } finally q.stop()
   }
+
+  test("st09 streaming funnel states converge to an independent recompute") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.TEv
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[TEv].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+
+    val input = MemoryStream[TEv](spark)
+    val q = EventStreams.funnelStream(spark, input.toDS())
+      .toDF("user_id", "fv", "fc", "fp")
+      .writeStream.format("memory").queryName("st09_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three time-ordered chunks — stage transitions cross batches
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // last emission per user is the funnel row (Update mode appends
+      // one row per touched user per batch into the memory sink)
+      val streamed = spark.table("st09_out")
+        .collect().zipWithIndex
+        .groupBy(_._1.getLong(0)).map { case (u, rs) =>
+          val r = rs.maxBy(_._2)._1
+          u -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      // independent recompute: c10's rule applied per user in plain Scala
+      val want = evs.groupBy(_.user_id).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+        val fv = sorted.collectFirst {
+          case e if e.event_type == "view" => e.ts_us }.getOrElse(-1L)
+        val fc = if (fv < 0) -1L else sorted.collectFirst {
+          case e if e.event_type == "click" && e.ts_us > fv => e.ts_us
+        }.getOrElse(-1L)
+        val fp = if (fc < 0) -1L else sorted.collectFirst {
+          case e if e.event_type == "purchase" && e.ts_us > fc => e.ts_us
+        }.getOrElse(-1L)
+        u -> ((fv, fc, fp))
+      }
+      assert(streamed == want)
+      // ...and the batch twin's aggregate equals the same counts
+      val agg = EventStreams.st09(spark, sfDir).collect()(0)
+      assert(agg.getLong(0) == want.count(_._2._1 >= 0))
+      assert(agg.getLong(1) == want.count(_._2._2 >= 0))
+      assert(agg.getLong(2) == want.count(_._2._3 >= 0))
+    } finally q.stop()
+  }
 }

@@ -284,4 +284,53 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")} still contains PII")
     }
   }
+
+  test("t16 top-3 tf-idf keywords match a from-scratch recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = texts.size
+    val tf = texts.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, o) => w -> o.length }
+    }
+    val dfc = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (w, f) =>
+        (id, w, r6(f * (math.log((n + 1.0) / (dfc(w) + 1.0)) + 1.0)))
+      }.sortBy { case (_, w, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((_, w, sc), i) => (id, i + 1L, w, sc) }
+    }.toSet
+    val got = TextAnalysis.t16(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Double]("score"))).toSet
+    assert(got == want)
+  }
+
+  test("t17 bigram fluency matches a from-scratch corpus LM recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigrams = texts.map { case (id, w) =>
+      id -> w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val cBg = bigrams.values.flatten.groupBy(identity)
+      .map { case (bg, o) => bg -> o.size }
+    val cW1 = cBg.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val got = TextAnalysis.t17(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("mean_logp")))
+    assert(got.length == bigrams.count(_._2.nonEmpty))
+    got.foreach { case (id, nb, logp) =>
+      val bs = bigrams(id)
+      assert(nb == bs.length)
+      val want = bs.map(bg =>
+        math.log(cBg(bg)) - math.log(cW1(bg.split(" ")(0)))).sum / bs.length
+      assert(math.abs(logp - want) < 1e-6, s"doc $id: $logp vs $want")
+      // a corpus-frequent bigram stream can never score below a
+      // unique-bigram doc's floor: every term is ≤ 0
+      assert(logp <= 1e-12)
+    }
+  }
 }
