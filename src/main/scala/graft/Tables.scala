@@ -135,20 +135,33 @@ object Det {
     * Scale 6 because the test columns carry exactly 2 decimals, so any
     * 2-/3-factor product is exact at ≤6 decimals — the cast rounds to
     * the true decimal value on every engine with no tie ambiguity.
+    *
+    * The exact sum is rounded to 2 decimals BEFORE the double cast:
+    * once a corpus total passes ~2^53/10^6 ≈ 9·10^9 the 6-decimal sum
+    * carries more significant digits than a double, and the two
+    * engines' decimal→double conversions legitimately differ by 1 ulp
+    * (Spark's BigDecimal correctly rounds the true rational; DuckDB
+    * converts the int128 mantissa to double first and divides — a
+    * double-rounding). A 2-decimal total keeps sum×100 exactly
+    * representable up to ~9·10^13, where int→double is exact and the
+    * single ÷100 is correctly rounded on both engines — bit-equal
+    * again, at the precision a double can actually carry. (Found at
+    * sf1: q01's 4.3·10^10 sum_disc_price differed in the last ulp.)
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 6))), 2).cast(DoubleType)
 
   /** High-precision variant for second moments (x*x overflows (18,4)). */
   def dsumWide(c: Column): Column =
-    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+    round(sum(c.cast(DecimalType(38, 6))), 2).cast(DoubleType)
 
   /** Deterministic mean: exact decimal sum / count, divided in double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   /** SQL fragments mirroring the above for the DuckDB oracle. */
   def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(18,6))), 2) AS DOUBLE)"
   def sqlDsumWide(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(38,6))), 2) AS DOUBLE)"
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT(*))"
 }

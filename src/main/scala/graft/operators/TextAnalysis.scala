@@ -460,14 +460,25 @@ object TextAnalysis {
   // per-doc partition. Both engines rank by the ROUNDED score (then
   // token) so float noise below 1e-6 cannot reorder the cut.
   private val T16_K = 3
-  def t16(s: SparkSession, d: String): DataFrame = {
+  def t16(s: SparkSession, d: String): DataFrame =
+    t16Core(s, d)
+
+  /** Core with the materialization strategy exposed (c30's convention).
+    * The tf frame feeds BOTH the df rollup and the scored join; without
+    * the checkpoint each branch re-executes the corpus scan + explode +
+    * aggregate (static planning does not reuse the exchange here —
+    * measured: 3 corpus scans in the executed plan, 2 from this
+    * subtree).
+    */
+  private[graft] def t16Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     val docs = documents(s, d).filter(col("text").isNotNull)
-    val tf = docs
+    val tf = cp(docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_docs"))
     val n = docs.select(count(lit(1)).as("n_docs")) // 1 row — bounded
     tf.join(df, "tok").crossJoin(broadcast(n))
@@ -495,23 +506,37 @@ object TextAnalysis {
   // derived FROM the bigram table (sum over w2), not a second corpus
   // pass. Integer counts throughout; the single double expression at
   // the end is rounded to 6.
-  def t17(s: SparkSession, d: String): DataFrame = {
-    val bi = documents(s, d)
+  def t17(s: SparkSession, d: String): DataFrame =
+    t17Core(s, d)
+
+  /** Core with the materialization strategy exposed (c30's convention).
+    * The per-(doc, bigram) multiplicity table tfb is the ONE corpus-
+    * derived frame: the bigram LM (cBi, then cW1 from cBi) and the
+    * per-doc scoring join both branch from its checkpoint, so the
+    * corpus scan + explode runs once. The per-doc mean is the
+    * multiplicity-weighted mean — identical to averaging the exploded
+    * rows, without carrying them.
+    */
+  private[graft] def t17Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val tfb = cp(documents(s, d)
       .filter(col("text").isNotNull)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(bigramsAll("w")).as("bg"))
-    val cBi = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m")))
+    val cBi = tfb.groupBy(col("bg")).agg(sum(col("m")).as("c_bg"))
     val cW1 = cBi
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
-    bi.join(cBi, "bg")
+    tfb.join(cBi, "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(cW1, "w1")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c_bg").cast("double")) -
-          log(col("c_w1").cast("double"))), 6).as("mean_logp"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round((sum(col("m") * (log(col("c_bg").cast("double")) -
+          log(col("c_w1").cast("double")))) / sum(col("m"))), 6)
+          .as("mean_logp"))
       .transform(Gate.ordered("doc_id"))
   }
 
