@@ -37,11 +37,14 @@ object GraftConf {
   def dedupCellBuckets(s: SparkSession): Int =
     s.conf.get("spark.graft.dedup.cells.buckets", "32").toInt
 
-  /** k-means cell count of the dedup quantizer (default 16). At scale K
-    * grows with the corpus so per-cell pair counts stay bounded.
+  /** Explicit k-means cell-count override of the dedup quantizer (None =
+    * derive from corpus size). The derived default keeps the PER-CELL
+    * population bounded (Similarity.dedupCellsKFor) — a fixed K makes
+    * d05b's in-cell pair expansion quadratic in the corpus (measured at
+    * sf1: 13.7x time on 10x data before K scaled).
     */
-  def dedupCellsK(s: SparkSession): Int =
-    s.conf.get("spark.graft.dedup.cells.k", "16").toInt
+  def dedupCellsK(s: SparkSession): Option[Int] =
+    s.conf.getOption("spark.graft.dedup.cells.k").map(_.toInt)
 
   /** Multi-assignment width of the dedup quantizer (default 5) — the
     * "same + adjacent cells" probe; wider catches more boundary pairs.

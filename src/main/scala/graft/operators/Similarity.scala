@@ -322,9 +322,32 @@ object Similarity {
     * encodes the layout parameters, so differently-sized indexes
     * coexist and a conf change cannot serve a stale geometry.
     */
+  /** Derived dedup-quantizer cell count: K grows as the SQUARE ROOT of
+    * the assigned-row count (so the per-cell population grows as sqrt
+    * too, and the bucket-local pair expansion does n^1.5 work overall
+    * instead of the n² a fixed K gives). Sqrt, not linear, because K
+    * trades candidate recall for cost: measured at sf1 on the
+    * isotropic worst case (iid random 64-dim vectors, τ=0.4 — no
+    * cluster structure for cells to capture), against the 95,849
+    * true pairs: K=16 recall 0.99 at 8.0 s, K=51 (this law) 0.84 at
+    * 2.7 s, K=160 (linear law) 0.62 at 1.2 s. On a genuinely
+    * clustered near-dup corpus (the production case — semantic dups
+    * at τ≥0.9 quantize cleanly) linear growth holds recall, and
+    * spark.graft.dedup.cells.k overrides the law outright. The
+    * normalizer reproduces the historical sf0.1 geometry (2000
+    * vectors × 5 assignments → K=16), so shipped layouts only change
+    * above it.
+    */
+  private[graft] def dedupCellsKFor(n: Long, assign: Int): Int =
+    math.max(16L,
+      math.ceil(16.0 * math.sqrt(n.toDouble * assign / 10000.0)).toLong).toInt
+
   def ensureIvfDedupCells(s: SparkSession, d: String): String = {
-    val (k, assign, buckets) = (graft.GraftConf.dedupCellsK(s),
-      graft.GraftConf.dedupCellsAssign(s), graft.GraftConf.dedupCellBuckets(s))
+    val (assign, buckets) =
+      (graft.GraftConf.dedupCellsAssign(s), graft.GraftConf.dedupCellBuckets(s))
+    // parquet row-count metadata makes this count() a footer read
+    val k = graft.GraftConf.dedupCellsK(s)
+      .getOrElse(dedupCellsKFor(embeddings(s, d).count(), assign))
     val layout = s"k${k}a${assign}b$buckets"
     val cellsT = s"graft_ivf_dedup_cells_${sanitize(d)}_$layout"
     if (!s.catalog.tableExists(cellsT)) {
