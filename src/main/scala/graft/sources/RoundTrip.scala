@@ -630,11 +630,15 @@ object RoundTrip {
     "src11_patient_erasure" -> (src11 _),
     "src12_avro_roundtrip" -> (src12 _),
     "src13_document_ingest" -> (src13 _),
-    "src14_layout_panel" -> (src14 _)
+    "src14_layout_panel" -> (src14 _),
+    "src15_snapshot_travel" -> (Snapshots.src15 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
   val oracle: Map[String, String] = Map(
+    // both snapshots re-derived from the raw table: the manifest path
+    // must lose/duplicate nothing in either version
+    "src15_snapshot_travel" -> Snapshots.oracle,
     // the layout changes the plan, never the answer: c01's oracle
     "src14_layout_panel" ->
       graft.operators.Cohort.oracle("c01_panel_cohort"),

@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.Gate
+import graft.Tables._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated append commits with time travel — the lakehouse
+  * table contract (Iceberg/Delta's core idea, re-derived minimally) a
+  * 100 TB deployment needs so readers NEVER see a half-written table
+  * and audits can re-run against the exact bytes a past report saw.
+  * The reference gets this from PostgreSQL's MVCC (its CRC store is
+  * transactional); on a parquet lake it has to be built:
+  *
+  *   root/data/c<version>/     immutable data files, one dir per commit
+  *   root/manifests/v<n>.json  the dir list visible at snapshot n
+  *   root/HEAD                 current version — ONE atomic rename is
+  *                             the only commit point
+  *
+  * Correctness rests on two facts: data files are immutable once a
+  * manifest references them (a reader planned against snapshot n lists
+  * exactly those files — later commits cannot change what it reads),
+  * and the HEAD swap is a filesystem rename (a crash anywhere before
+  * it leaves HEAD on the old snapshot; orphan data/manifest files are
+  * invisible and the next commit — numbered from HEAD+1 — overwrites
+  * them). This is deletePatients' tombstone discipline applied to
+  * whole-table versioning.
+  */
+object Snapshots {
+
+  private def fs(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def headPath(root: String) = new Path(s"$root/HEAD")
+
+  /** Current committed version; 0 = no snapshot yet. */
+  def headVersion(s: SparkSession, root: String): Int = {
+    val f = fs(s, root)
+    if (!f.exists(headPath(root))) 0
+    else {
+      val in = f.open(headPath(root))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Append `df` as the next snapshot; returns the new version. The
+    * data write and the manifest write both target names derived from
+    * the NEW version (a crashed prior attempt at the same version is
+    * simply overwritten), and the commit point is the single HEAD
+    * rename at the end.
+    */
+  def commit(s: SparkSession, root: String, df: DataFrame): Int = {
+    val f = fs(s, root)
+    val v = headVersion(s, root) + 1
+    val dataDir = s"$root/data/c$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    val dirs = (1 to v).map(i => s"$root/data/c$i")
+    // manifest = explicit dir list (not "1..v" by convention) so a
+    // future compaction/replace commit can swap file sets freely
+    val manifest = s"""{"version": $v, "dirs": [${dirs.map(p => "\"" + p + "\"").mkString(", ")}]}"""
+    val mTmp = new Path(s"$root/manifests/v$v.json.tmp")
+    val mFin = new Path(s"$root/manifests/v$v.json")
+    writeFile(f, mTmp, manifest)
+    f.delete(mFin, false)
+    require(f.rename(mTmp, mFin), s"snapshot $v: manifest rename failed")
+    val hTmp = new Path(s"$root/HEAD.tmp")
+    writeFile(f, hTmp, v.toString)
+    f.delete(headPath(root), false)
+    // THE commit point: before this rename readers see v-1, after it v
+    require(f.rename(hTmp, headPath(root)), s"snapshot $v: HEAD swap failed")
+    v
+  }
+
+  private def writeFile(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a pinned snapshot (or HEAD when `version` is None). The
+    * returned frame's scan lists exactly the manifest's directories —
+    * immutable files, so the frame is stable however long the reader
+    * holds it and whatever commits land meanwhile.
+    */
+  def read(s: SparkSession, root: String, version: Option[Int] = None)
+      : DataFrame = {
+    val v = version.getOrElse(headVersion(s, root))
+    require(v > 0, s"no snapshot at $root")
+    val f = fs(s, root)
+    val in = f.open(new Path(s"$root/manifests/v$v.json"))
+    val manifest =
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(
+      manifest.substring(manifest.indexOf('['))).map(_.group(1)).toSeq
+    s.read.parquet(dirs: _*)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(s: SparkSession, root: String): Seq[Int] =
+    (1 to headVersion(s, root))
+
+  // -- src15: the gate face ----------------------------------------------
+  // Two deterministic event-slice commits (first half of January, then
+  // the rest), then BOTH snapshots read back through the manifest
+  // machinery — per-version row and patient counts. The oracle
+  // recomputes the same splits from the raw table, so the snapshot
+  // path's fidelity (no lost/duplicated/extra rows in either version)
+  // is hash-checked, not just spec'd. Build-once per sf dir; version
+  // count is checked so a half-built root from a killed run rebuilds.
+  private val SPLIT_DAY = "2024-01-16"
+
+  def src15(s: SparkSession, d: String): DataFrame = {
+    val root = s"${graft.Scratch.dir}/src15_snap/${graft.Scratch.tag(d)}"
+    if (headVersion(s, root) != 2) {
+      fs(s, root).delete(new Path(root), true)
+      val ev = events(s, d)
+      commit(s, root, ev.filter(col("ts") < lit(SPLIT_DAY).cast("timestamp")))
+      commit(s, root, ev.filter(col("ts") >= lit(SPLIT_DAY).cast("timestamp")))
+    }
+    versions(s, root).map { v =>
+      read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+      .transform(Gate.ordered("version"))
+  }
+
+  val oracle: String =
+    s"""SELECT 1 AS version, COUNT(*) AS n_rows,
+       | COUNT(DISTINCT user_id) AS n_users
+       |FROM events WHERE ts < TIMESTAMP '$SPLIT_DAY'
+       |UNION ALL
+       |SELECT 2, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       |ORDER BY version""".stripMargin
+}

@@ -390,4 +390,45 @@ class RoundTripSpec extends SparkSpec {
       assert(nDocs == nEnc, "one well-formed document per encounter")
     } finally parsed.unpersist()
   }
+
+  test("snapshots: pinned readers isolated; HEAD swap is the one commit point") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    val root = s"${graft.Scratch.dir}/snap_spec"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir)
+    val a = ev.filter(col("event_type") === "view")
+    val b = ev.filter(col("event_type") === "click")
+    val (na, nb) = (a.count(), b.count())
+
+    assert(Snapshots.headVersion(spark, root) == 0)
+    assert(Snapshots.commit(spark, root, a) == 1)
+    val pinned = Snapshots.read(spark, root) // planned against snapshot 1
+    assert(pinned.count() == na)
+    assert(Snapshots.commit(spark, root, b) == 2)
+    // isolation: the pinned frame lists only snapshot 1's immutable
+    // files — the later commit cannot change what it reads
+    assert(pinned.count() == na)
+    assert(Snapshots.read(spark, root, Some(1)).count() == na)
+    assert(Snapshots.read(spark, root).count() == na + nb)
+    assert(Snapshots.versions(spark, root) == Seq(1, 2))
+
+    // crash window: version-3 data AND manifest exist but HEAD was
+    // never swapped — readers must still see snapshot 2, and the next
+    // commit must claim version 3, overwriting the orphans
+    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/c3")
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/manifests/v3.json")
+    val out = fs.create(orphan, true)
+    out.write(s"""{"version": 3, "dirs": ["$root/data/c3"]}""".getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.headVersion(spark, root) == 2)
+    assert(Snapshots.read(spark, root).count() == na + nb)
+    assert(Snapshots.commit(spark, root, ev.limit(5)) == 3)
+    assert(Snapshots.read(spark, root, Some(3)).count() == na + nb + 5)
+    // earlier snapshots still read exactly as committed
+    assert(Snapshots.read(spark, root, Some(1)).count() == na)
+    assert(Snapshots.read(spark, root, Some(2)).count() == na + nb)
+  }
 }
