@@ -739,7 +739,7 @@ object Cohort {
   // of visits. The last visit per user has no successor and can never
   // be a readmission; visits are non-overlapping by construction
   // (30-min gap rule), so lead(start) ≥ this end always.
-  private val READMIT_US = 24L * 3600 * 1000000
+  private[graft] val READMIT_US = 24L * 3600 * 1000000
   def c37(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("session_id"))
     c09Core(s, d)

@@ -280,6 +280,74 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(funnelState)
   }
 
+  // ---------------------------------------------------------------- st10
+  // Readmission as a LIVE metric (c37's KPI without waiting for the
+  // nightly batch): a visit's discharge verdict is decidable the
+  // moment the SAME patient's next event arrives — if it opens a new
+  // session (> 30-min gap), the closed visit's readmission flag is
+  // (new start − old end ≤ 24 h), final, and emitted immediately. The
+  // still-open tail visit per patient has no successor yet, so the
+  // live view covers exactly the CLOSED discharges — c37 minus each
+  // patient's final visit (which batch counts as a non-readmission).
+  // State is st02's one OpenSession per user; the verdict needs only
+  // the pre-advance open session's end, so the session fold itself
+  // stays the ONE shared `advance` definition.
+  case class Verdict(user_id: Long, discharge_us: Long, readmit: Boolean)
+
+  /** Batch twin — the `queries` entry (oracle = c37's session+LEAD SQL
+    * restricted to decided discharges). Day-level rollup of verdicts
+    * over closed visits.
+    */
+  def st10(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_id"))
+    graft.operators.Cohort.c09Core(s, d)
+      .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
+      .filter(col("next_start_us").isNotNull)
+      .withColumn("readmit",
+        when(col("next_start_us") - col("last_us") <=
+          graft.operators.Cohort.READMIT_US, 1).otherwise(0))
+      .groupBy(date_format(timestamp_micros(col("last_us")), "yyyy-MM-dd")
+        .as("discharge_day"))
+      .agg(count(lit(1)).as("n_closed"),
+        sum(col("readmit")).as("n_readmit_24h"))
+      .transform(Gate.ordered("discharge_day"))
+  }
+
+  /** Streaming form: each batch's sorted events drive st02's `advance`
+    * fold; BEFORE each state transition, an event that would close the
+    * open session fixes that visit's verdict (its own ts is the next
+    * visit's start). Update mode; one Verdict per closed visit, ever.
+    */
+  def readmitState(user: Long, batch: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[Verdict] = {
+    val sorted = batch.toVector.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption
+    val out = Vector.newBuilder[Verdict]
+    sorted.foreach { e =>
+      open.foreach { o =>
+        if (e.ts_us - o.lastUs > GAP_US)
+          out += Verdict(user, o.lastUs,
+            e.ts_us - o.lastUs <= graft.operators.Cohort.READMIT_US)
+      }
+      val (_, next) = advance(user, open, Seq(e))
+      open = next
+    }
+    open match {
+      case Some(o) => state.update(o)
+      case None => state.remove()
+    }
+    out.result().iterator
+  }
+
+  def readmitStream(s: SparkSession, stream: Dataset[Ev]): Dataset[Verdict] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Verdict](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(readmitState)
+  }
+
   // ---------------------------------------------------------------- st03
   /** Shared view→click attribution join: every click paired with the
     * same user's views in the 6 hours before it (inclusive both ends).
@@ -623,13 +691,48 @@ object EventStreams {
     "st06_stream_upsert" -> (st06 _),
     "st07_stream_attribution_outer" -> (st07 _),
     "st08_stream_sliding_census" -> (st08 _),
-    "st09_stream_funnel" -> (st09 _)
+    "st09_stream_funnel" -> (st09 _),
+    "st10_stream_readmission" -> (st10 _)
   )
 
   val oracle: Map[String, String] = Map(
     // the funnel fold IS c10's window formulation (see st09 doc) — the
     // oracle is c10's, verbatim by reference, so they cannot fork
     "st09_stream_funnel" -> graft.operators.Cohort.oracle("c10_funnel"),
+    // c37's session+LEAD chain restricted to DECIDED discharges (the
+    // live view: every visit with a successor)
+    "st10_stream_readmission" ->
+      s"""WITH sess AS (
+         | SELECT user_id, session_id,
+         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
+         | FROM (
+         |  SELECT user_id, ts,
+         |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM (
+         |   SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_us IS NULL
+         |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+         |     AS is_new
+         |   FROM (SELECT user_id, event_id, ts,
+         |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |    FROM events)))
+         | GROUP BY user_id, session_id),
+         |r AS (
+         | SELECT last_us,
+         |  CASE WHEN next_start_us - last_us <=
+         |    ${graft.operators.Cohort.READMIT_US} THEN 1 ELSE 0 END AS readmit
+         | FROM (SELECT last_us, LEAD(start_us, 1) OVER (
+         |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
+         |   FROM sess)
+         | WHERE next_start_us IS NOT NULL)
+         |SELECT strftime(make_timestamp(last_us), '%Y-%m-%d')
+         |  AS discharge_day,
+         | COUNT(*) AS n_closed,
+         | CAST(SUM(readmit) AS BIGINT) AS n_readmit_24h
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event expands to its 4 containing slide-aligned windows
     // (k = 0..3 strictly: window/slide = 4, and ts - start_k < (k+1) *
     // slide <= window holds for every k <= 3, so membership is exact —

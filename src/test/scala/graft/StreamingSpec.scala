@@ -496,6 +496,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st10 streaming readmission verdicts equal the batch lead logic") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.readmitStream(spark, input.toDS())
+      .toDF("user_id", "discharge_us", "readmit")
+      .writeStream.format("memory").queryName("st10_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped((evs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st10_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // independent recompute: sessions + lead in plain Scala; only
+      // visits WITH a successor get a verdict
+      val gap = 30L * 60 * 1000000
+      val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val ts = es.sortBy(e => (e.ts_us, e.event_id)).map(_.ts_us)
+        // session bounds
+        val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var (start, last) = (ts.head, ts.head)
+        ts.tail.foreach { t =>
+          if (t - last > gap) { bounds += ((start, last)); start = t }
+          last = t
+        }
+        bounds += ((start, last))
+        bounds.toSeq.zip(bounds.toSeq.drop(1)).map { case ((_, l), (s2, _)) =>
+          (u, l, s2 - l <= 24L * 3600 * 1000000)
+        }
+      }.toSet
+      assert(streamed == want)
+      // ...and the batch twin rolls the same verdicts up per day
+      val byDay = want.toSeq.groupBy { case (_, l, _) =>
+        java.time.Instant.ofEpochMilli(l / 1000)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      }
+      val twin = EventStreams.st10(spark, sfDir).collect()
+      assert(twin.length == byDay.size)
+      twin.foreach { r =>
+        val vs = byDay(r.getString(0))
+        assert(r.getLong(1) == vs.size)
+        assert(r.getLong(2) == vs.count(_._3))
+      }
+    } finally q.stop()
+  }
+
   test("st09 streaming funnel states converge to an independent recompute") {
     import spark.implicits._
     import graft.streaming.EventStreams.TEv
