@@ -289,6 +289,48 @@ object Multimodal {
   // fields (min/max content hash, doc range, byte total) are
   // order-independent aggregates: the manifest is partition-stable and
   // each field is exact in the oracle.
+  // -- m07: modality-aware sequence packing ------------------------------
+  // t07's context-window packing, multimodal: an omni-model's training
+  // sequence budget is spent on TEXT tokens, IMAGE tokens (per frame —
+  // m02's stride defines the frame count) and AUDIO tokens (per
+  // ACTIVE window — m04's energy gate, so silence costs nothing),
+  // and packing must budget the COMBINED cost per asset. Same scale
+  // shape as t07: per-shard cumulative sum after one shuffle on shard,
+  // embarrassingly parallel; the audio-cost join is doc-keyed and
+  // AQE-splittable; image cost is in-row arithmetic (no frame explode
+  // — only the COUNT is needed). Per-modality token sums per packed
+  // sequence come out of the same rollup, so the mixture accounting
+  // (text:image:audio ratio per sequence) is free.
+  private val M07_BUDGET = 2048L
+  private val M07_SHARDS = 8
+  private val M07_IMG_TOK = 16L // tokens per frame (patch grid stand-in)
+  private val M07_AUD_TOK = 8L // tokens per active audio window
+
+  def m07(s: SparkSession, d: String): DataFrame = {
+    val aud = m04Core(s, d).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("text_tok"),
+        (greatest(expr(s"length(text) div $STRIDE_CHARS"), lit(1L)) *
+          M07_IMG_TOK).as("img_tok"))
+      .join(aud, Seq("doc_id"), "left")
+      .withColumn("aud_tok", coalesce(col("n_win"), lit(0L)) * M07_AUD_TOK)
+      .withColumn("shard", pmod(col("doc_id"), lit(M07_SHARDS.toLong)))
+      .withColumn("cost", col("text_tok") + col("img_tok") + col("aud_tok"))
+      .withColumn("cum", sum(col("cost")).over(w))
+      .withColumn("seq_id", expr(s"(cum - cost) div $M07_BUDGET"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("text_tok")).as("text_tokens"),
+        sum(col("img_tok")).as("img_tokens"),
+        sum(col("aud_tok")).as("aud_tokens"),
+        sum(col("cost")).as("total_tokens"))
+      .transform(Gate.ordered("shard", "seq_id"))
+  }
+
   def m05(s: SparkSession, d: String): DataFrame = {
     val b = graft.GraftConf.shardBytes(s)
     val W = org.apache.spark.sql.expressions.Window
@@ -314,6 +356,7 @@ object Multimodal {
     "m03_frame_features" -> (m03 _),
     "m04_audio_windows" -> (m04 _),
     "m05_shard_manifest" -> (m05 _),
+    "m07_pack_multimodal" -> (m07 _),
     "m06_av_sync" -> (m06 _),
     "p02_multimodal_ann" -> (p02 _)
   )
@@ -407,6 +450,31 @@ object Multimodal {
     "m04_audio_windows" ->
       s"""$M04_WINS_SQL
          |ORDER BY doc_id, win_no""".stripMargin,
+    // the per-doc costs re-derived from scratch (m04's window SQL for
+    // the audio count, in-row frame arithmetic for image) and the t07
+    // cum-sum packing rule; HUGEINT discipline throughout
+    "m07_pack_multimodal" ->
+      s"""WITH wn AS (SELECT doc_id, COUNT(*) AS n_win
+         | FROM ($M04_WINS_SQL) GROUP BY 1),
+         |c AS (
+         | SELECT doc_id, doc_id % $M07_SHARDS AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tok,
+         |  CAST(greatest(length(text) // $STRIDE_CHARS, 1) * $M07_IMG_TOK
+         |   AS BIGINT) AS img_tok,
+         |  CAST(COALESCE(n_win, 0) * $M07_AUD_TOK AS BIGINT) AS aud_tok
+         | FROM documents LEFT JOIN wn USING (doc_id)),
+         |p AS (SELECT *, text_tok + img_tok + aud_tok AS cost,
+         |  SUM(text_tok + img_tok + aud_tok) OVER (PARTITION BY shard
+         |   ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM c)
+         |SELECT shard, CAST((cum - cost) // $M07_BUDGET AS BIGINT) AS seq_id,
+         | COUNT(*) AS n_assets,
+         | CAST(SUM(text_tok) AS BIGINT) AS text_tokens,
+         | CAST(SUM(img_tok) AS BIGINT) AS img_tokens,
+         | CAST(SUM(aud_tok) AS BIGINT) AS aud_tokens,
+         | CAST(SUM(cost) AS BIGINT) AS total_tokens
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the same active-window fragment, 2-candidate join, best by
     // (energy desc, win_no); silent frames stay as NULL rows
     "m06_av_sync" ->

@@ -167,4 +167,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty),
       "both the synced and the silent branch must occur at this SF")
   }
+
+  test("m07 packs the combined modality costs by the t07 cum-sum rule") {
+    val aud = Multimodal.m04(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.length.toLong }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._1 % 8).toSeq.flatMap { case (sh, xs) =>
+      var cum = 0L
+      xs.sortBy(_._1).map { case (id, t) =>
+        val text = t.split(" ").length.toLong
+        val img = math.max(t.length / 256, 1).toLong * 16
+        val audT = aud.getOrElse(id, 0L) * 8
+        val cost = text + img + audT
+        val seq = cum / 2048
+        cum += cost
+        ((sh, seq), (text, img, audT, cost))
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2._1).sum, vs.map(_._2._2).sum,
+        vs.map(_._2._3).sum, vs.map(_._2._4).sum))
+    }
+    val got = Multimodal.m07(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+    }.toMap
+    assert(got == expected)
+    // the audio gate must actually bite: some docs contribute zero
+    // audio tokens, and no sequence is all-silence at this SF
+    assert(docs.exists { case (id, _) => !aud.contains(id) })
+    assert(got.values.forall { case (_, t, i, _, tot) => t + i <= tot })
+  }
 }
