@@ -740,13 +740,24 @@ object Cohort {
   // be a readmission; visits are non-overlapping by construction
   // (30-min gap rule), so lead(start) ≥ this end always.
   private[graft] val READMIT_US = 24L * 3600 * 1000000
-  def c37(s: SparkSession, d: String): DataFrame = {
+
+  /** ONE definition of the per-discharge verdict frame (user_id,
+    * last_us, next_start_us, readmit) — c37's day rollup and st10's
+    * live view (which drops the undecided tail visits) both derive
+    * from it, so the session rule and the 24h window cannot fork
+    * between the batch KPI and its streaming twin.
+    */
+  private[graft] def dischargeVerdicts(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("session_id"))
     c09Core(s, d)
       .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
       .withColumn("readmit",
         when(col("next_start_us").isNotNull &&
           col("next_start_us") - col("last_us") <= READMIT_US, 1).otherwise(0))
+  }
+
+  def c37(s: SparkSession, d: String): DataFrame =
+    dischargeVerdicts(s, d)
       .groupBy(date_format(timestamp_micros(col("last_us")), "yyyy-MM-dd")
         .as("discharge_day"))
       .agg(count(lit(1)).as("n_discharges"),
@@ -755,7 +766,6 @@ object Cohort {
         round(col("n_readmit_24h").cast("double") /
           col("n_discharges").cast("double"), 6))
       .transform(Gate.ordered("discharge_day"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c37_readmission_rate" -> (c37 _),
@@ -792,36 +802,43 @@ object Cohort {
   private def nOfSql(t: String) =
     s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
 
+  /** The dischargeVerdicts frame as shared oracle CTEs (`sess`, `r` —
+    * r carries last_us, next_start_us, readmit). c37's and st10's
+    * oracles both splice THIS, mirroring the one Scala definition.
+    */
+  private[graft] val VERDICTS_SQL =
+    s"""sess AS (
+       | SELECT user_id, session_id,
+       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
+       | FROM (
+       |  SELECT user_id, ts,
+       |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_id
+       |  FROM (
+       |   SELECT user_id, event_id, ts,
+       |    CASE WHEN prev_us IS NULL
+       |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+       |     AS is_new
+       |   FROM (SELECT user_id, event_id, ts,
+       |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_us
+       |    FROM events)))
+       | GROUP BY user_id, session_id),
+       |r AS (
+       | SELECT last_us, next_start_us,
+       |  CASE WHEN next_start_us IS NOT NULL
+       |    AND next_start_us - last_us <= $READMIT_US THEN 1 ELSE 0 END
+       |   AS readmit
+       | FROM (SELECT last_us, LEAD(start_us, 1) OVER (
+       |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
+       |   FROM sess))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same session fold as c09's oracle, then LEAD over the per-user
     // session sequence; HUGEINT discipline on SUM
     "c37_readmission_rate" ->
-      s"""WITH sess AS (
-         | SELECT user_id, session_id,
-         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
-         | FROM (
-         |  SELECT user_id, ts,
-         |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS session_id
-         |  FROM (
-         |   SELECT user_id, event_id, ts,
-         |    CASE WHEN prev_us IS NULL
-         |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
-         |     AS is_new
-         |   FROM (SELECT user_id, event_id, ts,
-         |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev_us
-         |    FROM events)))
-         | GROUP BY user_id, session_id),
-         |r AS (
-         | SELECT last_us,
-         |  CASE WHEN next_start_us IS NOT NULL
-         |    AND next_start_us - last_us <= $READMIT_US THEN 1 ELSE 0 END
-         |   AS readmit
-         | FROM (SELECT last_us, LEAD(start_us, 1) OVER (
-         |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
-         |   FROM sess))
+      s"""WITH $VERDICTS_SQL
          |SELECT strftime(make_timestamp(last_us), '%Y-%m-%d')
          |  AS discharge_day,
          | COUNT(*) AS n_discharges,

@@ -3,6 +3,7 @@ package graft.operators
 import scala.xml.{Elem, Node, Text, Utility, XML}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** i2b2-style XML RESULT envelope — the response side of the wire
   * dialect whose request side [[PanelsXml]] already parses.
@@ -57,9 +58,31 @@ object ResultEnvelope {
       breakdowns: Seq[(String, DataFrame)] = Seq.empty,
       maxPatients: Int = 100000): String = {
     val idCol = patients.columns.head
-    val setSize = patients.count()
-    val ids = patients.select(idCol).orderBy(idCol).limit(maxPatients)
-      .collect().map(r => r.get(0).toString.toLong)
+    // ONE distributed job for both the true set size and the id page:
+    // per-partition (count, first-maxPatients ids) partials merged on
+    // the driver. Two separate jobs (count() then limit().collect())
+    // would re-execute the cohort plan twice AND could disagree if the
+    // underlying saved set refreshes between them — an envelope whose
+    // setSize contradicts its own id list.
+    val partials = patients.select(col(idCol).cast("long")).rdd
+      .mapPartitions { it =>
+        var n = 0L
+        // bounded max-heap keeping the partition's SMALLEST ids — the
+        // page is the ascending prefix, like the orderBy/limit it
+        // replaces, with per-task memory capped at maxPatients+1
+        val heap = new java.util.PriorityQueue[java.lang.Long](
+          java.util.Collections.reverseOrder[java.lang.Long]())
+        it.foreach { r =>
+          n += 1
+          val v = r.getLong(0)
+          if (heap.size <= maxPatients) heap.add(v)
+          else if (v < heap.peek()) { heap.poll(); heap.add(v) }
+        }
+        Iterator.single((n,
+          heap.toArray(Array.empty[java.lang.Long]).map(_.longValue)))
+      }.collect()
+    val setSize = partials.map(_._1).sum
+    val ids = partials.flatMap(_._2).sorted.take(maxPatients)
     val truncated = setSize > ids.length
     val bx = breakdowns.map { case (name, df) =>
       val rows = df.collect().map(r =>

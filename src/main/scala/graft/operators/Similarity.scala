@@ -829,6 +829,10 @@ object Similarity {
           }
         }
       }
+      // NaN scores (a zero-norm query or candidate makes every cosine
+      // NaN, and NaN compares false against everything) leave bestIdx
+      // unset — stop with the picks made rather than indexing at -1
+      if (bestIdx < 0) return out.toSeq
       selected += bestIdx
       val (id, rel, _, _) = cands(bestIdx)
       out += ((out.size + 1L, id, r6(rel), bestScore))

@@ -63,15 +63,37 @@ object Snapshots {
     val mTmp = new Path(s"$root/manifests/v$v.json.tmp")
     val mFin = new Path(s"$root/manifests/v$v.json")
     writeFile(f, mTmp, manifest)
-    f.delete(mFin, false)
-    require(f.rename(mTmp, mFin), s"snapshot $v: manifest rename failed")
+    renameOver(s, f, mTmp, mFin)
     val hTmp = new Path(s"$root/HEAD.tmp")
     writeFile(f, hTmp, v.toString)
-    f.delete(headPath(root), false)
-    // THE commit point: before this rename readers see v-1, after it v
-    require(f.rename(hTmp, headPath(root)), s"snapshot $v: HEAD swap failed")
+    // THE commit point: an OVERWRITING rename (FileContext semantics),
+    // never delete-then-rename — a delete first would open a window
+    // with NO HEAD at all, where headVersion()=0 makes the next commit
+    // restart at v1 and overwrite data files that existing manifests
+    // still reference (history corruption, not just a failed commit).
+    // With the atomic replace, a crash anywhere in commit() leaves
+    // HEAD on the previous snapshot and only unreferenced orphans
+    // behind, which the next attempt at this version overwrites.
+    renameOver(s, f, hTmp, headPath(root))
     v
   }
+
+  /** Atomic overwriting rename. FileContext carries the OVERWRITE
+    * rename option the FileSystem API lacks; fall back to
+    * delete+rename only on stores without a FileContext binding (the
+    * degraded path keeps working, minus the no-HEAD-window guarantee).
+    */
+  private def renameOver(s: SparkSession, f: FileSystem, src: Path,
+      dst: Path): Unit =
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        f.delete(dst, false)
+        require(f.rename(src, dst), s"rename $src -> $dst failed")
+    }
 
   private def writeFile(f: FileSystem, p: Path, content: String): Unit = {
     val out = f.create(p, true)

@@ -298,21 +298,14 @@ object EventStreams {
     * restricted to decided discharges). Day-level rollup of verdicts
     * over closed visits.
     */
-  def st10(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("session_id"))
-    graft.operators.Cohort.c09Core(s, d)
-      .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
+  def st10(s: SparkSession, d: String): DataFrame =
+    graft.operators.Cohort.dischargeVerdicts(s, d) // ONE verdict def
       .filter(col("next_start_us").isNotNull)
-      .withColumn("readmit",
-        when(col("next_start_us") - col("last_us") <=
-          graft.operators.Cohort.READMIT_US, 1).otherwise(0))
       .groupBy(date_format(timestamp_micros(col("last_us")), "yyyy-MM-dd")
         .as("discharge_day"))
       .agg(count(lit(1)).as("n_closed"),
         sum(col("readmit")).as("n_readmit_24h"))
       .transform(Gate.ordered("discharge_day"))
-  }
 
   /** Streaming form: each batch's sorted events drive st02's `advance`
     * fold; BEFORE each state transition, an event that would close the
@@ -699,40 +692,16 @@ object EventStreams {
     // the funnel fold IS c10's window formulation (see st09 doc) — the
     // oracle is c10's, verbatim by reference, so they cannot fork
     "st09_stream_funnel" -> graft.operators.Cohort.oracle("c10_funnel"),
-    // c37's session+LEAD chain restricted to DECIDED discharges (the
-    // live view: every visit with a successor)
+    // c37's shared verdict CTEs (spliced by reference — cannot fork)
+    // restricted to DECIDED discharges: the live view
     "st10_stream_readmission" ->
-      s"""WITH sess AS (
-         | SELECT user_id, session_id,
-         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
-         | FROM (
-         |  SELECT user_id, ts,
-         |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS session_id
-         |  FROM (
-         |   SELECT user_id, event_id, ts,
-         |    CASE WHEN prev_us IS NULL
-         |      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
-         |     AS is_new
-         |   FROM (SELECT user_id, event_id, ts,
-         |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev_us
-         |    FROM events)))
-         | GROUP BY user_id, session_id),
-         |r AS (
-         | SELECT last_us,
-         |  CASE WHEN next_start_us - last_us <=
-         |    ${graft.operators.Cohort.READMIT_US} THEN 1 ELSE 0 END AS readmit
-         | FROM (SELECT last_us, LEAD(start_us, 1) OVER (
-         |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
-         |   FROM sess)
-         | WHERE next_start_us IS NOT NULL)
+      s"""WITH ${graft.operators.Cohort.VERDICTS_SQL}
          |SELECT strftime(make_timestamp(last_us), '%Y-%m-%d')
          |  AS discharge_day,
          | COUNT(*) AS n_closed,
          | CAST(SUM(readmit) AS BIGINT) AS n_readmit_24h
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM r WHERE next_start_us IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event expands to its 4 containing slide-aligned windows
     // (k = 0..3 strictly: window/slide = 4, and ts - start_k < (k+1) *
     // slide <= window holds for every k <= 3, so membership is exact —

@@ -285,6 +285,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ids(pq).tail == ids(Similarity.s04(spark, sfDir)))
   }
 
+  test("s10 mmrSelect stops cleanly when every remaining score is NaN") {
+    // a zero-norm vector makes every cosine NaN; NaN compares false
+    // against everything, so no candidate can ever win — the guard
+    // must return the picks made instead of indexing at -1
+    val zero = Array.fill(4)(0.0f)
+    val cands = Array((1L, Double.NaN, zero, 0.0), (2L, Double.NaN, zero, 0.0))
+    assert(Similarity.mmrSelect(cands, 10, 0.7).isEmpty)
+    // and a clean prefix before the NaN tail is still returned
+    val one = Array(1.0f, 0f, 0f, 0f)
+    val mixed = Array((1L, 0.9, one, 1.0), (2L, Double.NaN, zero, 0.0))
+    val got = Similarity.mmrSelect(mixed, 10, 0.7)
+    assert(got.map(_._2) == Seq(1L))
+  }
+
   test("s10 MMR selection matches an independent greedy recomputation") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.s10(spark, sfDir).collect()
