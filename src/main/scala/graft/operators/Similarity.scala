@@ -840,6 +840,65 @@ object Similarity {
     out.toSeq
   }
 
+  // -- s11: index-quality report (recall monitoring) ----------------------
+  // "Measure, don't guess", productized: the recall@k of each persisted
+  // ANN index against the exact answer, as a table a serving deployment
+  // alerts on (index drift after appends, a bad rebuild, an over-
+  // aggressive geometry change all surface here before users notice).
+  // One batched plan per index — the probe panel rides s05's exact kNN
+  // join and each index's candidate equi-join (s05b's LSH shape; the
+  // same shape over the IVF cells), never a per-query loop; the recall
+  // arithmetic is an integer hit-count per probe divided once.
+  def s11(s: SparkSession, d: String): DataFrame = {
+    val exact = s05(s, d).select(col("q_id"), col("vec_id"))
+    val legs = Seq(
+      "lsh" -> s05b(s, d).select(col("q_id"), col("vec_id")),
+      "ivf" -> ivfKnnJoin(s, d).select(col("q_id"), col("vec_id")))
+    legs.map { case (name, approx) =>
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      exact.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / K).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 6).as("mean_recall"),
+          round(min(col("recall")), 6).as("min_recall"))
+        .select(lit(name).as("index"), lit(K).cast("int").as("k"),
+          col("n_queries"), col("mean_recall"), col("min_recall"))
+    }.reduce(_ unionByName _).transform(graft.Gate.ordered("index"))
+  }
+
+  /** Batched IVF kNN join over the probe panel (s03b's single-query
+    * probe generalized): per-probe nearest cells from the tiny
+    * broadcast centroid table, candidates from the persisted cells,
+    * exact re-rank — the same three stages, one plan for all probes.
+    */
+  private def ivfKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val (cellsT, centT) = ensureIvfIndex(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("cid"))
+    val probed = probeFrame(s, d)
+      .crossJoin(broadcast(s.table(centT)))
+      .select(col("q_id"), col("cid"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM)))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IVF_NPROBE)
+      .select("q_id", "cid")
+    val cand = s.table(cellsT)
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    topKPerProbe(embeddings(s, d)
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
+      .join(cand, Seq("vec_id"))
+      .join(probeFrame(s, d), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+  }
+
   // -- ad-hoc query API ---------------------------------------------------
   // The serving face of the persisted indexes: an ARBITRARY vector (not a
   // corpus member) is bucketed through the same 1-row pipeline and probed
@@ -888,6 +947,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
     "s10_mmr_rerank" -> (s10 _),
+    "s11_index_quality" -> (s11 _),
     "s02_ann_lsh" -> (s02 _),
     "s02b_ann_lsh_prebuilt" -> (s02b _),
     "s03_ann_ivf" -> (s03 _),

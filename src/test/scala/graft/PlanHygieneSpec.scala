@@ -36,6 +36,7 @@ class PlanHygieneSpec extends SparkSpec {
     "s08_knn_join_truncated",
     "s09_hybrid_rrf", // vector leg = s01's 1-row query-frame cross
     "s10_mmr_rerank", // s01's 1-row query-frame cross feeds the pool
+    "s11_index_quality", // rides s05's bounded probe-panel cross
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 

@@ -285,6 +285,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ids(pq).tail == ids(Similarity.s04(spark, sfDir)))
   }
 
+  test("s11 recall report equals a recall recomputed from the kNN joins") {
+    val exact = Similarity.s05(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val lsh = Similarity.s05b(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val perProbe = exact.map { case (q, ex) =>
+      (ex & lsh.getOrElse(q, Set.empty)).size.toDouble / 10 }
+    val wantMean = math.rint(perProbe.sum / perProbe.size * 1e6) / 1e6
+    val rows = Similarity.s11(spark, sfDir).collect()
+      .map(r => r.getAs[String]("index") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall"),
+          r.getAs[Double]("min_recall")))).toMap
+    assert(rows.keySet == Set("ivf", "lsh"))
+    val (nq, mean, mn) = rows("lsh")
+    assert(nq == exact.size)
+    assert(math.abs(mean - wantMean) < 1e-9, s"$mean vs $wantMean")
+    assert(mn <= mean)
+    // both indexes hold the suite's recall floor on the probe panel
+    assert(rows.values.forall(_._2 >= 0.7))
+  }
+
   test("s10 mmrSelect stops cleanly when every remaining score is NaN") {
     // a zero-norm vector makes every cosine NaN; NaN compares false
     // against everything, so no candidate can ever win — the guard
