@@ -557,7 +557,30 @@ object Relational {
       .transform(Gate.ordered("o_custkey", "o_orderkey"))
   }
 
+  // -- q36: distribution-rank windows (PERCENT_RANK / CUME_DIST) ----------
+  // The remaining members of the ranking-window family (q10 rank, q34
+  // ntile): each supplier's account balance as a relative position
+  // within its nation — "this supplier is at the 85th percentile of
+  // its nation" is the normalized form reports compare across nations
+  // of different sizes. Both functions are rank arithmetic over the
+  // same per-nation sort (one shuffle, shared by all three windows);
+  // the (balance, suppkey) tie-break makes equal balances rank
+  // identically on every engine, and both engines compute the ratios
+  // as one correctly-rounded divide of exact integers — rounded to 6
+  // only to cut ulp noise in the division itself.
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s_nationkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+    supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .withColumn("rk", rank().over(w).cast("bigint"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .transform(Gate.ordered("s_nationkey", "s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_distribution_rank" -> (q36 _),
     "q35_trailing_window" -> (q35 _),
     "q34_ntile_deciles" -> (q34 _),
     "q01_pricing_summary" -> (q01 _),
@@ -598,6 +621,17 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // unique (balance, suppkey) sort order → rank arithmetic and its
+    // one integer divide are identical on both engines
+    "q36_distribution_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        | CAST(RANK() OVER w AS BIGINT) AS rk,
+        | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        | ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
     // RANGE frame on epoch-µs: peers at one instant join the frame in
     // both engines, so tie order cannot change the sum; decimal-sum
     // rendition matches Det.dsum bit-for-bit
