@@ -767,7 +767,161 @@ object Cohort {
           col("n_discharges").cast("double"), 6))
       .transform(Gate.ordered("discharge_day"))
 
+  // -- c35: sessionization via Spark's native session_window ---------------
+  // The API face c09's hand-rolled gap fold doesn't show: Spark's own
+  // session_window aggregate (the form a Structured-Streaming
+  // deployment would share verbatim between batch and stream). Boundary
+  // semantics differ from c09 at EXACTLY the gap: session_window opens
+  // a new session when gap >= 30 min (the window [ts, ts+gap) no longer
+  // overlaps), c09's fold only when gap > 30 min — the oracle encodes
+  // the >= rule, and CohortSpec proves c35 == c09's session count
+  // whenever the corpus has no exact-gap tie. Two aggregates share one
+  // hash(user_id) exchange (session assembly, then the per-user
+  // rollup); per-user state is bounded by the user's own events.
+  def c35(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("last_us") - col("start_us")).as("max_dur_us"))
+      .transform(Gate.ordered("user_id"))
+
+  // -- c38: Kaplan-Meier time-to-event (signup → first purchase) -----------
+  // The survival-analysis face (time-to-readmission, time-to-treatment
+  // in the clinical frame): per patient, time from first signup to the
+  // first purchase AFTER it, right-censored at the corpus horizon. The
+  // product-limit estimator runs over the DAY-GRANULAR event table —
+  // a frame bounded by the day span, never the corpus — so the KM
+  // curve is a window cumulation over a tiny sorted frame. Per-user
+  // reduction is ONE fact scan + one hash(user_id) shuffle (the min
+  // windows share it). exp/ln carry ≤1 ulp per term; a ≤10³-term sum
+  // leaves error ≪ the 6-decimal rounding. A day where the whole risk
+  // set fails has ln(0) = null under Spark's log (DuckDB gives -inf) —
+  // the zero_seen guard pins km to exactly 0.0 on both engines from
+  // that day on.
+  def c38(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val base = events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("s0_us",
+        min(when(col("event_type") === "signup", col("us"))).over(wu))
+      .filter(col("s0_us").isNotNull)
+    val horizon = events(s, d).agg(max(unix_micros(col("ts"))).as("h_us"))
+    val perUser = base
+      .groupBy(col("user_id"))
+      .agg(min(col("s0_us")).as("s0_us"),
+        min(when(col("event_type") === "purchase" && col("us") >= col("s0_us"),
+          col("us"))).as("ev_us"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("ev_us"), col("h_us")) - col("s0_us")) /
+          lit(86400000000L)).as("t_day"),
+        when(col("ev_us").isNotNull, 1L).otherwise(0L).as("observed"))
+    val days = perUser
+      .groupBy(col("t_day"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val wc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          Window.orderBy(col("t_day"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("zero_seen",
+        max(when(col("n_risk") === col("d"), 1).otherwise(0)).over(wc))
+      .withColumn("km",
+        when(col("zero_seen") === 1, lit(0.0)).otherwise(
+          round(exp(coalesce(
+            sum(when(col("d") > 0 && col("n_risk") > col("d"),
+              log((col("n_risk") - col("d")).cast("double") /
+                col("n_risk").cast("double")))).over(wc),
+            lit(0.0))), 6)))
+      .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("km"))
+      .transform(Gate.ordered("t_day"))
+  }
+
+  // -- c39: weighted event-burden score (Charlson-style risk tiers) --------
+  // The comorbidity-index face: each concept contributes a fixed
+  // clinical weight per DISTINCT ACTIVE DAY (one error-filled day
+  // counts once — presence, not volume), patients roll up to a score,
+  // scores band into risk tiers. All-integer arithmetic end to end.
+  // One fact scan → (user, type, day) distinct → two user-sized
+  // aggregates; the distinct's shuffle is the only data-sized exchange.
+  private val C39_WEIGHTS =
+    Seq("error" -> 5L, "purchase" -> 3L, "signup" -> 2L,
+      "click" -> 1L, "view" -> 1L)
+
+  def c39(s: SparkSession, d: String): DataFrame = {
+    val weight = C39_WEIGHTS.foldRight(lit(0L)) { case ((t, w), acc) =>
+      when(col("event_type") === t, lit(w)).otherwise(acc)
+    }
+    val scores = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .select(col("user_id"), weight.as("w"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("score"))
+    scores
+      .select(col("score"),
+        when(col("score") < 110, "low")
+          .when(col("score") < 130, "moderate")
+          .when(col("score") < 145, "elevated")
+          .otherwise("high").as("tier"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_patients"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .transform(Gate.ordered("tier"))
+  }
+
+  // -- c40: deterministic 1:2 matched case-control selection ---------------
+  // The epidemiology face the cohort builders stop short of: cases
+  // (patients with a heavy error burden) each matched to TWO controls
+  // drawn from the same activity stratum (total-event quartile), so a
+  // downstream comparison controls for utilization. Everything happens
+  // on the USER-sized frame (one fact scan reduces events → per-user
+  // counts; at 100 TB users ≪ events, and the quartile banding is one
+  // compact-frame sort). Pairing is rank arithmetic — case k in a
+  // stratum takes control ranks 2k-1 and 2k, ordered by user_id — so
+  // the match is a pure function of the corpus: no sampling seed, no
+  // engine nondeterminism.
+  private val C40_CASE_MIN_ERRORS = 15L
+
+  def c40(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .withColumn("is_case", (col("n_err") >= C40_CASE_MIN_ERRORS).cast("int"))
+      .withColumn("stratum",
+        ntile(4).over(Window.orderBy(col("n_events"), col("user_id"))))
+    val ws = Window.partitionBy("stratum").orderBy(col("user_id"))
+    val cases = users.filter(col("is_case") === 1)
+      .select(col("stratum"), col("user_id").as("case_user"),
+        row_number().over(ws).as("rk"))
+    val controls = users.filter(col("is_case") === 0)
+      .select(col("stratum"), col("user_id").as("control_user"),
+        row_number().over(ws).as("crk"))
+    controls
+      .withColumn("rk", ((col("crk") + 1) / 2).cast("int"))
+      .withColumn("slot", ((col("crk") + 1) % 2 + 1).cast("int"))
+      .join(cases, Seq("stratum", "rk"))
+      .select(col("stratum"), col("case_user"), col("control_user"), col("slot"))
+      .transform(Gate.ordered("stratum", "case_user", "slot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c35_session_native" -> (c35 _),
+    "c38_survival_km" -> (c38 _),
+    "c39_risk_tiers" -> (c39 _),
+    "c40_case_control" -> (c40 _),
     "c37_readmission_rate" -> (c37 _),
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
@@ -834,7 +988,116 @@ object Cohort {
        |    PARTITION BY user_id ORDER BY session_id) AS next_start_us
        |   FROM sess))""".stripMargin
 
+  /** The c39 weight rule as one SQL CASE — generated from C39_WEIGHTS
+    * so the Scala fold and the oracle cannot fork.
+    */
+  private def c39WeightSql: String =
+    "CASE event_type " + C39_WEIGHTS.map { case (t, w) =>
+      s"WHEN '$t' THEN $w"
+    }.mkString(" ") + " ELSE 0 END"
+
   val oracle: Map[String, String] = Map(
+    // c09's fold with the >= boundary (session_window semantics: the
+    // [ts, ts+gap) windows stop overlapping AT the gap)
+    "c35_session_native" ->
+      """SELECT user_id, COUNT(*) AS n_sessions,
+        | CAST(SUM(n_events) AS BIGINT) AS n_events,
+        | MAX(last_us - start_us) AS max_dur_us
+        |FROM (
+        | SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us
+        | FROM (
+        |  SELECT user_id, ts,
+        |   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us >= 30 * 60 * 1000000 THEN 1 ELSE 0 END
+        |     AS is_new
+        |   FROM (SELECT user_id, event_id, ts,
+        |     LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |    FROM events)))
+        | GROUP BY user_id, session_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical product-limit formulation: integer risk-set arithmetic,
+    // ln/exp only on the final ratio, zero_seen guard pins the
+    // everyone-fails day to exactly 0.0 (Spark ln(0) is null, DuckDB
+    // -inf — neither reaches the output)
+    "c38_survival_km" ->
+      """WITH base AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |   OVER (PARTITION BY user_id) AS s0_us
+        | FROM events),
+        |h AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+        |pu AS (
+        | SELECT user_id, MIN(s0_us) AS s0_us,
+        |  MIN(CASE WHEN event_type = 'purchase' AND us >= s0_us
+        |    THEN us END) AS ev_us
+        | FROM base WHERE s0_us IS NOT NULL GROUP BY 1),
+        |dur AS (
+        | SELECT CAST(FLOOR((COALESCE(ev_us, h_us) - s0_us)
+        |    / 86400000000) AS BIGINT) AS t_day,
+        |  CASE WHEN ev_us IS NOT NULL THEN 1 ELSE 0 END AS observed
+        | FROM pu CROSS JOIN h),
+        |days AS (
+        | SELECT t_day, CAST(SUM(observed) AS BIGINT) AS d,
+        |  CAST(SUM(1 - observed) AS BIGINT) AS c
+        | FROM dur GROUP BY 1),
+        |km0 AS (
+        | SELECT t_day, d, c,
+        |  CAST(SUM(d + c) OVER (ORDER BY t_day ROWS BETWEEN CURRENT ROW
+        |   AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM days)
+        |SELECT t_day, n_risk, d AS n_events, c AS n_censored,
+        | CASE WHEN MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER wc = 1
+        |   THEN 0.0
+        |  ELSE ROUND(EXP(COALESCE(SUM(CASE WHEN d > 0 AND n_risk > d
+        |    THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |    END) OVER wc, 0.0)), 6) END AS km
+        |FROM km0
+        |WINDOW wc AS (ORDER BY t_day
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t_day""".stripMargin,
+    // presence = distinct (user, type, day); all-integer scoring
+    "c39_risk_tiers" ->
+      s"""WITH pres AS (SELECT DISTINCT user_id, event_type,
+         |  strftime(ts, '%Y-%m-%d') AS day FROM events),
+         |sc AS (SELECT user_id, CAST(SUM($c39WeightSql) AS BIGINT) AS score
+         | FROM pres GROUP BY 1)
+         |SELECT tier, COUNT(*) AS n_patients,
+         | MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM (SELECT score,
+         |  CASE WHEN score < 110 THEN 'low' WHEN score < 130 THEN 'moderate'
+         |   WHEN score < 145 THEN 'elevated' ELSE 'high' END AS tier
+         | FROM sc)
+         |GROUP BY 1 ORDER BY tier""".stripMargin,
+    // rank-arithmetic pairing: case k takes control ranks 2k-1 and 2k
+    // within the stratum, user_id order everywhere — seedless
+    "c40_case_control" ->
+      s"""WITH u AS (
+         | SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_err
+         | FROM events GROUP BY 1),
+         |ub AS (SELECT user_id, n_events,
+         |  CASE WHEN n_err >= $C40_CASE_MIN_ERRORS THEN 1 ELSE 0 END AS is_case,
+         |  CAST(NTILE(4) OVER (ORDER BY n_events, user_id) AS INT) AS stratum
+         | FROM u),
+         |ca AS (SELECT stratum, user_id AS case_user,
+         |  ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY user_id) AS rk
+         | FROM ub WHERE is_case = 1),
+         |co AS (SELECT stratum, user_id AS control_user,
+         |  ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY user_id) AS crk
+         | FROM ub WHERE is_case = 0)
+         |SELECT co.stratum AS stratum, case_user, control_user,
+         | CAST((crk + 1) % 2 + 1 AS INT) AS slot
+         |FROM co JOIN ca ON ca.stratum = co.stratum
+         | AND ca.rk = (crk + 1) // 2
+         |ORDER BY stratum, case_user, slot""".stripMargin,
     // same session fold as c09's oracle, then LEAD over the per-user
     // session sequence; HUGEINT discipline on SUM
     "c37_readmission_rate" ->

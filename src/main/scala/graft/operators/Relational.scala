@@ -579,7 +579,77 @@ object Relational {
       .transform(Gate.ordered("s_nationkey", "s_suppkey"))
   }
 
+  // -- q37: per-group OLS trend (regression as moment sums) ---------------
+  // The "is this metric drifting" question every monthly report ends
+  // with: a least-squares line of order value over time, per priority
+  // class. Spark ships regr_slope/regr_intercept, but their double
+  // accumulation is partition-order-dependent — useless for a
+  // reproducible report. q16's discipline instead: exact decimal moment
+  // sums (one map-side-combined aggregate, one tiny shuffle), then the
+  // slope/intercept/r² arithmetic in IDENTICAL double formulas on both
+  // engines, rounded. x = whole days since the corpus epoch (exact
+  // integers), so sxx needs no decimal rendition at all.
+  private val Q37_EPOCH = "1995-01-01"
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val x = datediff(col("o_orderdate"), lit(Q37_EPOCH)).cast("long")
+    val y = col("o_totalprice")
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        dsumWide(y).as("sy"), dsumWide(x * y).as("sxy"),
+        dsumWide(y * y).as("syy"))
+      .select(col("o_orderpriority"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope_per_day"),
+        round(col("sy") / col("n") -
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("sx") / col("n")), 4).as("intercept"),
+        round(pow((col("sxy") - col("sx") * col("sy") / col("n")), 2) /
+          ((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r2"))
+      .orderBy("o_orderpriority")
+  }
+
+  // -- q38: IQR-fence outlier profile ------------------------------------
+  // Tukey's fences per market segment: exact p25/p75 (q15's percentile
+  // discipline, rounded so both engines agree on the boundary), fences
+  // at 1.5×IQR, then one pass flags and summarizes the outliers. The
+  // fence frame is group-count-sized — broadcast back, so the detail
+  // pass is scan + map + aggregate (two scans of the dimension total;
+  // at 100 TB the fence pass would ride q15b's GK sketch instead of
+  // buffering groups, same composed shape).
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val fences = customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"))
+      // fence arithmetic in EXACT decimal: 1.5 × a 4-decimal IQR has
+      // exactly 5 decimals, so rounding it back to 4 is a guaranteed
+      // half-tie whenever the IQR's last digit is odd — and the two
+      // engines break half-ties differently. A decimal(18,5) result
+      // needs no rounding and converts to double exactly.
+      .select(col("c_mktsegment"),
+        (col("p25").cast("decimal(18,4)") - lit(BigDecimal("1.5")) *
+          (col("p75").cast("decimal(18,4)") - col("p25").cast("decimal(18,4)")))
+          .cast("double").as("lo_fence"),
+        (col("p75").cast("decimal(18,4)") + lit(BigDecimal("1.5")) *
+          (col("p75").cast("decimal(18,4)") - col("p25").cast("decimal(18,4)")))
+          .cast("double").as("hi_fence"))
+    customer(s, d)
+      .join(broadcast(fences), "c_mktsegment")
+      .groupBy(col("c_mktsegment"), col("lo_fence"), col("hi_fence"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("c_acctbal") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_regression_trend" -> (q37 _),
+    "q38_iqr_outliers" -> (q38 _),
     "q36_distribution_rank" -> (q36 _),
     "q35_trailing_window" -> (q35 _),
     "q34_ntile_deciles" -> (q34 _),
@@ -621,6 +691,48 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // q16's discipline: exact decimal/integer moment sums, then the
+    // slope/intercept/r² arithmetic in the SAME double formula order
+    "q37_regression_trend" ->
+      s"""SELECT o_orderpriority, n,
+         | ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+         |  AS slope_per_day,
+         | ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+         |  * (sx / n), 4) AS intercept,
+         | ROUND(POW(sxy - sx * sy / n, 2) /
+         |  ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+         |FROM (SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |  ${sqlDsumWide("o_totalprice")} AS sy,
+         |  ${sqlDsumWide("x * o_totalprice")} AS sxy,
+         |  ${sqlDsumWide("o_totalprice * o_totalprice")} AS syy
+         | FROM (SELECT *, datediff('day', TIMESTAMP '$Q37_EPOCH',
+         |   o_orderdate) AS x FROM orders)
+         | GROUP BY 1)
+         |ORDER BY o_orderpriority""".stripMargin,
+    // fence arithmetic in exact DECIMAL (1.5 × a 4-decimal IQR is a
+    // guaranteed half-tie at 4 decimals; a (18,5) result needs no
+    // rounding), so the boundary classifies identically on both engines
+    "q38_iqr_outliers" ->
+      """SELECT c_mktsegment, lo_fence, hi_fence, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN c_acctbal < lo_fence THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_low,
+        | CAST(SUM(CASE WHEN c_acctbal > hi_fence THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_high,
+        | MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer JOIN (
+        | SELECT c_mktsegment,
+        |  CAST(p25 - CAST(1.5 AS DECIMAL(2,1)) * (p75 - p25) AS DOUBLE)
+        |   AS lo_fence,
+        |  CAST(p75 + CAST(1.5 AS DECIMAL(2,1)) * (p75 - p25) AS DOUBLE)
+        |   AS hi_fence
+        | FROM (SELECT c_mktsegment,
+        |   CAST(ROUND(quantile_cont(c_acctbal, 0.25), 4)
+        |    AS DECIMAL(18,4)) AS p25,
+        |   CAST(ROUND(quantile_cont(c_acctbal, 0.75), 4)
+        |    AS DECIMAL(18,4)) AS p75
+        |  FROM customer GROUP BY 1)) USING (c_mktsegment)
+        |GROUP BY 1, 2, 3 ORDER BY c_mktsegment""".stripMargin,
     // unique (balance, suppkey) sort order → rank arithmetic and its
     // one integer divide are identical on both engines
     "q36_distribution_rank" ->

@@ -441,6 +441,85 @@ class CohortSpec extends SparkSpec {
     }
   }
 
+  test("c35 native session_window agrees with c09's fold off the boundary") {
+    import org.apache.spark.sql.functions._
+    // the two rules differ only at a gap of EXACTLY 30 min; prove the
+    // corpus has no such tie, then the session counts must agree
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val exactGapTies = Tables.events(spark, sfDir)
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap") === 30L * 60 * 1000000).count()
+    assert(exactGapTies == 0, "corpus has an exact-gap tie; adjust the spec")
+    val native = Cohort.c35(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    val fold = Cohort.c09(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        u -> (rs.length.toLong, rs.map(_.getAs[Long]("n_events")).sum)
+      }
+    assert(native == fold)
+  }
+
+  test("c38 KM curve: monotone non-increasing, correct risk-set accounting") {
+    val rows = Cohort.c38(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val kms = rows.map(_.getAs[Double]("km"))
+    kms.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, "KM must never increase")
+      case _ =>
+    }
+    // risk set at the first day = every subject; each later risk set
+    // drops exactly the prior day's events + censors
+    val total = rows.map(r => r.getAs[Long]("n_events") +
+      r.getAs[Long]("n_censored")).sum
+    assert(rows.head.getAs[Long]("n_risk") == total)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk") -
+          a.getAs[Long]("n_events") - a.getAs[Long]("n_censored"))
+      case _ =>
+    }
+    // independent product-limit recompute
+    var s = 1.0
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"))
+      if (d > 0) s = if (n == d) 0.0 else s * (n - d).toDouble / n
+      assert(math.abs(r.getAs[Double]("km") - s) < 1e-5,
+        s"day ${r.getAs[Long]("t_day")}: km ${r.getAs[Double]("km")} vs $s")
+    }
+  }
+
+  test("c39 tiers partition every user; scores match a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val tiers = Cohort.c39(spark, sfDir).collect()
+    val nUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(tiers.map(_.getAs[Long]("n_patients")).sum == nUsers)
+    tiers.foreach { r =>
+      assert(r.getAs[Long]("min_score") <= r.getAs[Long]("max_score"))
+    }
+  }
+
+  test("c40 matching: ≤2 controls per case, same stratum, disjoint roles") {
+    val pairs = Cohort.c40(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "no matches at test sf — threshold too tight")
+    val byCase = pairs.groupBy(r =>
+      (r.getAs[Int]("stratum"), r.getAs[Long]("case_user")))
+    byCase.foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      assert(rs.map(_.getAs[Int]("slot")).toSet.subsetOf(Set(1, 2)))
+    }
+    val cases = pairs.map(_.getAs[Long]("case_user")).toSet
+    val controls = pairs.map(_.getAs[Long]("control_user")).toSet
+    assert(cases.intersect(controls).isEmpty, "a user serving both roles")
+    // every control used at most once
+    val ctrlUse = pairs.groupBy(_.getAs[Long]("control_user"))
+    ctrlUse.foreach { case (_, rs) => assert(rs.length == 1) }
+  }
+
   test("exportReport delivers c18's table with a matching write audit") {
     val dir = s"${graft.Scratch.dir}/report_export"
     val audit = Cohort.exportReport(spark, sfDir, dir)

@@ -28,6 +28,7 @@ class PlanHygieneSpec extends SparkSpec {
   private val scalarCross = Set(
     "c10_funnel",
     "c30_concept_cooccurrence", // 1-row basket-total broadcast
+    "c38_survival_km", // 1-row censoring-horizon broadcast
     "s01_ann_bruteforce",
     "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",

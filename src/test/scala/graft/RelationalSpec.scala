@@ -256,6 +256,51 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q37 regression matches a driver-side exact OLS recompute") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational.q37(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("slope_per_day"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("r2"))).toMap
+    val data = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("double").as("x"),
+        col("o_totalprice").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    data.foreach { case (g, rows) =>
+      val xs = rows.map(_.getAs[Double]("x"))
+      val ys = rows.map(_.getAs[Double]("y"))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val (gs, gi, gr2) = got(g)
+      assert(math.abs(gs - slope) < 1e-4, s"$g slope $gs vs $slope")
+      assert(math.abs(gi - (sy / n - slope * sx / n)) < 1e-2)
+      assert(gr2 >= 0.0 && gr2 <= 1.0)
+    }
+  }
+
+  test("q38 fences: outliers counted against the exact quartile fences") {
+    val rows = operators.Relational.q38(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bals = Tables.customer(spark, sfDir)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val vals = bals(seg).map(_.getAs[Double]("c_acctbal"))
+      assert(r.getAs[Long]("n") == vals.length.toLong)
+      val lo = r.getAs[Double]("lo_fence")
+      val hi = r.getAs[Double]("hi_fence")
+      assert(r.getAs[Long]("n_low") == vals.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_high") == vals.count(_ > hi).toLong)
+      assert(lo < hi)
+    }
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
