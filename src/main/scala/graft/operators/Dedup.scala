@@ -547,6 +547,30 @@ object Dedup {
         col("best.quality").as("best_quality"))
       .transform(Gate.ordered("cluster_id"))
 
+  // -- d13: cross-source duplication matrix ------------------------------
+  // The data-governance report over d02's verified near-dup pairs:
+  // which SOURCES mirror each other (a crawl re-serving another feed,
+  // two ingest paths of the same wire service)? Each pair tags its two
+  // docs' sources via two broadcast-sized joins against the doc→source
+  // projection (at 100 TB: a column scan, and the pair frame is the
+  // small side — near-dup pairs ≪ corpus); least/greatest folds the
+  // matrix to its upper triangle so (a,b) and (b,a) can't split counts.
+  def d13(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    d02Core(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("same_source",
+        (col("source_a") === col("source_b")).cast("int"))
+      .transform(Gate.ordered("source_a", "source_b"))
+  }
+
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // so the candidate generation is SQL-expressible and the cosine math
@@ -990,7 +1014,8 @@ object Dedup {
     "d09_dedup_semantic" -> (d09 _),
     "d10_dedup_incremental_bloom" -> (d10 _),
     "d11_dedup_savings" -> (d11 _),
-    "d12_dedup_canonical_quality" -> (d12 _)
+    "d12_dedup_canonical_quality" -> (d12 _),
+    "d13_cross_source_dup" -> (d13 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -1151,6 +1176,18 @@ object Dedup {
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,
+    // d02's pair SQL verbatim (nested WITH), sources tagged by two
+    // doc→source joins, upper-triangle via least/greatest
+    "d13_cross_source_dup" ->
+      s"""WITH p AS ($D02_SQL)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         | CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS same_source
+         |FROM (
+         | SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b
+         | FROM p JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b)
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // d02's candidate gate verbatim, then the exact char-level
     // containment check on the pair's texts (shorter inside longer)
     "d07_dedup_containment" ->

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Det.dsumWide
 import graft.Gate
 import graft.Tables._
 import graft.functions.RollingFingerprint
@@ -40,20 +41,30 @@ object TextAnalysis {
     * sort on an intermediate result would be wasted work.
     */
   private[graft] def t02Core(s: SparkSession, d: String): DataFrame =
+    t02Scored(s, d, Nil)
+
+  /** t02's scoring with pass-through columns (t18 groups the same
+    * scores by source) — ONE formula, whatever the caller carries.
+    */
+  private[graft] def t02Scored(s: SparkSession, d: String,
+      extra: Seq[String]): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"), col("text"), tokens(col("text")).as("w")) ++
+        extra.map(col): _*)
+      .select(Seq(col("doc_id"),
         size(col("w")).as("n_tokens"),
         (size(array_distinct(col("w"))).cast("double") /
           size(col("w")).cast("double")).as("distinct_ratio"),
         (stopwordHits("w", stopwords("en")).cast("double") /
-          size(col("w")).cast("double")).as("stop_ratio"))
-      .select(col("doc_id"), col("n_tokens"),
+          size(col("w")).cast("double")).as("stop_ratio")) ++
+        extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("n_tokens"),
         round(col("distinct_ratio"), 6).as("distinct_ratio"),
         round(col("stop_ratio"), 6).as("stop_ratio"),
         round(least(lit(1.0), col("n_tokens") / 100.0) *
           (lit(0.5) + lit(0.5) * col("distinct_ratio")) *
-          (lit(1.0) - lit(0.2) * col("stop_ratio")), 6).as("quality"))
+          (lit(1.0) - lit(0.2) * col("stop_ratio")), 6).as("quality")) ++
+        extra.map(col): _*)
 
   def t02(s: SparkSession, d: String): DataFrame =
     t02Core(s, d).transform(Gate.ordered("doc_id"))
@@ -540,7 +551,115 @@ object TextAnalysis {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- t18: source-level quality gating (domain filtering) ---------------
+  // The RefinedWeb/C4 move AFTER per-doc scoring: entire SOURCES
+  // (domains, crawls, feeds) whose mean document quality falls below a
+  // corpus-relative bar are dropped wholesale — a bad OCR batch or spam
+  // domain is cheaper to kill at the source level than doc by doc. ONE
+  // pass: t02's scoring core (shared formula, source carried through)
+  // aggregates per source; the corpus mean derives from the SAME
+  // per-source sums via an unpartitioned window over the source-count-
+  // sized frame (sources ≪ docs at any scale — this frame is KB).
+  // Exact decimal quality sums make both means engine-stable.
+  private val T18_REL_BAR = 0.9
+
+  def t18(s: SparkSession, d: String): DataFrame = {
+    val per = t02Scored(s, d, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast("decimal(18,6)")).as("sum_q"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("mean_quality",
+        round(col("sum_q").cast("double") / col("n_docs"), 6))
+      .withColumn("corpus_mean",
+        round(sum(col("sum_q")).over(all).cast("double") /
+          sum(col("n_docs")).over(all), 6))
+      .withColumn("keep",
+        (col("mean_quality") >= lit(T18_REL_BAR) * col("corpus_mean"))
+          .cast("int"))
+      .select(col("source"), col("n_docs"), col("mean_quality"),
+        col("corpus_mean"), col("keep"),
+        when(col("keep") === 0, col("n_docs")).otherwise(0L)
+          .as("n_docs_dropped"))
+      .transform(Gate.ordered("source"))
+  }
+
+  // -- t19: Zipf rank-frequency fit (corpus-health report) ---------------
+  // Natural text follows Zipf's law (slope ≈ -1 on the log-log
+  // rank-frequency line); a corpus whose slope drifts toward 0 is
+  // boilerplate-flooded, toward -2 is degenerate/near-empty. One token
+  // scan builds the unigram table (t10's shape, map-side combined);
+  // the regression runs on the VOCABULARY-sized frame — q37's exact
+  // decimal moment-sum discipline over (ln rank, ln freq) rounded to 6
+  // so both engines feed identical decimals.
+  def t19(s: SparkSession, d: String): DataFrame = {
+    val freq = documents(s, d)
+      .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val xy = freq
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"),
+        col("cnt"))
+    xy.agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("n_tokens"),
+        dsumWide(col("x")).as("sx"), dsumWide(col("x") * col("x")).as("sxx"),
+        dsumWide(col("y")).as("sy"), dsumWide(col("x") * col("y")).as("sxy"),
+        dsumWide(col("y") * col("y")).as("syy"))
+      .select(col("vocab_size"), col("n_tokens"),
+        round((col("sxy") - col("sx") * col("sy") / col("vocab_size")) /
+          (col("sxx") - col("sx") * col("sx") / col("vocab_size")), 6)
+          .as("zipf_slope"),
+        round(col("sy") / col("vocab_size") -
+          (col("sxy") - col("sx") * col("sy") / col("vocab_size")) /
+            (col("sxx") - col("sx") * col("sx") / col("vocab_size")) *
+            (col("sx") / col("vocab_size")), 6).as("intercept"),
+        round(pow(col("sxy") - col("sx") * col("sy") / col("vocab_size"), 2) /
+          ((col("sxx") - col("sx") * col("sx") / col("vocab_size")) *
+            (col("syy") - col("sy") * col("sy") / col("vocab_size"))), 6)
+          .as("r2"))
+  }
+
+  // -- t20: per-document token-entropy (gibberish/repetition filter) -----
+  // Shannon entropy of the token distribution: near-uniform docs sit at
+  // ln(types); heavy repetition collapses toward 0 — the cheap
+  // statistical screen between t02's ratios and t17's bigram LM.
+  // H = ln(n) − Σ c·ln(c) / n keeps everything integer until one ln per
+  // TYPE (types ≤ vocab per doc); the Σ takes t17's rounded-double
+  // route with the decimal rendition pinning partition order out.
+  private val T20_FLAG_BELOW = 2.6
+
+  def t20(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        // NOT dsumWide: its 2-decimal total rounding (sized for 1e10
+        // money sums) costs 1e-4 of a per-doc entropy; a per-doc sum is
+        // bounded by len·ln(len), so the unrounded 6-decimal sum
+        // converts to double exactly at any doc length
+        sum((col("c") * log(col("c").cast("double")))
+          .cast("decimal(38,6)")).cast("double").as("sclc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sclc") / col("n_tokens"), 6).as("entropy"))
+      .withColumn("flagged",
+        (col("entropy") < T20_FLAG_BELOW).cast("int"))
+      .transform(Gate.ordered("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_source_quality" -> (t18 _),
+    "t19_zipf_fit" -> (t19 _),
+    "t20_token_entropy" -> (t20 _),
     "t16_tfidf_keywords" -> (t16 _),
     "t17_bigram_fluency" -> (t17 _),
     "t01_langid" -> (t01 _),
@@ -592,6 +711,69 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same t02 scoring subquery, source tagged back by doc_id;
+    // decimal quality sums make both means exact
+    "t18_source_quality" ->
+      s"""WITH sc AS (SELECT t.doc_id, t.quality, d.source
+         |  FROM $T02_SCORED_SQL t JOIN documents d USING (doc_id)),
+         |per AS (SELECT source, COUNT(*) AS n_docs,
+         |  SUM(CAST(quality AS DECIMAL(18,6))) AS sum_q FROM sc GROUP BY 1),
+         |tot AS (SELECT SUM(sum_q) AS sq,
+         |  CAST(SUM(n_docs) AS BIGINT) AS nd FROM per)
+         |SELECT source, n_docs, mean_quality, corpus_mean, keep,
+         | CASE WHEN keep = 0 THEN n_docs ELSE 0 END AS n_docs_dropped
+         |FROM (
+         | SELECT source, n_docs,
+         |  ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) AS mean_quality,
+         |  ROUND(CAST(sq AS DOUBLE) / nd, 6) AS corpus_mean,
+         |  CAST(ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) >=
+         |   $T18_REL_BAR * ROUND(CAST(sq AS DOUBLE) / nd, 6) AS INT) AS keep
+         | FROM per CROSS JOIN tot)
+         |ORDER BY source""".stripMargin,
+    // q37's moment-sum discipline over (ln rank, ln freq) rounded to 6
+    // before the decimal rendition — identical inputs on both engines
+    "t19_zipf_fit" ->
+      s"""WITH freq AS (SELECT tok, COUNT(*) AS cnt FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |  WHERE text IS NOT NULL) GROUP BY 1),
+         |xy AS (SELECT ROUND(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         |  ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS y, cnt
+         | FROM (SELECT tok, cnt, ROW_NUMBER() OVER (
+         |   ORDER BY cnt DESC, tok) AS rank FROM freq)),
+         |m AS (SELECT COUNT(*) AS vocab_size,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  ${graft.Det.sqlDsumWide("x")} AS sx,
+         |  ${graft.Det.sqlDsumWide("x * x")} AS sxx,
+         |  ${graft.Det.sqlDsumWide("y")} AS sy,
+         |  ${graft.Det.sqlDsumWide("x * y")} AS sxy,
+         |  ${graft.Det.sqlDsumWide("y * y")} AS syy FROM xy)
+         |SELECT vocab_size, n_tokens,
+         | ROUND((sxy - sx * sy / vocab_size) /
+         |  (sxx - sx * sx / vocab_size), 6) AS zipf_slope,
+         | ROUND(sy / vocab_size - (sxy - sx * sy / vocab_size) /
+         |  (sxx - sx * sx / vocab_size) * (sx / vocab_size), 6)
+         |  AS intercept,
+         | ROUND(POW(sxy - sx * sy / vocab_size, 2) /
+         |  ((sxx - sx * sx / vocab_size) *
+         |   (syy - sy * sy / vocab_size)), 6) AS r2
+         |FROM m""".stripMargin,
+    // integer counts until one ln per type; the decimal rendition of
+    // c·ln(c) pins partition order out of the per-doc sum
+    "t20_token_entropy" ->
+      s"""WITH cn AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL) GROUP BY 1, 2),
+         |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6)))
+         |   AS DOUBLE) AS sclc
+         | FROM cn GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, entropy,
+         | CAST(entropy < $T20_FLAG_BELOW AS INT) AS flagged
+         |FROM (SELECT doc_id, n_tokens, n_types,
+         |  ROUND(ln(CAST(n_tokens AS DOUBLE)) - sclc / n_tokens, 6)
+         |   AS entropy FROM e)
+         |ORDER BY doc_id""".stripMargin,
     // both engines rank by the ROUNDED score then token, so a <1e-6
     // ln() ulp difference cannot reorder the top-3 cut
     "t16_tfidf_keywords" ->

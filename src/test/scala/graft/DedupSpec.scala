@@ -538,4 +538,20 @@ class DedupSpec extends SparkSpec {
       assert(got == default)
     } finally spark.conf.unset("spark.graft.dedup.cells.buckets")
   }
+  test("d13 matrix: upper-triangle, counts partition d02's pairs exactly") {
+    val pairs = Dedup.d02(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val srcOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    val got = Dedup.d13(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(got == want)
+    got.keys.foreach { case (a, b) => assert(a <= b) }
+  }
 }

@@ -333,4 +333,64 @@ class TextAnalysisSpec extends SparkSpec {
       assert(logp <= 1e-12)
     }
   }
+  test("t18 source gate: drop accounting exact, corpus mean is the doc mean") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis.t18(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // corpus_mean must equal the plain mean of all rounded doc scores
+    val want = operators.TextAnalysis.t02(spark, sfDir).collect()
+      .map(r => BigDecimal(r.getAs[Double]("quality"))).sum / nDocs
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("corpus_mean") - want.toDouble) < 1e-5)
+      val dropped = r.getAs[Long]("n_docs_dropped")
+      if (r.getAs[Int]("keep") == 1) assert(dropped == 0)
+      else assert(dropped == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("t19 Zipf fit matches a driver-side regression over the unigram table") {
+    import org.apache.spark.sql.functions._
+    val r = operators.TextAnalysis.t19(spark, sfDir).collect()(0)
+    val toks = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(r.getAs[Long]("vocab_size") == toks.length.toLong)
+    assert(r.getAs[Long]("n_tokens") == toks.map(_._2).sum)
+    val ranked = toks.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+    val xy = ranked.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(v => v._1 * v._1).sum
+    val sxy = xy.map(v => v._1 * v._2).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-3)
+    assert(r.getAs[Double]("zipf_slope") < 0, "rank-frequency must fall")
+    assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
+  }
+
+  test("t20 entropy: bounded by ln(types), exact on a recomputed sample") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis.t20(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val types = r.getAs[Long]("n_types")
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 1e-6)
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ")
+      val n = toks.length.toDouble
+      val want = math.log(n) -
+        toks.groupBy(identity).values.map { g =>
+          g.length * math.log(g.length.toDouble) }.sum / n
+      assert(math.abs(h - want) < 1e-4, s"doc ${r.getLong(0)}: $h vs $want")
+      assert((r.getAs[Int]("flagged") == 1) == (h < 2.6))
+    }
+  }
 }
