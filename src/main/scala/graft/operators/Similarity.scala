@@ -413,10 +413,15 @@ object Similarity {
   /** Per-subspace codebooks after PQ_ITERS Lloyd iterations, as
     * (m, cid, c) — all M k-means runs advance jointly, keyed by m.
     */
-  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqCodebookOf(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")))
+
+  /** The same per-subspace Lloyd chain over ANY (vec_id, embedding)
+    * frame — s12 trains codebooks on IVF residuals through this.
+    */
+  private[graft] def pqCodebookOf(e: DataFrame): DataFrame = {
     val subs = subvectors(e)
     // deterministic seeds: the subvectors of the PQ_KS lowest vec_ids
     var cent: DataFrame = subvectors(
@@ -944,7 +949,69 @@ object Similarity {
     rerankAgainst(s, d, candidates, adhocQ(s, vec), k)
   }
 
+  // -- s12: IVF-PQ with residual encoding (the composed 100 TB layout) ---
+  // s03 and s04 composed the way a production vector index actually
+  // ships (the IVFADC layout of Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011): coarse cells absorb the
+  // corpus's global structure, PQ codes quantize only the RESIDUAL
+  // v − c(v) — less variance per code, so the same 8 bytes resolve
+  // finer — and a query ADC-scores each probed cell with that cell's
+  // OWN residual LUT, exploiting dot(v,q) = dot(c,q) + dot(r,q)
+  // exactly. Costs at scale: candidate generation touches only the
+  // NPROBE probed cells' codes (an equi-join on cid), the per-query
+  // LUT is NPROBE·M·KS rows broadcast, and the exact re-rank reads
+  // PQ_CAND uncompressed rows. Everything is deterministic (decimal
+  // Lloyd means, decimal ADC accumulation, explicit tie-breaks), but
+  // a 2-iteration k-means result is not SQL-oracle-expressible —
+  // rows-only, recall pinned against s01 in SimilaritySpec.
+  def s12(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cent = ivfCentroids(s, d).cache()
+    // hard single-assignment: a residual needs ONE owning cell
+    val assigned = cellScores(e, cent)
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
+    val resid = e.join(assigned, "vec_id").join(broadcast(cent), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("c"), (a, b) => a - b).as("embedding"))
+    val rvecs = resid.select(col("vec_id"), col("embedding"))
+    val rcent = pqCodebookOf(rvecs).cache()
+    val codes = pqEncode(subvectors(rvecs), rcent).join(assigned, "vec_id")
+    // probe: NPROBE cells nearest the query, each carrying its exact
+    // centroid dot and its residual query vector
+    val probed = broadcast(cent.crossJoin(queryVec(s, d))
+      .select(col("cid"),
+        dotFixed("c", "qv", DIM).cast("decimal(38,12)").as("cdot"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"),
+        zip_with(col("qv"), col("c"), (a, b) => a - b).as("qr"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(IVF_NPROBE)
+      .select(col("cid"), col("cdot"), col("qr")))
+    // per-probed-cell LUT (cell × subspace × codeword)
+    val qsubs = probed.select(col("cid"), col("cdot"),
+      posexplode(array((0 until PQ_M).map(m =>
+        slice(col("qr"), m * PQ_SUB + 1, PQ_SUB)): _*)).as(Seq("m", "qsv")))
+    val rc = rcent.select(col("m"), col("cid").as("code"), col("c").as("cw"))
+    val lut = broadcast(rc.join(qsubs, "m")
+      .select(col("cid"), col("m"), col("code"), col("cdot"),
+        dotFixed("cw", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
+    val scored = codes.join(lut, Seq("cid", "m", "code"))
+      .groupBy(col("vec_id"))
+      // cdot is constant within a vector's cell — min() is just the
+      // deterministic way to carry it through the aggregate
+      .agg((min(col("cdot")) + sum(col("lut"))).as("approx"))
+    val candidates = scored
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(PQ_CAND)
+      .select("vec_id")
+    rerank(s, d, candidates)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_ann_ivfpq" -> (s12 _),
     "s01_ann_bruteforce" -> (s01 _),
     "s10_mmr_rerank" -> (s10 _),
     "s11_index_quality" -> (s11 _),

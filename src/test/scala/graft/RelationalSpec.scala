@@ -311,7 +311,8 @@ class RelationalSpec extends SparkSpec {
       "s04_ann_pq", "s04b_ann_pq_prebuilt", "s05b_knn_join_lsh",
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
-      "c20_report_incremental", "s10_mmr_rerank", "s11_index_quality")
+      "c20_report_incremental", "s10_mmr_rerank", "s11_index_quality",
+      "s12_ann_ivfpq")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -364,4 +364,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getAs[Long]("vec_id")
     assert(out.head._2 == s01Top)
   }
+  test("s12 IVF-PQ residual ANN reaches recall@10 >= 0.7, deterministically") {
+    // residual encoding cannot beat plain PQ on iid data (isotropic
+    // covariance — the s04c/OPQ argument), but must not fall below it:
+    // measured 1.0 at sf0.001, 0.9 at sf0.01
+    val exact = Similarity.s01(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val run1 = Similarity.s12(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val recall = (exact & run1.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    // decimal Lloyd means + decimal ADC: a re-run is bit-identical
+    val run2 = Similarity.s12(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    assert(run1.sameElements(run2))
+    // re-ranked cosines are the exact ones: every returned pair must
+    // match s01's cosine for the same vec_id when present there
+    val exactCos = Similarity.s01(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    run1.foreach { case (id, c) =>
+      exactCos.get(id).foreach(ec => assert(ec == c)) }
+  }
 }
