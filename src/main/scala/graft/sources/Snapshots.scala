@@ -51,12 +51,26 @@ object Snapshots {
     * simply overwritten), and the commit point is the single HEAD
     * rename at the end.
     */
-  def commit(s: SparkSession, root: String, df: DataFrame): Int = {
+  def commit(s: SparkSession, root: String, df: DataFrame): Int =
+    commitWith(s, root, df, v => (1 to v).map(i => s"$root/data/c$i"))
+
+  /** Commit `df` as the next snapshot whose manifest lists ONLY the new
+    * data dir — the REPLACE form the manifest design anticipated: each
+    * version is a full materialized state (st12's CDC merge), not an
+    * append. Same names-from-the-new-version discipline, same single
+    * HEAD-rename commit point; pinned readers of older versions still
+    * resolve their own manifests' dirs, which a replace never touches.
+    */
+  def commitReplace(s: SparkSession, root: String, df: DataFrame): Int =
+    commitWith(s, root, df, v => Seq(s"$root/data/c$v"))
+
+  private def commitWith(s: SparkSession, root: String, df: DataFrame,
+      dirsFor: Int => Seq[String]): Int = {
     val f = fs(s, root)
     val v = headVersion(s, root) + 1
     val dataDir = s"$root/data/c$v"
     df.write.mode("overwrite").parquet(dataDir)
-    val dirs = (1 to v).map(i => s"$root/data/c$i")
+    val dirs = dirsFor(v)
     // manifest = explicit dir list (not "1..v" by convention) so a
     // future compaction/replace commit can swap file sets freely
     val manifest = s"""{"version": $v, "dirs": [${dirs.map(p => "\"" + p + "\"").mkString(", ")}]}"""

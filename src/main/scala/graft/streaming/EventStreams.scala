@@ -675,7 +675,184 @@ object EventStreams {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- st11
+  // Rate-spike detection as a LIVE metric (error-burst alerting, the
+  // ops face of c04's census): an hour's event count per type is a
+  // SPIKE when it more than doubles the hourly average of the trailing
+  // 24 observed hours (and at least SPIKE_MIN_N of them exist — no
+  // alerts off a cold start). All-integer verdict arithmetic
+  // (n·t_n > 2·t_sum — no float mean, no float compare), so batch and
+  // stream agree bit-for-bit. Batch twin: one (type, hour) aggregate,
+  // then a RANGE frame over the integer hour index per type — the
+  // frame scans a TYPE-VOCABULARY-sized frame, never events.
+  private[graft] val SPIKE_WIN = 24L
+  private[graft] val SPIKE_MIN_N = 12L
+  private[graft] val SPIKE_FACTOR = 2L
+  private val HOUR_US = 3600L * 1000000
+
+  def st11(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("h"))
+      .rangeBetween(-SPIKE_WIN, -1)
+    events(s, d)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $HOUR_US").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("t_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("t_n", count(col("n")).over(w))
+      .withColumn("spike",
+        (col("t_n") >= SPIKE_MIN_N &&
+          col("n") * col("t_n") > lit(SPIKE_FACTOR) * col("t_sum")).cast("int"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("h") * HOUR_US), TS_FMT)
+          .as("hour_ts"),
+        col("n"), col("t_sum"), col("t_n"), col("spike"))
+      .transform(Gate.ordered("event_type", "hour_ts"))
+  }
+
+  /** Streaming state per event type: the trailing closed hours (ring of
+    * ≤ SPIKE_WIN entries) plus the currently-open hour's running count.
+    */
+  case class HourCount(h: Long, n: Long)
+  case class SpikeState(closed: List[HourCount], cur: Long, curN: Long)
+  private[graft] val SpikeEmpty = SpikeState(Nil, Long.MinValue, 0L)
+  case class SpikeVerdict(event_type: String, h: Long, n: Long,
+      t_sum: Long, t_n: Long, spike: Int)
+
+  /** The shared fold: events in ascending hour order bump the open
+    * hour; an event in a LATER hour closes it — the closed hour's
+    * verdict is final (its trailing window can only contain earlier
+    * hours) and is emitted exactly once. The trailing stats count only
+    * OBSERVED hours, exactly like the batch RANGE frame (rows exist
+    * only for hours with events).
+    */
+  private[graft] def spikeAdvance(tp: String, st: SpikeState,
+      hoursAsc: Seq[HourCount]): (SpikeState, Seq[SpikeVerdict]) =
+    hoursAsc.foldLeft((st, Seq.empty[SpikeVerdict])) {
+      case ((s, out), HourCount(h, add)) =>
+        if (s.cur == Long.MinValue) (s.copy(cur = h, curN = add), out)
+        else if (h == s.cur) (s.copy(curN = s.curN + add), out)
+        else {
+          require(h > s.cur, s"hours must arrive ascending: $h after ${s.cur}")
+          val trail = s.closed.filter(c => c.h >= s.cur - SPIKE_WIN)
+          val (tSum, tN) = (trail.map(_.n).sum, trail.length.toLong)
+          val v = SpikeVerdict(tp, s.cur, s.curN, tSum, tN,
+            if (tN >= SPIKE_MIN_N && s.curN * tN > SPIKE_FACTOR * tSum) 1
+            else 0)
+          val kept = (HourCount(s.cur, s.curN) :: s.closed)
+            .filter(c => c.h >= h - SPIKE_WIN)
+          (SpikeState(kept, h, add), out :+ v)
+        }
+    }
+
+  case class TypedHour(event_type: String, h: Long)
+
+  private def spikeState(tp: String, batch: Iterator[TypedHour],
+      state: GroupState[SpikeState]): Iterator[SpikeVerdict] = {
+    val hours = batch.toVector.groupBy(_.h).toSeq
+      .map { case (h, g) => HourCount(h, g.size.toLong) }.sortBy(_.h)
+    val (st, out) =
+      spikeAdvance(tp, state.getOption.getOrElse(SpikeEmpty), hours)
+    state.update(st)
+    out.iterator
+  }
+
+  /** The live view: verdicts for every CLOSED (type, hour) — the open
+    * tail hour per type is undecided until a later event closes it,
+    * so the stream covers exactly st11 minus each type's last hour.
+    */
+  def spikeStream(s: SparkSession, stream: Dataset[TypedHour])
+      : Dataset[SpikeVerdict] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpikeState, SpikeVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(spikeState)
+  }
+
+  // ---------------------------------------------------------------- st12
+  // The CDC stream LANDED AS A TABLE CONTRACT: st06 materializes the
+  // latest-wins state, src15 gives snapshot-isolated versioned reads —
+  // st12 composes them. Every micro-batch commits the merged state as
+  // the next snapshot version through ONE idempotency rule: version
+  // v = batchId + 1 must be the next HEAD, so a crash-replayed batch
+  // (same batchId) sees HEAD already past it and commits nothing —
+  // exactly-once versions from the HEAD pointer alone, no side
+  // markers. A crashed HALF-commit left HEAD untouched, and the
+  // replay's names derive from the same version, overwriting the
+  // orphans (src15's discipline). Readers pinned to any version see
+  // immutable bytes while commits land.
+  //
+  // Scale note: the gate face re-merges the full state per batch —
+  // honest for this corpus, and the right DEMO of the commit protocol;
+  // a 100 TB deployment would bucket the state by key and rewrite only
+  // touched buckets per commit (src11's partition discipline), with
+  // the same manifest/HEAD machinery swapping bucket file sets.
+  import graft.sources.Snapshots
+
+  /** Idempotent micro-batch commit: merge the delta onto HEAD with
+    * st06's comparator, commit as version batchId+1 (replace form).
+    * Returns the version in effect after the call.
+    */
+  private[graft] def commitCdcBatch(s: SparkSession, root: String,
+      batchId: Long, delta: DataFrame): Int = {
+    import s.implicits._
+    val head = Snapshots.headVersion(s, root)
+    if (head >= batchId + 1) head // replay: already committed, absorb
+    else {
+      val in =
+        if (head == 0) delta
+        else Snapshots.read(s, root).unionByName(delta)
+      val merged = in.as[Upd]
+        .groupByKey(_.o_orderkey)
+        .reduceGroups((a: Upd, b: Upd) => if (better(b, a)) b else a)
+        .map(_._2)
+        .toDF()
+      Snapshots.commitReplace(s, root, merged)
+    }
+  }
+
+  /** Continuous CDC into the versioned table: checkpointed offsets +
+    * the idempotent commit above — exactly-once VERSIONS end to end.
+    */
+  def cdcSnapshotSink(s: SparkSession, updates: Dataset[Upd], root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Upd], batchId: Long) => {
+        commitCdcBatch(batch.sparkSession, root, batchId, batch.toDF()); ()
+      })
+      .start()
+
+  /** Gate face: the src08 feed as three deterministic CDC batches
+    * (base, then the delta split by key parity) committed through the
+    * SAME commitCdcBatch, final HEAD read back through the manifest
+    * machinery — hash-checked against src08's oracle. Build-once per
+    * sf dir; a half-built root (killed run) rebuilds.
+    */
+  def st12(s: SparkSession, d: String): DataFrame = {
+    val root = s"${graft.Scratch.dir}/st12_cdc/${graft.Scratch.tag(d)}"
+    val delta = graft.sources.RoundTrip.src08Delta(s, d)
+    val batches = Seq(
+      graft.sources.RoundTrip.src08Base(s, d),
+      delta.filter(col("o_orderkey") % 20 === 0),
+      delta.filter(col("o_orderkey") % 20 =!= 0))
+    if (Snapshots.headVersion(s, root) != batches.length) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        commitCdcBatch(s, root, i.toLong, withUpdHash(b))
+      }
+    }
+    Snapshots.read(s, root)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_spike" -> (st11 _),
+    "st12_stream_snapshot_cdc" -> (st12 _),
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),
     "st03_stream_attribution_join" -> (st03 _),
@@ -689,6 +866,27 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
+    // all-integer spike rule (n·t_n > 2·t_sum) over the same RANGE
+    // frame; empty-frame SUM is NULL in both engines → COALESCE 0
+    "st11_stream_spike" ->
+      s"""SELECT event_type,
+         | strftime(make_timestamp(h * $HOUR_US), '%Y-%m-%d %H:%M:%S.%f') AS hour_ts,
+         | n, t_sum, t_n,
+         | CASE WHEN t_n >= $SPIKE_MIN_N AND n * t_n > $SPIKE_FACTOR * t_sum
+         |  THEN 1 ELSE 0 END AS spike
+         |FROM (
+         | SELECT event_type, h, n,
+         |  COALESCE(CAST(SUM(n) OVER w AS BIGINT), 0) AS t_sum,
+         |  CAST(COUNT(n) OVER w AS BIGINT) AS t_n
+         | FROM (SELECT event_type, epoch_us(ts) // $HOUR_US AS h,
+         |   COUNT(*) AS n FROM events GROUP BY 1, 2)
+         | WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |  RANGE BETWEEN $SPIKE_WIN PRECEDING AND 1 PRECEDING))
+         |ORDER BY event_type, hour_ts""".stripMargin,
+    // the converged CDC table IS src08's — oracle by reference, the
+    // snapshot machinery must not change a single row
+    "st12_stream_snapshot_cdc" ->
+      graft.sources.RoundTrip.oracle("src08_upsert_latest"),
     // the funnel fold IS c10's window formulation (see st09 doc) — the
     // oracle is c10's, verbatim by reference, so they cannot fork
     "st09_stream_funnel" -> graft.operators.Cohort.oracle("c10_funnel"),
