@@ -894,14 +894,22 @@ object Cohort {
   // engine nondeterminism.
   private val C40_CASE_MIN_ERRORS = 15L
 
-  def c40(s: SparkSession, d: String): DataFrame = {
-    val users = events(s, d)
+  def c40(s: SparkSession, d: String): DataFrame =
+    c40Core(s, d)
+
+  /** Core with the materialization strategy exposed (c30's convention):
+    * the user frame feeds BOTH role branches — checkpointed so the
+    * fact reduction runs once, not once per branch.
+    */
+  private[graft] def c40Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val users = cp(events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
       .withColumn("is_case", (col("n_err") >= C40_CASE_MIN_ERRORS).cast("int"))
       .withColumn("stratum",
-        ntile(4).over(Window.orderBy(col("n_events"), col("user_id"))))
+        ntile(4).over(Window.orderBy(col("n_events"), col("user_id")))))
     val ws = Window.partitionBy("stratum").orderBy(col("user_id"))
     val cases = users.filter(col("is_case") === 1)
       .select(col("stratum"), col("user_id").as("case_user"),

@@ -200,6 +200,46 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Cohort.c36(spark, dir).count() == 0)
   }
 
+  test("round-10 operators are empty-input safe") {
+    import spark.implicits._
+    import graft.operators.{Cohort, Dedup, Relational, Similarity, TextAnalysis}
+    val dir = s"${graft.Scratch.dir}/r10_empty"
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, String, Long, String, Double)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // no groups -> no regression rows, no fences, no strata
+    assert(Relational.q37(spark, dir).count() == 0)
+    assert(Relational.q38(spark, dir).count() == 0)
+    // no events -> no sessions, no subjects, no tiers, no matches
+    assert(Cohort.c35(spark, dir).count() == 0)
+    assert(Cohort.c38(spark, dir).count() == 0)
+    assert(Cohort.c39(spark, dir).count() == 0)
+    assert(Cohort.c40(spark, dir).count() == 0)
+    assert(graft.streaming.EventStreams.st11(spark, dir).count() == 0)
+    // empty corpus: no sources to gate, no tokens to fit or score
+    assert(TextAnalysis.t18(spark, dir).count() == 0)
+    val zipf = TextAnalysis.t19(spark, dir).collect()
+    // the global aggregate still yields its one report row — with an
+    // explicit empty-vocabulary account, not a crash
+    assert(zipf.length == 1 && zipf(0).getAs[Long]("vocab_size") == 0)
+    assert(TextAnalysis.t20(spark, dir).count() == 0)
+    assert(Dedup.d13(spark, dir).count() == 0)
+    // empty corpus -> empty centroid/codebook frames -> empty serving
+    assert(Similarity.s12(spark, dir).count() == 0)
+  }
+
   test("patient erasure of an absent patient set is a complete no-op") {
     import org.apache.spark.sql.functions._
     val layout = s"${graft.Scratch.dir}/robust_src11"
