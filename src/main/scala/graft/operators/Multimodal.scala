@@ -350,7 +350,51 @@ object Multimodal {
       .transform(Gate.ordered("source", "shard_no"))
   }
 
+  // -- m08: dataset card (the datasheet every released corpus ships) -----
+  // One queryable report of what the training corpus IS — sizes, token
+  // totals, language mix, source spread, modality volumes — the
+  // "Datasheets for Datasets" (Gebru et al. 2018) accounting face,
+  // emitted by the same engine that built the data so the card can
+  // never drift from the corpus. c18's multi-section report shape:
+  // each section is ONE scan of its table reduced to section-key rows
+  // (corpus totals ride the language rollup — no second documents
+  // scan), unioned into a uniform (section, sec_key, n_items, n_units)
+  // schema. All-integer metrics.
+  def m08(s: SparkSession, d: String): DataFrame = {
+    val docTok = documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val langs = docTok
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_tok")).as("n_units"))
+      .select(lit("lang").as("section"), col("lang").as("sec_key"),
+        col("n_items"), col("n_units"))
+    val docs = docTok
+      .agg(count(lit(1)).as("n_items"), sum(col("n_tok")).as("n_units"))
+      .select(lit("corpus").as("section"), lit("documents").as("sec_key"),
+        col("n_items"), col("n_units"))
+    val sources = docTok
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_items"), max(col("n")).as("n_units"))
+      .select(lit("corpus").as("section"), lit("sources").as("sec_key"),
+        col("n_items"), col("n_units"))
+    val vecs = embeddings(s, d)
+      .agg(count(lit(1)).as("n_items"),
+        max(size(col("embedding"))).cast("long").as("n_units"))
+      .select(lit("modality").as("section"), lit("embeddings").as("sec_key"),
+        col("n_items"), col("n_units"))
+    val evs = events(s, d)
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("user_id")).as("n_units"))
+      .select(lit("modality").as("section"), lit("events").as("sec_key"),
+        col("n_items"), col("n_units"))
+    docs.unionByName(langs).unionByName(sources).unionByName(vecs)
+      .unionByName(evs)
+      .transform(Gate.ordered("section", "sec_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_dataset_card" -> (m08 _),
     "m01_multimodal_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_frame_features" -> (m03 _),
@@ -402,6 +446,27 @@ object Multimodal {
        |WHERE energy >= $ENERGY_MIN""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // per-section recomputes from the raw tables; HUGEINT discipline
+    "m08_dataset_card" ->
+      """SELECT section, sec_key, n_items, n_units FROM (
+        | SELECT 'corpus' AS section, 'documents' AS sec_key,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_units
+        | FROM documents
+        | UNION ALL
+        | SELECT 'lang', lang, COUNT(*),
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        | FROM documents GROUP BY lang
+        | UNION ALL
+        | SELECT 'corpus', 'sources', COUNT(*), CAST(MAX(n) AS BIGINT)
+        | FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+        | UNION ALL
+        | SELECT 'modality', 'embeddings', COUNT(*),
+        |  CAST(MAX(len(embedding)) AS BIGINT) FROM embeddings
+        | UNION ALL
+        | SELECT 'modality', 'events', COUNT(*),
+        |  COUNT(DISTINCT user_id) FROM events)
+        |ORDER BY section, sec_key""".stripMargin,
     "m03_frame_features" ->
       s"""$M03_FEATS_SQL
          |ORDER BY doc_id, frame_no""".stripMargin,

@@ -647,9 +647,42 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  // -- q39: value-window family (FIRST/LAST/NTH over a full frame) --------
+  // The remaining window-function family after ranking (q10/q34/q36),
+  // frames (q11/q35) and distribution (q36): per-customer first, second
+  // and latest order value — the "acquisition vs current" comparison
+  // CRM reports run. One per-customer sort shuffle carries all four
+  // windows (full-frame first/last/nth + the running count); one row
+  // per customer survives via rn=1, so the output is customer-sized.
+  // (o_orderdate, o_orderkey) ordering makes every picked value
+  // engine-stable under date ties.
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("first_price", first(col("o_totalprice")).over(wFull))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wFull))
+      .withColumn("last_price", last(col("o_totalprice")).over(wFull))
+      .withColumn("n_orders", count(lit(1)).over(wFull))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_day"),
+        col("first_price"), col("second_price"), col("last_price"),
+        col("n_orders"))
+      .transform(Gate.ordered("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_regression_trend" -> (q37 _),
     "q38_iqr_outliers" -> (q38 _),
+    "q39_value_windows" -> (q39 _),
     "q36_distribution_rank" -> (q36 _),
     "q35_trailing_window" -> (q35 _),
     "q34_ntile_deciles" -> (q34 _),
@@ -710,6 +743,25 @@ object Relational {
          |   o_orderdate) AS x FROM orders)
          | GROUP BY 1)
          |ORDER BY o_orderpriority""".stripMargin,
+    // same (date, orderkey) tie order; the full frame makes
+    // first/last/nth frame-deterministic, not peer-dependent
+    "q39_value_windows" ->
+      """SELECT o_custkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS first_day,
+        | first_price, second_price, last_price, n_orders
+        |FROM (
+        | SELECT o_custkey, o_orderdate,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     // fence arithmetic in exact DECIMAL (1.5 × a 4-decimal IQR is a
     // guaranteed half-tie at 4 decimals; a (18,5) result needs no
     // rounding), so the boundary classifies identically on both engines

@@ -616,7 +616,40 @@ object RoundTrip {
       .transform(graft.Gate.ordered("user_id"))
   }
 
+  /** Range-clustered sorted layout (the zone-map move): events
+    * rewritten with repartitionByRange(user_id) + a per-file
+    * (user_id, ts) sort, so every parquet file owns a DISJOINT user
+    * range and every row group carries tight min/max stats — a
+    * selective user read skips whole row groups inside the reader
+    * (parquet predicate pushdown), and any footer-pruning engine reads
+    * one file of N. Complements src14: bucketing optimizes JOINS by
+    * key, range-clustering optimizes selective SCANS by key. The
+    * layout claim is proven from the parquet footers themselves in
+    * RoundTripSpec (pairwise-disjoint per-file ranges + PushedFilters);
+    * the gate proves the layout never changes an answer.
+    */
+  private val sortedBuilt = scala.collection.mutable.Set[String]()
+  private[graft] val SRC16_USER_CAP = 30L
+
+  def src16(s: SparkSession, d: String): DataFrame = {
+    val path = s"$scratch/src16_sorted/${graft.Scratch.tag(d)}"
+    if (!sortedBuilt.contains(path)) {
+      graft.Tables.events(s, d)
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(path)
+      sortedBuilt += path
+    }
+    s.read.parquet(path)
+      .filter(col("user_id") <= SRC16_USER_CAP)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src16_sorted_layout" -> (src16 _),
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
     "src03_bucketed_join" -> (src03 _),
@@ -636,6 +669,12 @@ object RoundTrip {
 
   /** Round-trip fidelity means the oracle is simply the original table. */
   val oracle: Map[String, String] = Map(
+    // the clustered copy must answer exactly like the raw table
+    "src16_sorted_layout" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         | COUNT(DISTINCT user_id) AS n_users
+         |FROM events WHERE user_id <= $SRC16_USER_CAP
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // both snapshots re-derived from the raw table: the manifest path
     // must lose/duplicate nothing in either version
     "src15_snapshot_travel" -> Snapshots.oracle,

@@ -200,4 +200,19 @@ class MultimodalSpec extends SparkSpec {
     assert(docs.exists { case (id, _) => !aud.contains(id) })
     assert(got.values.forall { case (_, t, i, _, tot) => t + i <= tot })
   }
+  test("m08 dataset card sections account exactly for the corpus") {
+    val card = graft.operators.Multimodal.m08(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_units"))).toMap
+    val (nDocs, nTok) = card(("corpus", "documents"))
+    val langRows = card.filter(_._1._1 == "lang").values
+    // language sections partition the corpus, docs AND tokens
+    assert(langRows.map(_._1).sum == nDocs)
+    assert(langRows.map(_._2).sum == nTok)
+    assert(card(("modality", "events"))._1 ==
+      Tables.events(spark, sfDir).count())
+    assert(card(("modality", "embeddings"))._2 == 64L)
+    assert(card(("corpus", "sources"))._1 ==
+      Tables.documents(spark, sfDir).select("source").distinct().count())
+  }
 }

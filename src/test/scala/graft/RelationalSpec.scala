@@ -301,6 +301,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q39 first/second/last values equal a driver-side recompute") {
+    val rows = Relational.q39(spark, sfDir).collect()
+    val byCust = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(rows.length == byCust.size)
+    rows.foreach { r =>
+      val hist = byCust(r.getAs[Long]("o_custkey"))
+        .sortBy(x => (x.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli, x.getLong(2)))
+        .map(_.getDouble(3))
+      assert(r.getAs[Double]("first_price") == hist.head)
+      assert(r.getAs[Double]("last_price") == hist.last)
+      assert(r.getAs[Long]("n_orders") == hist.length.toLong)
+      if (hist.length >= 2)
+        assert(r.getAs[Double]("second_price") == hist(1))
+      else assert(r.isNullAt(r.fieldIndex("second_price")))
+    }
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",

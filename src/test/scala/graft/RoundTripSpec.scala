@@ -431,4 +431,44 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root, Some(1)).count() == na)
     assert(Snapshots.read(spark, root, Some(2)).count() == na + nb)
   }
+  test("src16 layout: disjoint per-file user ranges, filter reaches the scan") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    graft.sources.RoundTrip.src16(spark, sfDir).collect() // ensure built
+    val path =
+      s"${graft.Scratch.dir}/src16_sorted/${graft.Scratch.tag(sfDir)}"
+    // the layout CLAIM, proven from the parquet footers: every file
+    // owns a user_id range no other file overlaps — the precondition
+    // for footer/zone-map pruning in any engine
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val ranges = fs.listStatus(dir).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader
+          .readFooter(conf, f.getPath)
+        val stats = footer.getBlocks.asScala.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Long],
+            st.genericGetMax.asInstanceOf[Long])
+        }
+        (stats.map(_._1).min, stats.map(_._2).max)
+      }.filter { case (lo, hi) => lo <= hi }
+    assert(ranges.nonEmpty)
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap: hi=$hiA >= lo=$loB")
+      case _ =>
+    }
+    // and the selective predicate reaches the reader
+    val plan = spark.read.parquet(path)
+      .filter(col("user_id") <= graft.sources.RoundTrip.SRC16_USER_CAP)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), " +
+      "LessThanOrEqual(user_id,"), s"filter not pushed:\n$plan")
+  }
 }
