@@ -969,6 +969,16 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     val cent = ivfCentroids(s, d).cache()
+    val (rcent, codes) = ivfPqEncode(s, e, cent)
+    ivfPqSearch(s, d, cent, rcent.cache(), codes)
+  }
+
+  /** Residual encoding against a centroid table: hard-assign, subtract
+    * the owning centroid, train per-subspace codebooks ON THE RESIDUALS
+    * and encode. Returns (residual codebook, codes with cid).
+    */
+  private def ivfPqEncode(s: SparkSession, e: DataFrame, cent: DataFrame)
+      : (DataFrame, DataFrame) = {
     // hard single-assignment: a residual needs ONE owning cell
     val assigned = cellScores(e, cent)
       .groupBy(col("vec_id"))
@@ -977,8 +987,15 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         zip_with(col("embedding"), col("c"), (a, b) => a - b).as("embedding"))
     val rvecs = resid.select(col("vec_id"), col("embedding"))
-    val rcent = pqCodebookOf(rvecs).cache()
-    val codes = pqEncode(subvectors(rvecs), rcent).join(assigned, "vec_id")
+    val rcent = pqCodebookOf(rvecs)
+    (rcent, pqEncode(subvectors(rvecs), rcent).join(assigned, "vec_id"))
+  }
+
+  /** The query side shared by the live build (s12) and the persisted
+    * index (s12b): probe cells, per-cell residual LUT, ADC, re-rank.
+    */
+  private def ivfPqSearch(s: SparkSession, d: String, cent: DataFrame,
+      rcent: DataFrame, codes: DataFrame): DataFrame = {
     // probe: NPROBE cells nearest the query, each carrying its exact
     // centroid dot and its residual query vector
     val probed = broadcast(cent.crossJoin(queryVec(s, d))
@@ -989,10 +1006,14 @@ object Similarity {
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE)
       .select(col("cid"), col("cdot"), col("qr")))
-    // per-probed-cell LUT (cell × subspace × codeword)
-    val qsubs = probed.select(col("cid"), col("cdot"),
-      posexplode(array((0 until PQ_M).map(m =>
-        slice(col("qr"), m * PQ_SUB + 1, PQ_SUB)): _*)).as(Seq("m", "qsv")))
+    // per-probed-cell LUT (cell × subspace × codeword); range(M) ×
+    // dynamic slice instead of posexplode — subsOfVec's move, keeping
+    // the prebuilt plan free of Generate nodes entirely
+    val qsubs = probed
+      .crossJoin(s.range(PQ_M).select(col("id").cast("int").as("m")))
+      .select(col("cid"), col("cdot"), col("m"),
+        slice(col("qr"), col("m") * lit(PQ_SUB) + lit(1), lit(PQ_SUB))
+          .as("qsv"))
     val rc = rcent.select(col("m"), col("cid").as("code"), col("c").as("cw"))
     val lut = broadcast(rc.join(qsubs, "m")
       .select(col("cid"), col("m"), col("code"), col("cdot"),
@@ -1010,8 +1031,50 @@ object Similarity {
     rerank(s, d, candidates)
   }
 
+  // -- s12b: IVF-PQ over the PERSISTED index -----------------------------
+  // The amortization every other index family already has (s02b/s03b/
+  // s04b): the two Lloyd chains (coarse cells + residual codebooks) and
+  // the corpus encode are paid ONCE; a query reads the K-row centroid
+  // table, the M·KS-row residual codebook and the cid-bucketed codes —
+  // no k-means, no Generate, no corpus-embedding scan in the plan
+  // (asserted in SimilaritySpec). The coarse centroid table is SHARED
+  // with s03b's index (same deterministic ivfCentroids, same name) —
+  // one build serves both layouts.
+  def ensureIvfPqIndex(s: SparkSession, d: String)
+      : (String, String, String) = {
+    val nb = graft.GraftConf.indexBuckets(s)
+    val codesT = s"graft_ivfpq_codes_${sanitize(d)}_b$nb"
+    val rcentT = s"graft_ivfpq_rcent_${sanitize(d)}"
+    val centT = s"graft_ivf_cent_${sanitize(d)}"
+    if (!s.catalog.tableExists(codesT)) {
+      if (!s.catalog.tableExists(centT))
+        ivfCentroids(s, d).write.mode("overwrite")
+          .option("path", s"$scratch/ivf_cent/${sanitize(d)}")
+          .saveAsTable(centT)
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val (rcent, codes) = ivfPqEncode(s, e, s.table(centT))
+      if (!s.catalog.tableExists(rcentT))
+        rcent.write.mode("overwrite")
+          .option("path", s"$scratch/ivfpq_rcent/${sanitize(d)}")
+          .saveAsTable(rcentT)
+      codes.write.mode("overwrite")
+        .bucketBy(nb, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivfpq_codes/${sanitize(d)}_b$nb")
+        .saveAsTable(codesT)
+    }
+    (centT, rcentT, codesT)
+  }
+
+  def s12b(s: SparkSession, d: String): DataFrame = {
+    val (centT, rcentT, codesT) = ensureIvfPqIndex(s, d)
+    ivfPqSearch(s, d, s.table(centT), s.table(rcentT), s.table(codesT))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_ann_ivfpq" -> (s12 _),
+    "s12b_ann_ivfpq_prebuilt" -> (s12b _),
     "s01_ann_bruteforce" -> (s01 _),
     "s10_mmr_rerank" -> (s10 _),
     "s11_index_quality" -> (s11 _),

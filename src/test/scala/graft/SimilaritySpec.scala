@@ -385,4 +385,24 @@ class SimilaritySpec extends SparkSpec {
     run1.foreach { case (id, c) =>
       exactCos.get(id).foreach(ec => assert(ec == c)) }
   }
+  test("s12b prebuilt IVF-PQ equals s12; no Lloyd, no Generate in-plan") {
+    val live = Similarity.s12(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val pre = Similarity.s12b(spark, sfDir)
+    val rows = pre.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // deterministic end to end on both paths -> identical ORDERED rows
+    assert(rows.sameElements(live), s"prebuilt=${rows.toSeq} live=${live.toSeq}")
+    // codes carry the owning cell and nibble-range residual codewords
+    val codes = spark.table(Similarity.ensureIvfPqIndex(spark, sfDir)._3)
+    import org.apache.spark.sql.functions.{col, max}
+    assert(codes.count() == 8 * Tables.embeddings(spark, sfDir).count())
+    assert(codes.agg(max(col("code"))).collect()(0).getInt(0) < 16)
+    // the query plan reads the persisted tables: no k-means, no
+    // encoding Generate, the codes table as the scored scan
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"encoding re-run in-query:\n$plan")
+    assert(plan.contains("graft_ivfpq_codes"), "must read the persisted codes")
+    assert(plan.contains("graft_ivf_cent"), "must read the shared centroids")
+  }
 }
