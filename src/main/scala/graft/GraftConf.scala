@@ -136,6 +136,26 @@ object GraftConf {
   def pairBroadcastBytes(s: SparkSession): Long =
     s.conf.get("spark.graft.pairJoin.broadcastBytes", "10485760").toLong
 
+  /** st11's alerting geometry: trailing window (hours), minimum
+    * observed hours before the alert arms, and the spike factor
+    * (count > factor × trailing mean). Defaults are the recorded
+    * oracle's constants (the dfCap convention); an ops team tunes
+    * sensitivity per deployment without recompiling.
+    */
+  def spikeWindowHours(s: SparkSession): Long =
+    s.conf.get("spark.graft.spike.windowHours", "24").toLong
+  def spikeMinObs(s: SparkSession): Long =
+    s.conf.get("spark.graft.spike.minObs", "12").toLong
+  def spikeFactor(s: SparkSession): Long =
+    s.conf.get("spark.graft.spike.factor", "2").toLong
+
+  /** t18's corpus-relative source bar: a source survives when its mean
+    * quality ≥ bar × corpus mean (default 0.9 — the recorded oracle's
+    * constant).
+    */
+  def sourceQualityBar(s: SparkSession): Double =
+    s.conf.get("spark.graft.sourceQuality.bar", "0.9").toDouble
+
   /** Broadcast `df` only if its optimizer-estimated size fits under
     * [[pairBroadcastBytes]]; past the gate it is PINNED to the
     * sort-merge strategy ("merge" hint) rather than merely unhinted —

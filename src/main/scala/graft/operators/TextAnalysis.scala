@@ -561,9 +561,12 @@ object TextAnalysis {
   // per-source sums via an unpartitioned window over the source-count-
   // sized frame (sources ≪ docs at any scale — this frame is KB).
   // Exact decimal quality sums make both means engine-stable.
-  private val T18_REL_BAR = 0.9
+  private[graft] val T18_REL_BAR = 0.9
 
+  // bar from spark.graft.sourceQuality.bar (default = T18_REL_BAR,
+  // which the recorded oracle mirrors)
   def t18(s: SparkSession, d: String): DataFrame = {
+    val bar = graft.GraftConf.sourceQualityBar(s)
     val per = t02Scored(s, d, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -576,7 +579,7 @@ object TextAnalysis {
         round(sum(col("sum_q")).over(all).cast("double") /
           sum(col("n_docs")).over(all), 6))
       .withColumn("keep",
-        (col("mean_quality") >= lit(T18_REL_BAR) * col("corpus_mean"))
+        (col("mean_quality") >= lit(bar) * col("corpus_mean"))
           .cast("int"))
       .select(col("source"), col("n_docs"), col("mean_quality"),
         col("corpus_mean"), col("keep"),

@@ -690,10 +690,14 @@ object EventStreams {
   private[graft] val SPIKE_FACTOR = 2L
   private val HOUR_US = 3600L * 1000000
 
+  // geometry from spark.graft.spike.* (defaults = the constants above,
+  // which the recorded oracle mirrors — the dfCap convention)
   def st11(s: SparkSession, d: String): DataFrame = {
+    val (win, minN, factor) = (graft.GraftConf.spikeWindowHours(s),
+      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactor(s))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("h"))
-      .rangeBetween(-SPIKE_WIN, -1)
+      .rangeBetween(-win, -1)
     events(s, d)
       .select(col("event_type"), expr(s"unix_micros(ts) div $HOUR_US").as("h"))
       .groupBy(col("event_type"), col("h"))
@@ -701,8 +705,8 @@ object EventStreams {
       .withColumn("t_sum", coalesce(sum(col("n")).over(w), lit(0L)))
       .withColumn("t_n", count(col("n")).over(w))
       .withColumn("spike",
-        (col("t_n") >= SPIKE_MIN_N &&
-          col("n") * col("t_n") > lit(SPIKE_FACTOR) * col("t_sum")).cast("int"))
+        (col("t_n") >= minN &&
+          col("n") * col("t_n") > lit(factor) * col("t_sum")).cast("int"))
       .select(col("event_type"),
         date_format(timestamp_micros(col("h") * HOUR_US), TS_FMT)
           .as("hour_ts"),
@@ -727,20 +731,22 @@ object EventStreams {
     * only for hours with events).
     */
   private[graft] def spikeAdvance(tp: String, st: SpikeState,
-      hoursAsc: Seq[HourCount]): (SpikeState, Seq[SpikeVerdict]) =
+      hoursAsc: Seq[HourCount], win: Long = SPIKE_WIN,
+      minN: Long = SPIKE_MIN_N, factor: Long = SPIKE_FACTOR)
+      : (SpikeState, Seq[SpikeVerdict]) =
     hoursAsc.foldLeft((st, Seq.empty[SpikeVerdict])) {
       case ((s, out), HourCount(h, add)) =>
         if (s.cur == Long.MinValue) (s.copy(cur = h, curN = add), out)
         else if (h == s.cur) (s.copy(curN = s.curN + add), out)
         else {
           require(h > s.cur, s"hours must arrive ascending: $h after ${s.cur}")
-          val trail = s.closed.filter(c => c.h >= s.cur - SPIKE_WIN)
+          val trail = s.closed.filter(c => c.h >= s.cur - win)
           val (tSum, tN) = (trail.map(_.n).sum, trail.length.toLong)
           val v = SpikeVerdict(tp, s.cur, s.curN, tSum, tN,
-            if (tN >= SPIKE_MIN_N && s.curN * tN > SPIKE_FACTOR * tSum) 1
+            if (tN >= minN && s.curN * tN > factor * tSum) 1
             else 0)
           val kept = (HourCount(s.cur, s.curN) :: s.closed)
-            .filter(c => c.h >= h - SPIKE_WIN)
+            .filter(c => c.h >= h - win)
           (SpikeState(kept, h, add), out :+ v)
         }
     }

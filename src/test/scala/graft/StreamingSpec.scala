@@ -688,4 +688,40 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(v1 == wantV1)
   }
+  test("st11 spike geometry follows spark.graft.spike.* (non-default proven)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    try {
+      spark.conf.set("spark.graft.spike.windowHours", "6")
+      spark.conf.set("spark.graft.spike.minObs", "3")
+      spark.conf.set("spark.graft.spike.factor", "1")
+      val got = EventStreams.st11(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[String]("hour_ts")) ->
+          (r.getAs[Long]("t_sum"), r.getAs[Long]("t_n"), r.getAs[Int]("spike")))
+        .toMap
+      // independent recompute under the SAME non-default geometry
+      val counts = Tables.events(spark, sfDir)
+        .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      def hourStr(h: Long): String = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(h * 3600L), java.time.ZoneOffset.UTC)
+        .format(fmt)
+      counts.foreach { case ((tp, h), n) =>
+        val trail = counts.filter { case ((t2, h2), _) =>
+          t2 == tp && h2 >= h - 6 && h2 <= h - 1 }.values
+        val (tSum, tN) = (trail.sum, trail.size.toLong)
+        val spike = if (tN >= 3 && n * tN > 1 * tSum) 1 else 0
+        assert(got((tp, hourStr(h))) == ((tSum, tN, spike)),
+          s"($tp, $h): ${got((tp, hourStr(h)))} vs ${(tSum, tN, spike)}")
+      }
+      // factor 1 over a short window must fire somewhere even at sf0.001
+      assert(got.values.exists(_._3 == 1))
+    } finally {
+      spark.conf.unset("spark.graft.spike.windowHours")
+      spark.conf.unset("spark.graft.spike.minObs")
+      spark.conf.unset("spark.graft.spike.factor")
+    }
+  }
 }

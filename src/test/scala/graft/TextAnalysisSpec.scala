@@ -393,4 +393,20 @@ class TextAnalysisSpec extends SparkSpec {
       assert((r.getAs[Int]("flagged") == 1) == (h < 2.6))
     }
   }
+  test("t18 bar follows spark.graft.sourceQuality.bar (non-default proven)") {
+    def keeps(): Map[String, Int] =
+      operators.TextAnalysis.t18(spark, sfDir).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Int]("keep")).toMap
+    val default = keeps()
+    try {
+      // an impossible bar (mean must exceed 1.5x the corpus mean for
+      // EVERY source to survive) drops sources the default kept
+      spark.conf.set("spark.graft.sourceQuality.bar", "1.5")
+      val strict = keeps()
+      assert(strict.keySet == default.keySet)
+      assert(strict.values.forall(_ == 0),
+        "no source can sit 50% above the corpus mean on this corpus")
+      assert(default.values.exists(_ == 1))
+    } finally spark.conf.unset("spark.graft.sourceQuality.bar")
+  }
 }
