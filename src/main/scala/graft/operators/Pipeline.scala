@@ -119,9 +119,53 @@ object Pipeline {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- p04: the dataset-RELEASE pipeline (publication, after p01's
+  // curation): source-level gating, quality-canonical dedup, language
+  // mixture, and the per-language release accounting — each stage an
+  // already-audited operator, composed so the gate hash-checks the
+  // RELEASE MANIFEST a corpus team would actually publish:
+  //   1. source gate: t18's corpus-relative bar drops whole sources;
+  //   2. near-dup dedup, quality-canonical: d12's keep (the HIGHEST-
+  //      quality cluster member survives, not the smallest id — the
+  //      release wants the clean copy) via the PERSISTED d06 decision;
+  //   3. mixture: t06's content-addressed per-language rates;
+  //   4. manifest: per language, docs surviving each stage + released
+  //      token totals.
+  // Scale shape: ONE scored corpus scan; the source keep-list and the
+  // cluster-drop list are broadcast-size; counts are conditional
+  // aggregates over flags, so no stage re-scans the corpus.
+  def p04(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.t02Scored(s, d, Seq("lang", "source"))
+      .select(col("doc_id"), col("n_tokens"), col("lang"), col("source"))
+    val srcKeep = broadcast(TextAnalysis.t18(s, d)
+      .filter(col("keep") === 1).select(col("source")))
+    // cluster members that are NOT their cluster's quality keeper
+    val best = Dedup.d12(s, d)
+      .select(col("cluster_id").as("keep_id"), col("keep_doc"))
+    val dupDrop = broadcast(s.table(Dedup.ensureDecision(s, d))
+      .join(best, "keep_id")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id")))
+    scored
+      .join(srcKeep.withColumn("src_ok", lit(1)), Seq("source"), "left_outer")
+      .join(dupDrop.withColumn("is_dup", lit(1)), Seq("doc_id"), "left_outer")
+      .withColumn("k1", col("src_ok").isNotNull)
+      .withColumn("k2", col("k1") && col("is_dup").isNull)
+      .withColumn("k3", col("k2") && TextAnalysis.mixtureKeep)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("k1"), 1)).as("n_source_gated"),
+        count(when(col("k2"), 1)).as("n_after_dedup"),
+        count(when(col("k3"), 1)).as("n_released"),
+        coalesce(sum(when(col("k3"), col("n_tokens"))), lit(0L))
+          .as("tok_released"))
+      .transform(Gate.ordered("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pipeline_e2e" -> (p01 _),
-    "p03_pipeline_incremental" -> (p03 _)
+    "p03_pipeline_incremental" -> (p03 _),
+    "p04_pipeline_release" -> (p04 _)
   )
 
   /** The oracle composes the SAME stage fragments the per-operator
@@ -129,6 +173,43 @@ object Pipeline {
     * one definition per stage on each side.
     */
   val oracle: Map[String, String] = Map(
+    // the same stage fragments: t18's bar over T02_SCORED_SQL means,
+    // d06's recursive components + d12's quality argmax, t06's mixture
+    // predicate — all by reference, no stage rule re-declared
+    "p04_pipeline_release" ->
+      s"""WITH RECURSIVE ${Dedup.D06_CTES},
+         |q AS (SELECT doc_id, n_tokens, quality
+         |  FROM ${TextAnalysis.T02_SCORED_SQL} sc),
+         |per AS (SELECT d.source, COUNT(*) AS n_docs,
+         |  SUM(CAST(q.quality AS DECIMAL(18,6))) AS sum_q
+         | FROM documents d JOIN q USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT SUM(sum_q) AS sq,
+         |  CAST(SUM(n_docs) AS BIGINT) AS nd FROM per),
+         |keep_src AS (SELECT source FROM per CROSS JOIN tot
+         | WHERE ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) >=
+         |  ${TextAnalysis.T18_REL_BAR} * ROUND(CAST(sq AS DOUBLE) / nd, 6)),
+         |best AS (SELECT keep_id, doc_id AS keep_doc FROM (
+         |  SELECT keep_id, d06.doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY keep_id ORDER BY quality DESC, d06.doc_id) AS rk
+         |  FROM d06 JOIN q USING (doc_id)) WHERE rk = 1),
+         |dup_drop AS (SELECT d06.doc_id FROM d06 JOIN best USING (keep_id)
+         | WHERE d06.doc_id <> best.keep_doc),
+         |flags AS (
+         | SELECT d.lang, q.n_tokens,
+         |  (d.source IN (SELECT source FROM keep_src)) AS k1,
+         |  (d.source IN (SELECT source FROM keep_src)
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM dup_drop)) AS k2,
+         |  (d.source IN (SELECT source FROM keep_src)
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+         |   AND (${TextAnalysis.MIXTURE_COND_SQL})) AS k3
+         | FROM documents d JOIN q USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN k1 THEN 1 END) AS n_source_gated,
+         | COUNT(CASE WHEN k2 THEN 1 END) AS n_after_dedup,
+         | COUNT(CASE WHEN k3 THEN 1 END) AS n_released,
+         | CAST(COALESCE(SUM(CASE WHEN k3 THEN n_tokens END), 0) AS BIGINT)
+         |  AS tok_released
+         |FROM flags GROUP BY 1 ORDER BY lang""".stripMargin,
     "p01_pipeline_e2e" ->
       s"""WITH RECURSIVE ${Dedup.D06_CTES},
          |q AS (SELECT doc_id, n_tokens, quality

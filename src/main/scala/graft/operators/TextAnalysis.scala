@@ -130,12 +130,19 @@ object TextAnalysis {
   private def hex4(rate: Double): String =
     "%04x".formatLocal(java.util.Locale.ROOT, (rate * 65536).toLong)
 
-  def t06(s: SparkSession, d: String): DataFrame = {
+  /** The t06 mixture-keep rule as a Column over (doc_id, lang) — ONE
+    * definition shared by t06 and Pipeline.p04's release stage.
+    */
+  private[graft] def mixtureKeep: Column = {
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
-    val keep = MIX_RATES.map { case (l, r) =>
+    MIX_RATES.map { case (l, r) =>
       if (r >= 1.0) col("lang") === l
       else col("lang") === l && h < hex4(r)
     }.reduce(_ || _)
+  }
+
+  def t06(s: SparkSession, d: String): DataFrame = {
+    val keep = mixtureKeep
     documents(s, d)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -685,6 +692,15 @@ object TextAnalysis {
   private def sqlHits(list: Seq[String]) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${list.map(w => s"'$w'").mkString(", ")})))"
 
+  /** t06's mixture-keep rule as one SQL predicate over (doc_id, lang)
+    * — shared by t06's oracle and Pipeline.p04's.
+    */
+  private[graft] val MIXTURE_COND_SQL: String = MIX_RATES.map { case (l, r) =>
+    if (r >= 1.0) s"lang = '$l'"
+    else s"(lang = '$l' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)" +
+      s" < '${hex4(r)}')"
+  }.mkString("\n   OR ")
+
   /** The t05 split rule as a SQL expression over a doc_id column — ONE
     * definition shared by every oracle that partitions by split (t05,
     * t11, Pipeline.p01), so the rule cannot silently fork.
@@ -966,16 +982,10 @@ object TextAnalysis {
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          | FROM documents)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "t06_mixture_sample" -> {
-      val conds = MIX_RATES.map { case (l, r) =>
-        if (r >= 1.0) s"lang = '$l'"
-        else s"(lang = '$l' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)" +
-          s" < '${hex4(r)}')"
-      }.mkString("\n   OR ")
+    "t06_mixture_sample" ->
       s"""SELECT lang, COUNT(*) AS n_total,
-         | COUNT(CASE WHEN $conds THEN 1 END) AS n_sampled
-         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         | COUNT(CASE WHEN $MIXTURE_COND_SQL THEN 1 END) AS n_sampled
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical md5-hex thresholding in DuckDB -> identical split
     "t05_train_split" ->
       s"""SELECT split, COUNT(*) AS n_docs,

@@ -119,4 +119,30 @@ class PipelineSpec extends SparkSpec {
     assert(got(19L)._2 == Some(6L), "near-dup partner found")
     assert(got(19L)._3 == 0 && got(9L)._3 == 0 && got(14L)._3 == 0)
   }
+  test("p04 release manifest: stage monotonicity, stages match their operators") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Pipeline.p04(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c2, d2) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_source_gated"), r.getAs[Long]("n_after_dedup"),
+        r.getAs[Long]("n_released"))
+      assert(a >= b && b >= c2 && c2 >= d2, s"stages must only shrink: $r")
+    }
+    // stage 1 equals t18's verdict applied per language
+    val keptSrc = graft.operators.TextAnalysis.t18(spark, sfDir).collect()
+      .filter(_.getAs[Int]("keep") == 1).map(_.getAs[String]("source")).toSet
+    val perLang = Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.count(r => keptSrc(r.getString(1))).toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_source_gated") ==
+        perLang(r.getAs[String]("lang")))
+    }
+    // the dedup stage really bites on this corpus (planted near-dups)
+    assert(rows.map(r => r.getAs[Long]("n_source_gated") -
+      r.getAs[Long]("n_after_dedup")).sum > 0)
+  }
 }
