@@ -33,7 +33,7 @@ class PlanHygieneSpec extends SparkSpec {
     "s02_ann_lsh", "s02b_ann_lsh_prebuilt",
     "s03_ann_ivf", "s03b_ann_ivf_prebuilt",
     "s04_ann_pq", "s04b_ann_pq_prebuilt",
-    "s12_ann_ivfpq", // s03/s04's 1-row query-frame + K-row centroid cross
+    "s12_ann_ivfpq", "s12b_ann_ivfpq_prebuilt", // 1-row query-frame + K-row centroid cross
     "s05_knn_join_exact", "s06_range_search", "s07_knn_join_filtered",
     "s08_knn_join_truncated",
     "s09_hybrid_rrf", // vector leg = s01's 1-row query-frame cross
