@@ -925,7 +925,57 @@ object Cohort {
       .transform(Gate.ordered("stratum", "case_user", "slot"))
   }
 
+  // -- c41: directly-standardized exposure rates ---------------------------
+  // The epidemiology comparison c17's crude breakdowns can't give: two
+  // concepts' exposure rates are only comparable after removing the
+  // utilization-mix difference, so each rate is re-weighted to a FIXED
+  // reference population over activity strata (direct standardization —
+  // the same arithmetic as age-standardized disease rates, with c40's
+  // activity quartile playing age band). All-integer stratum counts;
+  // each standardized rate is four (rate × weight) terms summed through
+  // an exact decimal rendition, so partition order can't wiggle the
+  // 6th decimal. One fact scan feeds both the presence pairs and the
+  // activity strata (user-sized frames thereafter).
+  private val C41_REF_W = Seq(1 -> "0.4", 2 -> "0.3", 3 -> "0.2", 4 -> "0.1")
+
+  def c41(s: SparkSession, d: String): DataFrame =
+    c41Core(s, d)
+
+  private[graft] def c41Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val wExpr = C41_REF_W.foldRight(lit("0").cast("decimal(2,1)")) {
+      case ((st, w), acc) =>
+        when(col("stratum") === st, lit(w).cast("decimal(2,1)")).otherwise(acc)
+    }
+    // one fact reduction serves both branches (c40's checkpoint move)
+    val byUser = cp(events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n")))
+    val act = byUser.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"))
+      .withColumn("stratum",
+        ntile(4).over(Window.orderBy(col("n_events"), col("user_id"))))
+      .select(col("user_id"), col("stratum"))
+    val sizes = act.groupBy(col("stratum")).agg(count(lit(1)).as("n_users"))
+    byUser.select(col("user_id"), col("event_type"))
+      .join(act, "user_id")
+      .groupBy(col("event_type"), col("stratum"))
+      .agg(count(lit(1)).as("n_aff"))
+      .join(broadcast(sizes), "stratum")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_aff")).as("n_affected"),
+        sum(col("n_users")).as("n_users_total"),
+        sum((col("n_aff").cast("double") / col("n_users") * wExpr)
+          .cast("decimal(38,12)")).cast("double").as("std_raw"))
+      .select(col("event_type"), col("n_affected"), col("n_users_total"),
+        round(col("n_affected").cast("double") / col("n_users_total"), 6)
+          .as("crude_rate"),
+        round(col("std_raw"), 6).as("std_rate"))
+      .transform(Gate.ordered("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c41_standardized_rates" -> (c41 _),
     "c35_session_native" -> (c35 _),
     "c38_survival_km" -> (c38 _),
     "c39_risk_tiers" -> (c39 _),
@@ -1004,7 +1054,38 @@ object Cohort {
       s"WHEN '$t' THEN $w"
     }.mkString(" ") + " ELSE 0 END"
 
+  /** The c41 reference weights as one SQL CASE — generated from
+    * C41_REF_W so the Scala fold and the oracle cannot fork.
+    */
+  private def c41WeightSql: String =
+    "CASE stratum " + C41_REF_W.map { case (st, w) =>
+      s"WHEN $st THEN $w"
+    }.mkString(" ") + " ELSE 0 END"
+
   val oracle: Map[String, String] = Map(
+    // same ntile strata, integer counts, the identical decimal
+    // rendition of the four (rate × weight) terms
+    "c41_standardized_rates" ->
+      s"""WITH bu AS (SELECT user_id, event_type, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |act AS (SELECT user_id,
+         |  CAST(NTILE(4) OVER (ORDER BY n_events, user_id) AS INT)
+         |   AS stratum
+         | FROM (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events
+         |  FROM bu GROUP BY 1)),
+         |sizes AS (SELECT stratum, COUNT(*) AS n_users FROM act GROUP BY 1),
+         |r AS (SELECT event_type, stratum, COUNT(*) AS n_aff
+         | FROM (SELECT DISTINCT user_id, event_type FROM bu) p
+         |  JOIN act USING (user_id) GROUP BY 1, 2)
+         |SELECT event_type,
+         | CAST(SUM(n_aff) AS BIGINT) AS n_affected,
+         | CAST(SUM(n_users) AS BIGINT) AS n_users_total,
+         | ROUND(CAST(SUM(n_aff) AS DOUBLE) / CAST(SUM(n_users) AS BIGINT), 6)
+         |  AS crude_rate,
+         | ROUND(CAST(SUM(CAST(CAST(n_aff AS DOUBLE) / n_users
+         |   * $c41WeightSql AS DECIMAL(38,12))) AS DOUBLE), 6) AS std_rate
+         |FROM r JOIN sizes USING (stratum)
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // c09's fold with the >= boundary (session_window semantics: the
     // [ts, ts+gap) windows stop overlapping AT the gap)
     "c35_session_native" ->

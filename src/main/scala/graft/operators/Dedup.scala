@@ -32,8 +32,11 @@ object Dedup {
     documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index rows. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, shingle) pairs — the inverted-index rows.
+    * private[graft]: t21's novelty scoring reuses the ONE shingle
+    * definition (as t11 reuses the caps) rather than re-declaring it.
+    */
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     docsRepart(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles3("w")).as("shingle"))

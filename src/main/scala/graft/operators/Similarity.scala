@@ -983,9 +983,13 @@ object Similarity {
     val assigned = cellScores(e, cent)
       .groupBy(col("vec_id"))
       .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
+    // cache the residual frame: the codebook's Lloyd chain consumes it
+    // once per iteration and the encode once more — uncached, each pass
+    // replays assignment + centroid-subtract over the corpus
     val resid = e.join(assigned, "vec_id").join(broadcast(cent), "cid")
       .select(col("vec_id"), col("cid"),
         zip_with(col("embedding"), col("c"), (a, b) => a - b).as("embedding"))
+      .cache()
     val rvecs = resid.select(col("vec_id"), col("embedding"))
     val rcent = pqCodebookOf(rvecs)
     (rcent, pqEncode(subvectors(rvecs), rcent).join(assigned, "vec_id"))

@@ -666,7 +666,36 @@ object TextAnalysis {
         (col("entropy") < T20_FLAG_BELOW).cast("int"))
       .transform(Gate.ordered("doc_id"))
 
+  // -- t21: n-gram novelty score (data-value probe) ----------------------
+  // The uniqueness complement of t10's commonness: what share of a
+  // doc's distinct 3-gram shingles appears NOWHERE else in the corpus?
+  // Templated/mirrored/boilerplate docs collapse toward 0 (every
+  // shingle shared), original prose sits high — the "is this document
+  // adding anything" triage signal corpus curators run before paying
+  // for a dedup pass. Reuses Dedup's ONE shingle definition
+  // (shingleIndex — the same rows d02's index is built from), so the
+  // novelty gate and the dedup gate can never disagree about what a
+  // shingle is. Scale shape: the shingle df aggregate (map-side
+  // combined) + one AQE-splittable tag-back join — t10's exact shape
+  // one n-gram order up.
+  private val T21_FLAG_BELOW = 0.15
+
+  def t21(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleIndex(s, d)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .withColumn("templated",
+        (col("novelty") < T21_FLAG_BELOW).cast("int"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_ngram_novelty" -> (t21 _),
     "t18_source_quality" -> (t18 _),
     "t19_zipf_fit" -> (t19 _),
     "t20_token_entropy" -> (t20 _),
@@ -730,6 +759,20 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Dedup's shared shingle CTE verbatim — one shingle definition
+    "t21_ngram_novelty" ->
+      s"""WITH ${graft.operators.Dedup.SQL_SHINGLES},
+         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_unique,
+         | ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*), 6) AS novelty,
+         | CAST(ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / COUNT(*), 6) < $T21_FLAG_BELOW AS INT)
+         |  AS templated
+         |FROM sh JOIN df USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the same t02 scoring subquery, source tagged back by doc_id;
     // decimal quality sums make both means exact
     "t18_source_quality" ->

@@ -531,4 +531,33 @@ class CohortSpec extends SparkSpec {
     assert(audit("n_null") == 0L)
     assert(audit("checksum") == want.map(_.getLong(2)).sum.toDouble)
   }
+  test("c41 standardized rates equal a driver-side stratum recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = evs.groupBy(_._1).map { case (u, xs) => u -> xs.length }
+    val strata = perUser.toSeq.sortBy { case (u, n) => (n, u) }
+      .zipWithIndex.map { case ((u, _), i) =>
+        // ntile(4) over N rows: first (N+3)/4... replicate via quartile
+        u -> (i * 4 / perUser.size + 1)
+      }.toMap
+    val weights = Map(1 -> 0.4, 2 -> 0.3, 3 -> 0.2, 4 -> 0.1)
+    val sizes = strata.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rows = Cohort.c41(spark, sfDir).collect()
+    rows.foreach { r =>
+      val tp = r.getAs[String]("event_type")
+      val users = evs.filter(_._2 == tp).map(_._1).toSet
+      assert(r.getAs[Long]("n_affected") == users.size.toLong)
+      assert(r.getAs[Long]("n_users_total") == perUser.size.toLong)
+      assert(math.abs(r.getAs[Double]("crude_rate") -
+        users.size.toDouble / perUser.size) < 1e-6)
+      val std = (1 to 4).map { st =>
+        val aff = users.count(u => strata(u) == st)
+        aff.toDouble / sizes(st) * weights(st)
+      }.sum
+      assert(math.abs(r.getAs[Double]("std_rate") - std) < 1e-5,
+        s"$tp: ${r.getAs[Double]("std_rate")} vs $std")
+    }
+  }
 }

@@ -409,4 +409,29 @@ class TextAnalysisSpec extends SparkSpec {
       assert(default.values.exists(_ == 1))
     } finally spark.conf.unset("spark.graft.sourceQuality.bar")
   }
+  test("t21 novelty equals a driver-side shingle-df recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val all = texts.map { case (id, t) => id -> shingles(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = operators.TextAnalysis.t21(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty"), r.getAs[Int]("templated"))).toMap
+    assert(got.size == all.count(_._2.nonEmpty))
+    all.filter(_._2.nonEmpty).foreach { case (id, sh) =>
+      val u = sh.count(df(_) == 1).toLong
+      val (n, gu, nov, fl) = got(id)
+      assert(n == sh.size.toLong && gu == u, s"doc $id")
+      assert(math.abs(nov - u.toDouble / sh.size) < 1e-6)
+      assert((fl == 1) == (nov < 0.15))
+    }
+    // the planted near-dup structure must push SOME docs to low novelty
+    assert(got.values.exists(_._4 == 1))
+    assert(got.values.exists(_._3 > 0.3))
+  }
 }
