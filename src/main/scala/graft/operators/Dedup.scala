@@ -574,6 +574,33 @@ object Dedup {
       .transform(Gate.ordered("source_a", "source_b"))
   }
 
+  // -- d14: dedup threshold sensitivity (the tuning report) --------------
+  // "What happens if I move the Jaccard bar?" answered from ONE pair
+  // computation: d02's verified pairs banded by similarity, with pair
+  // and involved-doc counts per band — the report a curator reads
+  // before committing a threshold (a fat 0.7–0.8 band means the corpus
+  // is threshold-sensitive there; an empty one means 0.7 was already
+  // conservative). The banded frame is checkpointed (c30's move) so
+  // its two consumers — the pair count and the distinct-doc count —
+  // don't re-run the candidate join.
+  def d14(s: SparkSession, d: String): DataFrame = d14Core(s, d)
+
+  private[graft] def d14Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    val banded = cp(d02Core(s, d)
+      .withColumn("band",
+        when(col("jaccard") < 0.8, "0.7-0.8")
+          .when(col("jaccard") < 0.9, "0.8-0.9")
+          .otherwise("0.9-1.0"))
+      .select(col("band"), col("doc_a"), col("doc_b")))
+    val pairs = banded.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val docs = banded
+      .select(col("band"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+    pairs.join(docs, "band").transform(Gate.ordered("band"))
+  }
+
   // -- d05: embedding cosine near-dup pairs ------------------------------
   // Bucketed self-join: `label` stands in for a coarse quantization cell
   // so the candidate generation is SQL-expressible and the cosine math
@@ -1018,7 +1045,8 @@ object Dedup {
     "d10_dedup_incremental_bloom" -> (d10 _),
     "d11_dedup_savings" -> (d11 _),
     "d12_dedup_canonical_quality" -> (d12 _),
-    "d13_cross_source_dup" -> (d13 _)
+    "d13_cross_source_dup" -> (d13 _),
+    "d14_threshold_curve" -> (d14 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -1179,6 +1207,19 @@ object Dedup {
     // candidate generation df-capped exactly like the Spark side;
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,
+    // the same banding over d02's pair SQL; rounded-jaccard boundary
+    // compares identically on both engines
+    "d14_threshold_curve" ->
+      s"""WITH p AS ($D02_SQL),
+         |b AS (SELECT CASE WHEN jaccard < 0.8 THEN '0.7-0.8'
+         |   WHEN jaccard < 0.9 THEN '0.8-0.9'
+         |   ELSE '0.9-1.0' END AS band, doc_a, doc_b FROM p)
+         |SELECT band, n_pairs, n_docs FROM
+         | (SELECT band, COUNT(*) AS n_pairs FROM b GROUP BY 1) x
+         | JOIN (SELECT band, COUNT(DISTINCT doc) AS n_docs FROM (
+         |   SELECT band, unnest([doc_a, doc_b]) AS doc FROM b)
+         |  GROUP BY 1) y USING (band)
+         |ORDER BY band""".stripMargin,
     // d02's pair SQL verbatim (nested WITH), sources tagged by two
     // doc→source joins, upper-triangle via least/greatest
     "d13_cross_source_dup" ->

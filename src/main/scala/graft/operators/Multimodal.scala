@@ -393,8 +393,36 @@ object Multimodal {
       .transform(Gate.ordered("section", "sec_key"))
   }
 
+  // -- m09: cross-asset frame-level near-dup (same footage detection) ----
+  // The video face of d02: two assets sharing ≥2 sampled-frame digests
+  // contain the same footage (re-uploads, edits, mirrored clips) — the
+  // multimodal dedup signal frame hashes give for free once m02's
+  // frames table exists. Exactly d02's inverted-index shape with the
+  // frame digest as the shingle: df-capped (an intro/outro card shared
+  // by thousands of assets must not pair them all), bucket equi-join,
+  // never an asset × asset comparison.
+  private val M09_MIN_SHARED = 2L
+
+  def m09(s: SparkSession, d: String): DataFrame = {
+    val fd = frames(s, d)
+      .select(col("doc_id"), md5(col("frame").cast("binary")).as("h"))
+      .distinct()
+    val common = fd.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > graft.GraftConf.dfCap(s))
+      .select("h")
+    val ci = fd.join(broadcast(common), Seq("h"), "left_anti")
+    ci.select(col("h"), col("doc_id").as("asset_a"))
+      .join(ci.select(col("h"), col("doc_id").as("asset_b")), "h")
+      .filter(col("asset_a") < col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= M09_MIN_SHARED)
+      .transform(Gate.ordered("asset_a", "asset_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m08_dataset_card" -> (m08 _),
+    "m09_video_neardup" -> (m09 _),
     "m01_multimodal_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_frame_features" -> (m03 _),
@@ -446,6 +474,23 @@ object Multimodal {
        |WHERE energy >= $ENERGY_MIN""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // m02's frame digests, d02's df-cap/pair shape on them
+    "m09_video_neardup" ->
+      s"""WITH fd AS (
+         | SELECT DISTINCT doc_id,
+         |  md5(substring(text, CAST(i * $STRIDE_CHARS + 1 AS INT), $FRAME))
+         |   AS h
+         | FROM documents,
+         |  LATERAL (SELECT unnest(range(0,
+         |    greatest(len(text) // $STRIDE_CHARS, 1))) AS i) r),
+         |ci AS (SELECT * FROM fd WHERE h NOT IN (
+         | SELECT h FROM fd GROUP BY 1
+         | HAVING COUNT(*) > ${graft.operators.Dedup.DF_CAP}))
+         |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+         | COUNT(*) AS n_shared
+         |FROM ci a JOIN ci b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY asset_a, asset_b""".stripMargin,
     // per-section recomputes from the raw tables; HUGEINT discipline
     "m08_dataset_card" ->
       """SELECT section, sec_key, n_items, n_units FROM (

@@ -679,10 +679,36 @@ object Relational {
       .transform(Gate.ordered("o_custkey"))
   }
 
+  // -- q40: deterministic per-group mode (categorical profiling) ----------
+  // The MODE aggregate (modal order priority per market segment, with
+  // its share) — the categorical complement of q15's numeric
+  // percentiles. Both engines' built-in mode() breaks ties arbitrarily,
+  // so neither is used: the modal pick is min_by over a (-count,
+  // value) struct — partial-aggregatable (no per-group sort window on
+  // the Spark side) and tie-broken to the lexicographically smallest
+  // value on both engines.
+  def q40(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("min_by(struct(o_orderpriority, n), struct(-n, o_orderpriority))")
+        .as("m"),
+        sum(col("n")).as("n_orders"))
+      .select(col("c_mktsegment"),
+        col("m.o_orderpriority").as("modal_priority"),
+        col("m.n").as("n_modal"),
+        round(col("m.n").cast("double") / col("n_orders"), 6).as("modal_share"),
+        col("n_orders"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_regression_trend" -> (q37 _),
     "q38_iqr_outliers" -> (q38 _),
     "q39_value_windows" -> (q39 _),
+    "q40_modal_profile" -> (q40 _),
     "q36_distribution_rank" -> (q36 _),
     "q35_trailing_window" -> (q35 _),
     "q34_ntile_deciles" -> (q34 _),
@@ -743,6 +769,21 @@ object Relational {
          |   o_orderdate) AS x FROM orders)
          | GROUP BY 1)
          |ORDER BY o_orderpriority""".stripMargin,
+    // identical (count desc, value) tie order on both engines
+    "q40_modal_profile" ->
+      """SELECT c_mktsegment, o_orderpriority AS modal_priority,
+        | n AS n_modal,
+        | ROUND(CAST(n AS DOUBLE) / n_orders, 6) AS modal_share, n_orders
+        |FROM (
+        | SELECT c_mktsegment, o_orderpriority, n,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY n DESC, o_orderpriority) AS rk,
+        |  CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+        |   AS n_orders
+        | FROM (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2))
+        |WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin,
     // same (date, orderkey) tie order; the full frame makes
     // first/last/nth frame-deterministic, not peer-dependent
     "q39_value_windows" ->

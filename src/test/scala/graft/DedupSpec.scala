@@ -554,4 +554,21 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
     got.keys.foreach { case (a, b) => assert(a <= b) }
   }
+  test("d14 bands partition d02's pairs with exact doc accounting") {
+    val pairs = Dedup.d02(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    def bandOf(j: Double) =
+      if (j < 0.8) "0.7-0.8" else if (j < 0.9) "0.8-0.9" else "0.9-1.0"
+    val want = pairs.groupBy(p => bandOf(p._3)).map { case (b, ps) =>
+      b -> (ps.length.toLong,
+        ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val got = Dedup.d14(spark, sfDir).collect()
+      .map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == pairs.length.toLong,
+      "bands must partition the pair set")
+  }
 }

@@ -215,4 +215,25 @@ class MultimodalSpec extends SparkSpec {
     assert(card(("corpus", "sources"))._1 ==
       Tables.documents(spark, sfDir).select("source").distinct().count())
   }
+  test("m09 shared-footage pairs equal a driver recompute over m02 digests") {
+    val digests = graft.operators.Multimodal.m02(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("frame_md5")))
+      .distinct
+    val df = digests.groupBy(_._2).map { case (h, xs) => h -> xs.length }
+    val kept = digests.filter(x => df(x._2) <= 50)
+    val want = kept.groupBy(_._2).values
+      .flatMap { xs =>
+        val ids = xs.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val got = graft.operators.Multimodal.m09(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == want, s"missing=${(want.keySet -- got.keySet).take(3)} " +
+      s"extra=${(got.keySet -- want.keySet).take(3)}")
+    assert(got.nonEmpty, "planted duplicate docs must share frames")
+  }
 }

@@ -322,6 +322,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q40 modal pick equals a driver recompute under the tie rule") {
+    val got = Relational.q40(spark, sfDir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[String]("modal_priority"), r.getAs[Long]("n_modal"),
+          r.getAs[Long]("n_orders"))).toMap
+    val seg = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (seg(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    counts.keys.map(_._1).toSet.foreach { (sg: String) =>
+      val inSeg = counts.filter(_._1._1 == sg)
+        .map { case ((_, p), n) => (p, n) }.toSeq
+      val want = inSeg.minBy { case (p, n) => (-n, p) }
+      val (gp, gn, gt) = got(sg)
+      assert((gp, gn) == want, s"$sg: ($gp,$gn) vs $want")
+      assert(gt == inSeg.map(_._2).sum)
+    }
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
