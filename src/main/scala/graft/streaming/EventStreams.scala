@@ -675,6 +675,23 @@ object EventStreams {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  /** c35's sessionization as a STREAM through Spark's native streaming
+    * session windows — the API face whose batch twin (Cohort.c35,
+    * gate-checked) shares the groupBy(user, session_window) verbatim.
+    * The watermark bounds open-session state: a session closes (and
+    * evicts) once the watermark passes its end + gap. StreamingSpec
+    * proves stream == batch session-for-session.
+    */
+  def sessionWindowStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("last_us"))
+
   // ---------------------------------------------------------------- st11
   // Rate-spike detection as a LIVE metric (error-burst alerting, the
   // ops face of c04's census): an hour's event count per type is a

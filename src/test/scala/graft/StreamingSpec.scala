@@ -724,4 +724,40 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.graft.spike.factor")
     }
   }
+  test("native streaming session windows equal c35's batch sessions") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir).select("ts", "user_id")
+      .as[TsEv].collect().toSeq.sortBy(_.ts.toString)
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val input = MemoryStream[TsEv](spark)
+    val q = EventStreams.sessionWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("swn_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val got = spark.table("swn_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toMap
+      // batch twin: the SAME aggregate (c35's inner groupBy) run batch
+      import org.apache.spark.sql.functions.{count, lit}
+      val want = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"),
+          org.apache.spark.sql.functions
+            .session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.unix_micros(col("ts")))
+            .as("start_us"),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.unix_micros(col("ts")))
+            .as("last_us"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toMap
+      assert(got == want,
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- want.keySet).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
