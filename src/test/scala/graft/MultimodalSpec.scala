@@ -236,4 +236,21 @@ class MultimodalSpec extends SparkSpec {
       s"extra=${(got.keySet -- want.keySet).take(3)}")
     assert(got.nonEmpty, "planted duplicate docs must share frames")
   }
+  test("m09 df-cap kills a frame digest shared corpus-wide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 60 assets all opening with the SAME 256-char intro card (one
+    // frame digest in 60 > DF_CAP=50 assets) then unique tails: the
+    // cap must drop the intro digest, so no pair forms from it alone
+    val intro = ("intro " * 60).take(256)
+    val docs = (1L to 60L).map { i =>
+      (i, intro + s" unique tail $i " + ("x" * 300), "en", s"s$i", 0L)
+    }
+    val dir = s"${graft.Scratch.dir}/m09_cap"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Multimodal.m09(spark, dir).collect()
+    assert(pairs.isEmpty,
+      s"the shared intro frame must be df-capped away, got ${pairs.length}")
+  }
 }

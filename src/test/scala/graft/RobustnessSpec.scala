@@ -238,6 +238,13 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.d13(spark, dir).count() == 0)
     // empty corpus -> empty centroid/codebook frames -> empty serving
     assert(Similarity.s12(spark, dir).count() == 0)
+    // late-round additions: modal profile, threshold curve, footage
+    // pairs, novelty, standardized rates all collapse to empty
+    assert(Relational.q40(spark, dir).count() == 0)
+    assert(Dedup.d14(spark, dir).count() == 0)
+    assert(graft.operators.Multimodal.m09(spark, dir).count() == 0)
+    assert(TextAnalysis.t21(spark, dir).count() == 0)
+    assert(Cohort.c41(spark, dir).count() == 0)
   }
 
   test("patient erasure of an absent patient set is a complete no-op") {
