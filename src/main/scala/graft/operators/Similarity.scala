@@ -1059,10 +1059,13 @@ object Similarity {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val (rcent, codes) = ivfPqEncode(s, e, s.table(centT))
-      if (!s.catalog.tableExists(rcentT))
-        rcent.write.mode("overwrite")
-          .option("path", s"$scratch/ivfpq_rcent/${sanitize(d)}")
-          .saveAsTable(rcentT)
+      // ALWAYS rewritten alongside the codes (no exists-guard): a
+      // killed build can leave rcentT from an earlier attempt, and
+      // codes encoded against a fresh codebook must never serve with
+      // a stale persisted one — the pair is one artifact
+      rcent.write.mode("overwrite")
+        .option("path", s"$scratch/ivfpq_rcent/${sanitize(d)}")
+        .saveAsTable(rcentT)
       codes.write.mode("overwrite")
         .bucketBy(nb, "cid").sortBy("cid")
         .option("path", s"$scratch/ivfpq_codes/${sanitize(d)}_b$nb")

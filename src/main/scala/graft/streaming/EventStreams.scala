@@ -770,28 +770,42 @@ object EventStreams {
 
   case class TypedHour(event_type: String, h: Long)
 
-  private def spikeState(tp: String, batch: Iterator[TypedHour],
-      state: GroupState[SpikeState]): Iterator[SpikeVerdict] = {
-    val hours = batch.toVector.groupBy(_.h).toSeq
-      .map { case (h, g) => HourCount(h, g.size.toLong) }.sortBy(_.h)
-    val (st, out) =
-      spikeAdvance(tp, state.getOption.getOrElse(SpikeEmpty), hours)
-    state.update(st)
-    out.iterator
-  }
-
   /** The live view: verdicts for every CLOSED (type, hour) — the open
     * tail hour per type is undecided until a later event closes it,
     * so the stream covers exactly st11 minus each type's last hour.
+    * The spark.graft.spike.* geometry is read HERE (at stream
+    * construction) and closed over, so a conf'd deployment's stream
+    * uses the same rule as its batch twin — the fold's defaults alone
+    * would silently pin the stream to the compiled constants.
     */
   def spikeStream(s: SparkSession, stream: Dataset[TypedHour])
       : Dataset[SpikeVerdict] = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val (win, minN, factor) = (graft.GraftConf.spikeWindowHours(s),
+      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactor(s))
     stream.groupByKey(_.event_type)
       .flatMapGroupsWithState[SpikeState, SpikeVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(spikeState)
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        spikeStateFn(win, minN, factor))
   }
+
+  /** The per-batch state transition as a closure over PLAIN geometry
+    * values — built at object level so the task serializes nothing but
+    * the three longs (a def nested in spikeStream would drag the
+    * SparkSession into the closure).
+    */
+  private def spikeStateFn(win: Long, minN: Long, factor: Long)
+      : (String, Iterator[TypedHour], GroupState[SpikeState]) =>
+        Iterator[SpikeVerdict] =
+    (tp, batch, state) => {
+      val hours = batch.toVector.groupBy(_.h).toSeq
+        .map { case (h, g) => HourCount(h, g.size.toLong) }.sortBy(_.h)
+      val (st, out) = spikeAdvance(tp,
+        state.getOption.getOrElse(SpikeEmpty), hours, win, minN, factor)
+      state.update(st)
+      out.iterator
+    }
 
   // ---------------------------------------------------------------- st12
   // The CDC stream LANDED AS A TABLE CONTRACT: st06 materializes the
