@@ -887,8 +887,11 @@ object Cohort {
   // drawn from the same activity stratum (total-event quartile), so a
   // downstream comparison controls for utilization. Everything happens
   // on the USER-sized frame (one fact scan reduces events → per-user
-  // counts; at 100 TB users ≪ events, and the quartile banding is one
-  // compact-frame sort). Pairing is rank arithmetic — case k in a
+  // counts; at 100 TB users ≪ events). The quartile banding is a
+  // global ntile — exact equal-population strata; q34's 100 TB note
+  // applies: past ~10⁸ users the boundaries would come from q15b's GK
+  // sketch (3 values, no global sort) with band-by-comparison, at the
+  // cost of approximate stratum balance. Pairing is rank arithmetic — case k in a
   // stratum takes control ranks 2k-1 and 2k, ordered by user_id — so
   // the match is a pure function of the corpus: no sampling seed, no
   // engine nondeterminism.
@@ -935,7 +938,8 @@ object Cohort {
   // each standardized rate is four (rate × weight) terms summed through
   // an exact decimal rendition, so partition order can't wiggle the
   // 6th decimal. One fact scan feeds both the presence pairs and the
-  // activity strata (user-sized frames thereafter).
+  // activity strata (user-sized frames thereafter; the ntile scale
+  // note at c40 applies to the stratum sort here too).
   private val C41_REF_W = Seq(1 -> "0.4", 2 -> "0.3", 3 -> "0.2", 4 -> "0.1")
 
   def c41(s: SparkSession, d: String): DataFrame =
