@@ -121,4 +121,58 @@ class PropertySpec extends AnyFunSuite {
       formula.toSet == brute.toSet
     })
   }
+  // st11's ring-buffer fold: arbitrary chunkings of an ascending hour
+  // stream produce identical verdicts, and every verdict matches a
+  // brute-force trailing-window recompute
+  private val hourStreamGen: Gen[(List[(Long, Long)], Int)] = for {
+    n <- Gen.choose(0, 50)
+    hs <- Gen.listOfN(n, Gen.choose(0L, 5L)) // hour gaps (0 = same hour)
+    counts <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    cuts <- Gen.choose(1, 5)
+  } yield {
+    val hours = hs.scanLeft(100L)(_ + _).tail
+    (hours.zip(counts), cuts)
+  }
+
+  test("spike fold: chunking-invariant and equal to a brute trailing window") {
+    import EventStreams.{HourCount, SpikeEmpty, SpikeVerdict}
+    def foldAll(chunks: Seq[Seq[(Long, Long)]]): Seq[SpikeVerdict] =
+      chunks.foldLeft((SpikeEmpty, Vector.empty[SpikeVerdict])) {
+        case ((st, acc), chunk) =>
+          // merge same-hour entries within a chunk like spikeState does
+          val hcs = chunk.groupBy(_._1).toSeq
+            .map { case (h, g) => HourCount(h, g.map(_._2).sum) }.sortBy(_.h)
+          val (st2, out) = EventStreams.spikeAdvance("t", st, hcs)
+          (st2, acc ++ out)
+      }._2
+    check(Prop.forAll(hourStreamGen) { case (stream, cuts) =>
+      val oneShot = foldAll(Seq(stream))
+      val size = math.max(1, stream.length / cuts)
+      val chunked = foldAll(stream.grouped(size).toSeq)
+      // per-hour totals collapse identically whatever the chunking
+      val collapsed = stream.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (h, g) => (h, g.map(_._2).sum) }
+      val brute = collapsed.dropRight(1).zipWithIndex.map { case ((h, n), i) =>
+        val trail = collapsed.take(i).filter { case (h2, _) =>
+          h2 >= h - 24 && h2 <= h - 1 }
+        val (tSum, tN) = (trail.map(_._2).sum, trail.length.toLong)
+        SpikeVerdict("t", h, n, tSum, tN,
+          if (tN >= 12 && n * tN > 2 * tSum) 1 else 0)
+      }
+      oneShot == chunked && oneShot == brute
+    })
+  }
+
+  // c40's rank-arithmetic pairing: control rank k maps to case
+  // ceil(k/2) with slot (k+1) % 2 + 1 — every case gets at most two
+  // controls, slots 1 and 2, in control-rank order
+  test("case-control rank pairing is a 2-to-1 cover in rank order") {
+    check(Prop.forAll(Gen.choose(1L, 1000L)) { crk =>
+      val rk = ((crk + 1) / 2).toInt
+      val slot = ((crk + 1) % 2 + 1).toInt
+      val back = 2 * rk - 2 + slot // invert: slot 1 -> 2rk-1, slot 2 -> 2rk
+      rk == math.ceil(crk / 2.0).toInt &&
+        (slot == 1 || slot == 2) && back == crk
+    })
+  }
 }
