@@ -146,8 +146,14 @@ object GraftConf {
     s.conf.get("spark.graft.spike.windowHours", "24").toLong
   def spikeMinObs(s: SparkSession): Long =
     s.conf.get("spark.graft.spike.minObs", "12").toLong
-  def spikeFactor(s: SparkSession): Long =
-    s.conf.get("spark.graft.spike.factor", "2").toLong
+
+  /** Spike factor in MILLI-units (a conf of "1.5" → 1500): the verdict
+    * compare stays all-integer (n·t_n·1000 > milli·t_sum) so batch and
+    * stream agree bit-for-bit, while fractional sensitivity ("1.5×")
+    * is expressible. Resolution is 0.001 — finer digits round.
+    */
+  def spikeFactorMilli(s: SparkSession): Long =
+    math.round(s.conf.get("spark.graft.spike.factor", "2").toDouble * 1000)
 
   /** t18's corpus-relative source bar: a source survives when its mean
     * quality ≥ bar × corpus mean (default 0.9 — the recorded oracle's

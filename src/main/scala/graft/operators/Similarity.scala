@@ -955,11 +955,13 @@ object Similarity {
   // for Nearest Neighbor Search", TPAMI 2011): coarse cells absorb the
   // corpus's global structure, PQ codes quantize only the RESIDUAL
   // v − c(v) — less variance per code, so the same 8 bytes resolve
-  // finer — and a query ADC-scores each probed cell with that cell's
-  // OWN residual LUT, exploiting dot(v,q) = dot(c,q) + dot(r,q)
-  // exactly. Costs at scale: candidate generation touches only the
-  // NPROBE probed cells' codes (an equi-join on cid), the per-query
-  // LUT is NPROBE·M·KS rows broadcast, and the exact re-rank reads
+  // finer — and a query ADC-scores probed cells' codes against ONE
+  // cell-independent residual LUT, exploiting dot(v,q) = dot(c,q) +
+  // dot(r,q) exactly (the inner-product form: the LUT term is
+  // dot(r̂,q), not the L2 convention's dot(r̂,q−c)). Costs at scale:
+  // candidate generation touches only the NPROBE probed cells' codes
+  // (an equi-join on cid), the per-query
+  // LUT is M·KS rows broadcast, and the exact re-rank reads
   // PQ_CAND uncompressed rows. Everything is deterministic (decimal
   // Lloyd means, decimal ADC accumulation, explicit tie-breaks), but
   // a 2-iteration k-means result is not SQL-oracle-expressible —
@@ -1001,28 +1003,32 @@ object Similarity {
   private def ivfPqSearch(s: SparkSession, d: String, cent: DataFrame,
       rcent: DataFrame, codes: DataFrame): DataFrame = {
     // probe: NPROBE cells nearest the query, each carrying its exact
-    // centroid dot and its residual query vector
+    // centroid dot — the constant dot(c,q) term of the identity
     val probed = broadcast(cent.crossJoin(queryVec(s, d))
       .select(col("cid"),
         dotFixed("c", "qv", DIM).cast("decimal(38,12)").as("cdot"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"),
-        zip_with(col("qv"), col("c"), (a, b) => a - b).as("qr"))
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE)
-      .select(col("cid"), col("cdot"), col("qr")))
-    // per-probed-cell LUT (cell × subspace × codeword); range(M) ×
-    // dynamic slice instead of posexplode — subsOfVec's move, keeping
-    // the prebuilt plan free of Generate nodes entirely
-    val qsubs = probed
+      .select(col("cid"), col("cdot")))
+    // the LUT slices the ORIGINAL query: codes quantize r = v − c and
+    // the inner-product identity needs dot(r̂, q) — slicing q−c (the
+    // L2 IVFADC convention) would bias candidate ranking per cell.
+    // Cell-independent, so M·KS rows total instead of NPROBE·M·KS;
+    // range(M) × dynamic slice instead of posexplode — subsOfVec's
+    // move, keeping the prebuilt plan free of Generate nodes entirely
+    val qsubs = queryVec(s, d)
       .crossJoin(s.range(PQ_M).select(col("id").cast("int").as("m")))
-      .select(col("cid"), col("cdot"), col("m"),
-        slice(col("qr"), col("m") * lit(PQ_SUB) + lit(1), lit(PQ_SUB))
+      .select(col("m"),
+        slice(col("qv"), col("m") * lit(PQ_SUB) + lit(1), lit(PQ_SUB))
           .as("qsv"))
     val rc = rcent.select(col("m"), col("cid").as("code"), col("c").as("cw"))
     val lut = broadcast(rc.join(qsubs, "m")
-      .select(col("cid"), col("m"), col("code"), col("cdot"),
+      .select(col("m"), col("code"),
         dotFixed("cw", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
-    val scored = codes.join(lut, Seq("cid", "m", "code"))
+    // probed gates the cells and carries cdot; the LUT joins on
+    // (m, code) alone
+    val scored = codes.join(probed, "cid").join(lut, Seq("m", "code"))
       .groupBy(col("vec_id"))
       // cdot is constant within a vector's cell — min() is just the
       // deterministic way to carry it through the aggregate

@@ -698,20 +698,22 @@ object EventStreams {
   // SPIKE when it more than doubles the hourly average of the trailing
   // 24 observed hours (and at least SPIKE_MIN_N of them exist — no
   // alerts off a cold start). All-integer verdict arithmetic
-  // (n·t_n > 2·t_sum — no float mean, no float compare), so batch and
-  // stream agree bit-for-bit. Batch twin: one (type, hour) aggregate,
+  // (n·t_n·1000 > factorMilli·t_sum — no float mean, no float
+  // compare, and the milli-scaled factor admits fractional
+  // sensitivity like 1.5×), so batch and stream agree bit-for-bit.
+  // Batch twin: one (type, hour) aggregate,
   // then a RANGE frame over the integer hour index per type — the
   // frame scans a TYPE-VOCABULARY-sized frame, never events.
   private[graft] val SPIKE_WIN = 24L
   private[graft] val SPIKE_MIN_N = 12L
-  private[graft] val SPIKE_FACTOR = 2L
+  private[graft] val SPIKE_FACTOR_MILLI = 2000L
   private val HOUR_US = 3600L * 1000000
 
   // geometry from spark.graft.spike.* (defaults = the constants above,
   // which the recorded oracle mirrors — the dfCap convention)
   def st11(s: SparkSession, d: String): DataFrame = {
-    val (win, minN, factor) = (graft.GraftConf.spikeWindowHours(s),
-      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactor(s))
+    val (win, minN, factorMilli) = (graft.GraftConf.spikeWindowHours(s),
+      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactorMilli(s))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("h"))
       .rangeBetween(-win, -1)
@@ -723,7 +725,8 @@ object EventStreams {
       .withColumn("t_n", count(col("n")).over(w))
       .withColumn("spike",
         (col("t_n") >= minN &&
-          col("n") * col("t_n") > lit(factor) * col("t_sum")).cast("int"))
+          col("n") * col("t_n") * lit(1000L) >
+            lit(factorMilli) * col("t_sum")).cast("int"))
       .select(col("event_type"),
         date_format(timestamp_micros(col("h") * HOUR_US), TS_FMT)
           .as("hour_ts"),
@@ -732,11 +735,16 @@ object EventStreams {
   }
 
   /** Streaming state per event type: the trailing closed hours (ring of
-    * ≤ SPIKE_WIN entries) plus the currently-open hour's running count.
+    * ≤ SPIKE_WIN entries) plus the currently-open hour's running count,
+    * plus a count of LATE events dropped (arrived for an hour already
+    * closed in an earlier micro-batch — re-opening would force Append
+    * mode to revise an emitted verdict, so they are counted, not
+    * merged; the state store surfaces the totals for monitoring).
     */
   case class HourCount(h: Long, n: Long)
-  case class SpikeState(closed: List[HourCount], cur: Long, curN: Long)
-  private[graft] val SpikeEmpty = SpikeState(Nil, Long.MinValue, 0L)
+  case class SpikeState(closed: List[HourCount], cur: Long, curN: Long,
+      lateN: Long)
+  private[graft] val SpikeEmpty = SpikeState(Nil, Long.MinValue, 0L, 0L)
   case class SpikeVerdict(event_type: String, h: Long, n: Long,
       t_sum: Long, t_n: Long, spike: Int)
 
@@ -749,22 +757,27 @@ object EventStreams {
     */
   private[graft] def spikeAdvance(tp: String, st: SpikeState,
       hoursAsc: Seq[HourCount], win: Long = SPIKE_WIN,
-      minN: Long = SPIKE_MIN_N, factor: Long = SPIKE_FACTOR)
+      minN: Long = SPIKE_MIN_N, factorMilli: Long = SPIKE_FACTOR_MILLI)
       : (SpikeState, Seq[SpikeVerdict]) =
     hoursAsc.foldLeft((st, Seq.empty[SpikeVerdict])) {
       case ((s, out), HourCount(h, add)) =>
         if (s.cur == Long.MinValue) (s.copy(cur = h, curN = add), out)
         else if (h == s.cur) (s.copy(curN = s.curN + add), out)
+        else if (h < s.cur)
+          // late arrival from a later micro-batch (within a batch the
+          // caller sorts ascending): its hour's verdict is already
+          // emitted and Append mode cannot revise it — drop + count
+          // instead of killing the whole streaming query
+          (s.copy(lateN = s.lateN + add), out)
         else {
-          require(h > s.cur, s"hours must arrive ascending: $h after ${s.cur}")
           val trail = s.closed.filter(c => c.h >= s.cur - win)
           val (tSum, tN) = (trail.map(_.n).sum, trail.length.toLong)
           val v = SpikeVerdict(tp, s.cur, s.curN, tSum, tN,
-            if (tN >= minN && s.curN * tN > factor * tSum) 1
+            if (tN >= minN && s.curN * tN * 1000L > factorMilli * tSum) 1
             else 0)
           val kept = (HourCount(s.cur, s.curN) :: s.closed)
             .filter(c => c.h >= h - win)
-          (SpikeState(kept, h, add), out :+ v)
+          (SpikeState(kept, h, add, s.lateN), out :+ v)
         }
     }
 
@@ -782,12 +795,12 @@ object EventStreams {
       : Dataset[SpikeVerdict] = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val (win, minN, factor) = (graft.GraftConf.spikeWindowHours(s),
-      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactor(s))
+    val (win, minN, factorMilli) = (graft.GraftConf.spikeWindowHours(s),
+      graft.GraftConf.spikeMinObs(s), graft.GraftConf.spikeFactorMilli(s))
     stream.groupByKey(_.event_type)
       .flatMapGroupsWithState[SpikeState, SpikeVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        spikeStateFn(win, minN, factor))
+        spikeStateFn(win, minN, factorMilli))
   }
 
   /** The per-batch state transition as a closure over PLAIN geometry
@@ -795,14 +808,14 @@ object EventStreams {
     * the three longs (a def nested in spikeStream would drag the
     * SparkSession into the closure).
     */
-  private def spikeStateFn(win: Long, minN: Long, factor: Long)
+  private def spikeStateFn(win: Long, minN: Long, factorMilli: Long)
       : (String, Iterator[TypedHour], GroupState[SpikeState]) =>
         Iterator[SpikeVerdict] =
     (tp, batch, state) => {
       val hours = batch.toVector.groupBy(_.h).toSeq
         .map { case (h, g) => HourCount(h, g.size.toLong) }.sortBy(_.h)
       val (st, out) = spikeAdvance(tp,
-        state.getOption.getOrElse(SpikeEmpty), hours, win, minN, factor)
+        state.getOption.getOrElse(SpikeEmpty), hours, win, minN, factorMilli)
       state.update(st)
       out.iterator
     }
@@ -837,6 +850,15 @@ object EventStreams {
     val head = Snapshots.headVersion(s, root)
     if (head >= batchId + 1) head // replay: already committed, absorb
     else {
+      // the exactly-once rule is version == batchId + 1, which only
+      // holds when HEAD == batchId at commit time. HEAD behind batchId
+      // means the root was wiped while the checkpoint survived; ahead-
+      // but-not-caught-above is unreachable here — either way a silent
+      // commit would fork the version line, so fail loudly instead
+      require(head == batchId,
+        s"CDC commit expects HEAD == $batchId, found $head: snapshot " +
+          "root and stream checkpoint have diverged (single-writer " +
+          "invariant violated or root wiped with checkpoint kept)")
       val in =
         if (head == 0) delta
         else Snapshots.read(s, root).unionByName(delta)
@@ -903,13 +925,14 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
-    // all-integer spike rule (n·t_n > 2·t_sum) over the same RANGE
-    // frame; empty-frame SUM is NULL in both engines → COALESCE 0
+    // all-integer spike rule (n·t_n·1000 > milli·t_sum) over the same
+    // RANGE frame; empty-frame SUM is NULL in both engines → COALESCE 0
     "st11_stream_spike" ->
       s"""SELECT event_type,
          | strftime(make_timestamp(h * $HOUR_US), '%Y-%m-%d %H:%M:%S.%f') AS hour_ts,
          | n, t_sum, t_n,
-         | CASE WHEN t_n >= $SPIKE_MIN_N AND n * t_n > $SPIKE_FACTOR * t_sum
+         | CASE WHEN t_n >= $SPIKE_MIN_N
+         |  AND n * t_n * 1000 > $SPIKE_FACTOR_MILLI * t_sum
          |  THEN 1 ELSE 0 END AS spike
          |FROM (
          | SELECT event_type, h, n,

@@ -724,6 +724,46 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.graft.spike.factor")
     }
   }
+  test("st11 spike factor accepts fractional sensitivity (1.5x)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    try {
+      spark.conf.set("spark.graft.spike.windowHours", "6")
+      spark.conf.set("spark.graft.spike.minObs", "3")
+      spark.conf.set("spark.graft.spike.factor", "1.5")
+      val got = EventStreams.st11(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("t_sum"),
+          r.getAs[Long]("t_n"), r.getAs[Int]("spike")))
+      // the integer milli-compare realizes exactly n/mean > 1.5
+      got.foreach { case (n, tSum, tN, spike) =>
+        val want = if (tN >= 3 && n * tN * 1000L > 1500L * tSum) 1 else 0
+        assert(spike == want, s"n=$n t_sum=$tSum t_n=$tN")
+      }
+      // the conf parse itself: "1.5" -> 1500 milli, no exception
+      assert(graft.GraftConf.spikeFactorMilli(spark) == 1500L)
+    } finally {
+      spark.conf.unset("spark.graft.spike.windowHours")
+      spark.conf.unset("spark.graft.spike.minObs")
+      spark.conf.unset("spark.graft.spike.factor")
+    }
+  }
+  test("spike fold tolerates late hours: dropped + counted, not fatal") {
+    import EventStreams.{HourCount, SpikeEmpty}
+    // open hour 101 with 100 closed behind it
+    val (st1, out1) = EventStreams.spikeAdvance("t", SpikeEmpty,
+      Seq(HourCount(100L, 2L), HourCount(101L, 4L)))
+    assert(out1.size == 1 && st1.cur == 101L)
+    // a later micro-batch delivers an event for the CLOSED hour 99:
+    // previously a require-failure that killed the query — now dropped
+    val (st2, out2) = EventStreams.spikeAdvance("t", st1,
+      Seq(HourCount(99L, 3L)))
+    assert(out2.isEmpty && st2.lateN == 3L)
+    assert(st2.cur == 101L && st2.curN == 4L, "open hour untouched")
+    // the stream keeps advancing normally afterwards, late count kept
+    val (st3, out3) = EventStreams.spikeAdvance("t", st2,
+      Seq(HourCount(102L, 1L)))
+    assert(out3.size == 1 && out3.head.h == 101L && out3.head.n == 4L)
+    assert(st3.lateN == 3L)
+  }
   test("native streaming session windows equal c35's batch sessions") {
     import spark.implicits._
     val rows = Tables.events(spark, sfDir).select("ts", "user_id")
