@@ -128,6 +128,16 @@ object GraftConf {
   def bloomItems(s: SparkSession): Long =
     s.conf.get("spark.graft.dedup.bloomItems", "1000000").toLong
 
+  /** Shard count of the d10/p03 corpus bloom gate (default 1 = the
+    * single filter). Past ~10¹⁰-10¹¹ corpus keys one bit array exceeds
+    * a task/driver buffer; sharding by hash prefix keeps each filter
+    * honestly sized while the probe stays a codegen'd literal predicate
+    * (Bloom.mightContainSharded). DedupSpec proves shard-form verdicts
+    * equal the single-filter form.
+    */
+  def bloomShards(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.bloomShards", "1").toInt
+
   /** Build-side size ceiling (bytes) for broadcasting a PAIR-JOIN build
     * side (d05's label twin). Default = Spark's own 10 MB auto-broadcast
     * default. Corpus-sized sides never fit and fall back to a shuffle

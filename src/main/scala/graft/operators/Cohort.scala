@@ -444,6 +444,43 @@ object Cohort {
       .transform(Gate.orderedBy(col("level1").asc_nulls_first,
         col("level2").asc_nulls_first))
 
+  // -- c42: ontology term search (the webclient's find-by-name) ----------
+  // The i2b2 user's FIRST action: type a term into the ontology search
+  // box, get matching concepts with their tree position and usage
+  // counts, drag a hit into a panel (the reference packages the
+  // metadata schema feeding this via src/docker/database/Dockerfile —
+  // image notaufnahme-dwh-database). Spark shape: the concept dimension
+  // is dictionary-sized even in a real deployment (i2b2 metadata ~10⁵-
+  // 10⁶ rows, MBs) so the name match is a broadcast-side filter; usage
+  // counts come from ONE fact scan pre-aggregated by concept_cd BEFORE
+  // the dimension join — the join inputs are both concept-vocabulary-
+  // sized, never fact-sized. Matching is case-insensitive substring
+  // over the full path (name segments included), i2b2's "contains"
+  // search mode.
+  private[graft] val C42_TERM = "engagement"
+
+  /** Find-concepts-by-name: the searchable face of [[conceptDim]].
+    * Returns matching dimension rows; feed the concept set to
+    * `Panels.cohort` via eventType constraints (PanelsSpec composes
+    * search hits into a panel).
+    */
+  def searchConcepts(s: SparkSession, term: String): DataFrame =
+    conceptDim(s).filter(
+      lower(col("path")).contains(lower(lit(term))))
+
+  def c42(s: SparkSession, d: String): DataFrame = {
+    val usage = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    searchConcepts(s, C42_TERM)
+      .join(usage, Seq("event_type"), "left_outer")
+      .select(col("event_type").as("concept_cd"), col("path"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .transform(Gate.ordered("concept_cd"))
+  }
+
   // -- c22: federated obfuscated counts (SHRINE/AKTIN network face) ------
   // The reference DWH is ONE NODE of a federated ED registry: a network
   // query asks every site for an obfuscated patient count and the hub
@@ -887,11 +924,11 @@ object Cohort {
   // drawn from the same activity stratum (total-event quartile), so a
   // downstream comparison controls for utilization. Everything happens
   // on the USER-sized frame (one fact scan reduces events → per-user
-  // counts; at 100 TB users ≪ events). The quartile banding is a
-  // global ntile — exact equal-population strata; q34's 100 TB note
-  // applies: past ~10⁸ users the boundaries would come from q15b's GK
-  // sketch (3 values, no global sort) with band-by-comparison, at the
-  // cost of approximate stratum balance. Pairing is rank arithmetic — case k in a
+  // counts; at 100 TB users ≪ events). The quartile banding goes
+  // through Strata.band: exact equal-population ntile by default, GK-
+  // sketch boundaries + band-by-comparison under spark.graft.approx
+  // (no single-task global sort past ~10⁸ users — StrataSpec pins the
+  // band agreement and the plan shape). Pairing is rank arithmetic — case k in a
   // stratum takes control ranks 2k-1 and 2k, ordered by user_id — so
   // the match is a pure function of the corpus: no sampling seed, no
   // engine nondeterminism.
@@ -906,13 +943,13 @@ object Cohort {
     */
   private[graft] def c40Core(s: SparkSession, d: String,
       cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
-    val users = cp(events(s, d)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
-      .withColumn("is_case", (col("n_err") >= C40_CASE_MIN_ERRORS).cast("int"))
-      .withColumn("stratum",
-        ntile(4).over(Window.orderBy(col("n_events"), col("user_id")))))
+    val users = cp(Strata.band(s,
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .withColumn("is_case", (col("n_err") >= C40_CASE_MIN_ERRORS).cast("int")),
+      4, "n_events", "user_id", "stratum"))
     val ws = Window.partitionBy("stratum").orderBy(col("user_id"))
     val cases = users.filter(col("is_case") === 1)
       .select(col("stratum"), col("user_id").as("case_user"),
@@ -955,10 +992,9 @@ object Cohort {
     val byUser = cp(events(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n")))
-    val act = byUser.groupBy(col("user_id"))
-      .agg(sum(col("n")).as("n_events"))
-      .withColumn("stratum",
-        ntile(4).over(Window.orderBy(col("n_events"), col("user_id"))))
+    val act = Strata.band(s,
+      byUser.groupBy(col("user_id")).agg(sum(col("n")).as("n_events")),
+      4, "n_events", "user_id", "stratum")
       .select(col("user_id"), col("stratum"))
     val sizes = act.groupBy(col("stratum")).agg(count(lit(1)).as("n_users"))
     byUser.select(col("user_id"), col("event_type"))
@@ -1004,6 +1040,7 @@ object Cohort {
     "c19_cohort_export" -> (c19 _),
     "c20_report_incremental" -> (c20 _),
     "c21_concept_subtree" -> (c21 _),
+    "c42_ontology_search" -> (c42 _),
     "c22_federated_counts" -> (c22 _),
     "c27_patient_timeline" -> (c27 _),
     "c28_cohort_bands" -> (c28 _),
@@ -1484,6 +1521,21 @@ object Cohort {
          |WHERE path LIKE '/app/%'
          |GROUP BY ROLLUP(level1, level2)
          |ORDER BY level1 NULLS FIRST, level2 NULLS FIRST""".stripMargin
+    },
+    // the same in-code concept dimension as VALUES rows; substring
+    // match + fact-side usage rollup mirror c42 exactly
+    "c42_ontology_search" -> {
+      val dimRows = CONCEPT_PATHS.map { case (t, p) => s"('$t', '$p')" }
+        .mkString(", ")
+      s"""SELECT dim.event_type AS concept_cd, dim.path,
+         | CAST(COALESCE(u.n_events, 0) AS BIGINT) AS n_events,
+         | CAST(COALESCE(u.n_users, 0) AS BIGINT) AS n_users
+         |FROM (VALUES $dimRows) dim(event_type, path)
+         |LEFT JOIN (SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1) u
+         | ON u.event_type = dim.event_type
+         |WHERE lower(dim.path) LIKE '%' || lower('$C42_TERM') || '%'
+         |ORDER BY concept_cd""".stripMargin
     },
     "c19_cohort_export" ->
       """SELECT user_id, event_id,

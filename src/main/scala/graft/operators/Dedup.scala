@@ -692,9 +692,9 @@ object Dedup {
   def d10(s: SparkSession, d: String): DataFrame = {
     val corpus = d10Hashed(s, d).filter(col("doc_id") % 3 =!= 2)
     val delta = d10Hashed(s, d).filter(col("doc_id") % 5 === 4)
-    val bf = graft.functions.Bloom.buildBytes(
-      corpus, col("h"), graft.GraftConf.bloomItems(s))
-    val candidates = delta.filter(graft.functions.Bloom.mightContain(bf, col("h")))
+    // single filter or hash-prefix shards per spark.graft.dedup.bloomShards
+    val probe = graft.functions.Bloom.corpusGate(corpus, col("h"))
+    val candidates = delta.filter(probe(col("h")))
     // exact verify: only candidate hashes touch the corpus join, and
     // the per-hash min corpus id is the canonical duplicate target
     val dupOf = corpus

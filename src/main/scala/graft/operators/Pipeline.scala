@@ -76,11 +76,12 @@ object Pipeline {
   // At 100 TB: the corpus is touched by one bloom build (mergeable,
   // maintainable across nights — d10) and the persisted shingle index
   // (the d03b/d08b append machinery); every shuffle is delta-sized.
-  // Bloom sizing is honest only to ~10^9-10^10 corpus keys (1-12 GB at
-  // 1% fp, spark.graft.dedup.bloomItems); past that the filter is
-  // PARTITIONED by hash prefix (each probe task joins its shard) or
-  // replaced by an anti-join against the hash-bucketed corpus table —
-  // same pruning role, still delta-sized probes (SURVEY §5).
+  // Bloom sizing is honest only to ~10^9-10^10 corpus keys per filter
+  // (1-12 GB at 1% fp, spark.graft.dedup.bloomItems); past that the
+  // gate SHARDS the filter by hash prefix
+  // (spark.graft.dedup.bloomShards, Bloom.corpusGate — one grouped
+  // build pass, per-shard literal probes), keeping every filter
+  // honestly sized with the probes still delta-sized (SURVEY §5).
   def p03(s: SparkSession, d: String): DataFrame = {
     val isDelta = col("doc_id") % 5 === 4
     val quality = TextAnalysis.t02Core(s, d).filter(isDelta)
@@ -89,10 +90,8 @@ object Pipeline {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val corpusH = hashed.filter(!isDelta)
     val deltaH = hashed.filter(isDelta)
-    val bf = graft.functions.Bloom.buildBytes(
-      corpusH, col("h"), graft.GraftConf.bloomItems(s))
-    val candH = deltaH
-      .filter(graft.functions.Bloom.mightContain(bf, col("h")))
+    val probe = graft.functions.Bloom.corpusGate(corpusH, col("h"))
+    val candH = deltaH.filter(probe(col("h")))
     val dupCorpus = corpusH
       .join(candH.select("h").distinct(), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(min(col("doc_id")).as("corpus_dup"))

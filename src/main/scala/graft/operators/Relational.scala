@@ -509,15 +509,14 @@ object Relational {
   // engine; the decile summary (count, min/max balance) aggregates the
   // windowed frame in the same per-segment shuffle. Scale note: ntile
   // needs its partition sorted — per-SEGMENT sort, parallel across
-  // segments; a global-percentile variant at 100 TB would use q15b's
-  // GK sketch to derive boundaries without the sort.
+  // segments but single-task WITHIN one (a 100 TB segment is ~10⁷-10⁸
+  // customers); Strata.band swaps in per-segment GK-sketch boundaries
+  // under spark.graft.approx, killing the in-segment sort.
   def q34(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    customer(s, d)
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .withColumn("decile", ntile(10).over(w))
+    Strata.band(s,
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+      10, "c_acctbal", "c_custkey", "decile", Seq("c_mktsegment"))
       .groupBy(col("c_mktsegment"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Gate
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,11 +166,68 @@ object Temporal {
         date_format(col("ts_b"), TS_FMT).as("first_purchase_within_7d"))
       .transform(Gate.ordered("user_id"))
 
+  // -- c43: the temporal-builder endpoint×aggregate matrix ---------------
+  // i2b2's GENERAL pair constraint, which c02 (first-A-before-first-B)
+  // and c16 (followed-within) are special cases of: each side selects
+  // an occurrence AGGREGATE (first/last) and a span ENDPOINT
+  // (start/end) — "first occurrence of A ends before last occurrence
+  // of B starts". Occurrences here are per-day presence spans (a day
+  // with ≥1 such event; span = [min ts, max ts] that day) — the
+  // observation_fact start/end shape. Because a user's day-spans are
+  // DISJOINT and ordered, ordering by span start equals ordering by
+  // span end, so the first occurrence's end is simply min(o_end): the
+  // whole 8-endpoint frame reduces to ONE conditional aggregate — a
+  // single shuffle on user_id (c16's decorrelation, generalized; no
+  // window, no self-join). The gate face emits all four before-matrix
+  // cells so every endpoint pairing is hash-checked at once.
+  /** All 8 endpoints per user having ≥1 occurrence of BOTH types. */
+  private[graft] def endpointFrame(ev: DataFrame, typeA: String,
+      typeB: String): DataFrame = {
+    val occ = ev.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(min(col("ts")).as("o_start"), max(col("ts")).as("o_end"))
+    def side(t: String, pre: String) = Seq(
+      min(when(col("event_type") === t, col("o_start")))
+        .as(s"${pre}_first_start"),
+      min(when(col("event_type") === t, col("o_end")))
+        .as(s"${pre}_first_end"),
+      max(when(col("event_type") === t, col("o_start")))
+        .as(s"${pre}_last_start"),
+      max(when(col("event_type") === t, col("o_end")))
+        .as(s"${pre}_last_end"))
+    val aggs = side(typeA, "a") ++ side(typeB, "b")
+    occ.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("a_first_start").isNotNull && col("b_first_start").isNotNull)
+  }
+
+  /** One matrix cell: the selected A occurrence (its END) precedes the
+    * selected B occurrence (its START) — i2b2's span-ordering "before".
+    * `aggA`/`aggB` ∈ {"first", "last"}; apply over [[endpointFrame]].
+    */
+  def beforeCell(aggA: String, aggB: String): Column =
+    col(s"a_${aggA}_end") < col(s"b_${aggB}_start")
+
+  def c43(s: SparkSession, d: String): DataFrame = {
+    val fmtCols = Seq("a_first_start", "a_first_end", "a_last_start",
+      "a_last_end", "b_first_start", "b_first_end", "b_last_start",
+      "b_last_end").map(c => date_format(col(c), TS_FMT).as(c))
+    endpointFrame(events(s, d), "signup", "purchase")
+      .select(col("user_id") +: fmtCols :+
+        beforeCell("first", "first").cast("int").as("first_a_before_first_b") :+
+        beforeCell("first", "last").cast("int").as("first_a_before_last_b") :+
+        beforeCell("last", "first").cast("int").as("last_a_before_first_b") :+
+        beforeCell("last", "last").cast("int").as("last_a_before_last_b"): _*)
+      .transform(Gate.ordered("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join" -> (q25 _),
     "q25b_asof_tolerance" -> (q25b _),
     "q26_range_join_binned" -> (q26 _),
-    "c16_sequence_within" -> (c16 _)
+    "c16_sequence_within" -> (c16 _),
+    "c43_endpoint_matrix" -> (c43 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +260,39 @@ object Temporal {
          | ON v.v_user = p.user_id AND v.v_us >= p.p_us - $HOUR_US
          |  AND v.v_us < p.p_us
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same day-span occurrence frame, same single conditional
+    // aggregate, same span-ordering before rule — every matrix cell
+    // hash-checked
+    "c43_endpoint_matrix" -> {
+      def side(t: String, pre: String) =
+        s"""MIN(CASE WHEN event_type = '$t' THEN o_start END) AS ${pre}_first_start,
+           |  MIN(CASE WHEN event_type = '$t' THEN o_end END) AS ${pre}_first_end,
+           |  MAX(CASE WHEN event_type = '$t' THEN o_start END) AS ${pre}_last_start,
+           |  MAX(CASE WHEN event_type = '$t' THEN o_end END) AS ${pre}_last_end""".stripMargin
+      val fmt8 = Seq("a_first_start", "a_first_end", "a_last_start",
+        "a_last_end", "b_first_start", "b_first_end", "b_last_start",
+        "b_last_end")
+        .map(c => s"strftime($c, '$TS_FMT_SQL') AS $c").mkString(",\n ")
+      s"""WITH occ AS (
+         | SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |  MIN(ts) AS o_start, MAX(ts) AS o_end
+         | FROM events WHERE event_type IN ('signup', 'purchase')
+         | GROUP BY 1, 2, 3),
+         |m AS (
+         | SELECT user_id,
+         |  ${side("signup", "a")},
+         |  ${side("purchase", "b")}
+         | FROM occ GROUP BY 1)
+         |SELECT user_id,
+         | $fmt8,
+         | CAST(a_first_end < b_first_start AS INT) AS first_a_before_first_b,
+         | CAST(a_first_end < b_last_start AS INT) AS first_a_before_last_b,
+         | CAST(a_last_end < b_first_start AS INT) AS last_a_before_first_b,
+         | CAST(a_last_end < b_last_start AS INT) AS last_a_before_last_b
+         |FROM m
+         |WHERE a_first_start IS NOT NULL AND b_first_start IS NOT NULL
+         |ORDER BY user_id""".stripMargin
+    },
     "c16_sequence_within" ->
       s"""SELECT e.user_id,
          | strftime(a.ts_a, '$TS_FMT_SQL') AS first_signup,

@@ -664,7 +664,8 @@ object RoundTrip {
     "src12_avro_roundtrip" -> (src12 _),
     "src13_document_ingest" -> (src13 _),
     "src14_layout_panel" -> (src14 _),
-    "src15_snapshot_travel" -> (Snapshots.src15 _)
+    "src15_snapshot_travel" -> (Snapshots.src15 _),
+    "src17_compaction_snapshot" -> (Snapshots.src17 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -678,6 +679,9 @@ object RoundTrip {
     // both snapshots re-derived from the raw table: the manifest path
     // must lose/duplicate nothing in either version
     "src15_snapshot_travel" -> Snapshots.oracle,
+    // pre- and post-compaction versions both re-derived from the raw
+    // table: the rewrite must change layout only, never a row
+    "src17_compaction_snapshot" -> Snapshots.compactionOracle,
     // the layout changes the plan, never the answer: c01's oracle
     "src14_layout_panel" ->
       graft.operators.Cohort.oracle("c01_panel_cohort"),

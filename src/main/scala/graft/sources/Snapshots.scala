@@ -65,11 +65,14 @@ object Snapshots {
     commitWith(s, root, df, v => Seq(s"$root/data/c$v"))
 
   private def commitWith(s: SparkSession, root: String, df: DataFrame,
-      dirsFor: Int => Seq[String]): Int = {
+      dirsFor: Int => Seq[String],
+      maxRecordsPerFile: Option[Long] = None): Int = {
     val f = fs(s, root)
     val v = headVersion(s, root) + 1
     val dataDir = s"$root/data/c$v"
-    df.write.mode("overwrite").parquet(dataDir)
+    val w = df.write.mode("overwrite")
+    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+      .parquet(dataDir)
     val dirs = dirsFor(v)
     // manifest = explicit dir list (not "1..v" by convention) so a
     // future compaction/replace commit can swap file sets freely
@@ -136,6 +139,44 @@ object Snapshots {
   def versions(s: SparkSession, root: String): Seq[Int] =
     (1 to headVersion(s, root))
 
+  /** OPTIMIZE — compaction AS a snapshot commit (src05's small-file
+    * rewrite composed into the table contract): rewrite HEAD's state —
+    * possibly many append dirs of micro-batch-sized files — as ONE
+    * clustered data dir and commit it as the next version via
+    * [[commitReplace]]'s manifest form. Isolation falls out of the
+    * machinery: committed data files are immutable and older manifests
+    * keep listing them, so a reader pinned to any version scans
+    * byte-identical files while (and after) the compaction lands; the
+    * only visible change is HEAD advancing to an equivalent, better-
+    * laid-out state. A crash mid-compaction leaves HEAD untouched —
+    * the half-written c<v+1> dir is an invisible orphan the next
+    * commit at that version overwrites (the names-from-new-version
+    * discipline). Returns the new version.
+    */
+  def compact(s: SparkSession, root: String, clusterBy: Seq[String],
+      maxRecordsPerFile: Long = 1000000): Int = {
+    val cur = read(s, root)
+    val clustered =
+      if (clusterBy.isEmpty) cur.coalesce(s.sparkContext.defaultParallelism)
+      else cur.repartition(clusterBy.map(col): _*)
+    commitWith(s, root, clustered, v => Seq(s"$root/data/c$v"),
+      Some(maxRecordsPerFile))
+  }
+
+  /** Parquet file count under a version's data dirs (the compaction
+    * metric RoundTripSpec asserts on).
+    */
+  def fileCount(s: SparkSession, root: String, version: Int): Int = {
+    val f = fs(s, root)
+    val in = f.open(new Path(s"$root/manifests/v$version.json"))
+    val manifest =
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(
+      manifest.substring(manifest.indexOf('['))).map(_.group(1)).toSeq
+    dirs.map(dir => f.listStatus(new Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))).sum
+  }
+
   // -- src15: the gate face ----------------------------------------------
   // Two deterministic event-slice commits (first half of January, then
   // the rest), then BOTH snapshots read back through the manifest
@@ -171,4 +212,41 @@ object Snapshots {
        |UNION ALL
        |SELECT 2, COUNT(*), COUNT(DISTINCT user_id) FROM events
        |ORDER BY version""".stripMargin
+
+  // -- src17: compaction as a snapshot commit (the OPTIMIZE face) --------
+  // Two fragmented append commits (40 writers each — the micro-batch
+  // layout src05 simulates), then compact() rewrites the union as
+  // version 3. The output reads versions 2 (pre-compaction HEAD) and 3
+  // (compacted) through the manifest machinery: both must aggregate to
+  // the full table — the compaction changed LAYOUT, not one row. The
+  // oracle hash-checks both versions against the raw table;
+  // RoundTripSpec covers the pinned-reader isolation, the file-count
+  // collapse, and crash healing.
+  def src17(s: SparkSession, d: String): DataFrame = {
+    val root = s"${graft.Scratch.dir}/src17_snap/${graft.Scratch.tag(d)}"
+    if (headVersion(s, root) != 3) {
+      fs(s, root).delete(new Path(root), true)
+      val ev = events(s, d)
+      commit(s, root,
+        ev.filter(col("ts") < lit(SPLIT_DAY).cast("timestamp")).repartition(40))
+      commit(s, root,
+        ev.filter(col("ts") >= lit(SPLIT_DAY).cast("timestamp")).repartition(40))
+      compact(s, root, Seq("user_id"))
+    }
+    Seq(2, 3).map { v =>
+      read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+      .transform(Gate.ordered("version"))
+  }
+
+  val compactionOracle: String =
+    """SELECT 2 AS version, COUNT(*) AS n_rows,
+      | COUNT(DISTINCT user_id) AS n_users FROM events
+      |UNION ALL
+      |SELECT 3, COUNT(*), COUNT(DISTINCT user_id) FROM events
+      |ORDER BY version""".stripMargin
 }

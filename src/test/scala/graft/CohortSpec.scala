@@ -560,4 +560,21 @@ class CohortSpec extends SparkSpec {
         s"$tp: ${r.getAs[Double]("std_rate")} vs $std")
     }
   }
+
+  test("c42 ontology search: substring, case-insensitive, usage-counted") {
+    val rows = Cohort.c42(spark, sfDir).collect()
+    // 'engagement' owns exactly the click/view subtree
+    assert(rows.map(_.getAs[String]("concept_cd")).toSeq == Seq("click", "view"))
+    assert(rows.forall(_.getAs[String]("path").contains("engagement")))
+    assert(rows.forall(_.getAs[Long]("n_events") > 0))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
+    // case-insensitive contains (the i2b2 search box mode)
+    assert(Cohort.searchConcepts(spark, "ENGAGEment").count() == 2)
+    // a leaf NAME matches too (search is over the full path)
+    assert(Cohort.searchConcepts(spark, "purchase").collect()
+      .map(_.getAs[String]("event_type")).toSeq == Seq("purchase"))
+    // no hits -> empty frame, not an error
+    assert(Cohort.searchConcepts(spark, "no-such-term").count() == 0)
+  }
 }

@@ -51,6 +51,35 @@ class DedupSpec extends SparkSpec {
     assert(fp < 100, s"fp=$fp of 1000 — the filter must actually prune")
   }
 
+  test("sharded bloom gate: d10/p03 verdicts equal the single-filter form") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    val (d10Single, p03Single) =
+      (rows(Dedup.d10(spark, sfDir)),
+        rows(graft.operators.Pipeline.p03(spark, sfDir)))
+    try {
+      spark.conf.set("spark.graft.dedup.bloomShards", "4")
+      assert(rows(Dedup.d10(spark, sfDir)) == d10Single,
+        "d10 verdicts must be shard-invariant")
+      assert(rows(graft.operators.Pipeline.p03(spark, sfDir)) == p03Single,
+        "p03 verdicts must be shard-invariant")
+      // the sharded probe itself: no false negatives, still prunes
+      val corpus = Tables.documents(spark, sfDir)
+        .select(md5(col("text").cast("binary")).as("h"))
+      val bfs = graft.functions.Bloom.buildShardBytes(corpus, col("h"), 1000L, 4)
+      assert(bfs.exists(_ != null))
+      assert(corpus.filter(
+        !graft.functions.Bloom.mightContainSharded(bfs, col("h")))
+        .count() == 0, "every inserted key must probe positive")
+      val probes = spark.range(2000000, 2001000)
+        .select(md5(col("id").cast("string").cast("binary")).as("h"))
+      val fp = probes.filter(
+        graft.functions.Bloom.mightContainSharded(bfs, col("h"))).count()
+      assert(fp < 100, s"fp=$fp of 1000 — the sharded gate must prune")
+    } finally spark.conf.unset("spark.graft.dedup.bloomShards")
+  }
+
   test("d02 finds the planted near-duplicate pairs with high jaccard") {
     val rows = Dedup.d02(spark, sfDir).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups; d02 must find them")
@@ -367,6 +396,17 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_anchor_idx"), "must read the persisted index")
     assert(!plan.contains("documents.parquet"),
       "the prebuilt path must not touch the documents table")
+    // the candidate self-join keys on the fixed-width 8-byte anchor
+    // hash (what the index buckets by), never the 64-char string
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val joinKeys = pre.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec     => j.leftKeys
+      case j: ShuffledHashJoinExec  => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joinKeys.nonEmpty && joinKeys.forall(_.forall(_.dataType == LongType)),
+      s"candidate join must key on the long anchor hash: $joinKeys")
   }
 
   test("incremental anchor index: append + delta probe equals a full rebuild") {

@@ -429,4 +429,20 @@ class PanelsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(api == c01)
   }
+
+  test("c42 search hits compose into a panel (the webclient drag-to-panel)") {
+    // the i2b2 flow: search the ontology by term, drag the hits into a
+    // panel — the searched concept set must compile to the same cohort
+    // as writing the concepts out by hand
+    val hits = graft.operators.Cohort.searchConcepts(spark, "engagement")
+      .collect().map(_.getAs[String]("event_type")).toSeq
+    assert(hits.sorted == Seq("click", "view"))
+    val viaSearch = Panels.cohort(Tables.events(spark, sfDir),
+      CohortDef(Seq(Panel(hits.map(Concept(_))))))
+      .collect().map(_.toSeq).toSet
+    val explicit = Panels.cohort(Tables.events(spark, sfDir),
+      CohortDef(Seq(Panel(Seq(Concept("click"), Concept("view"))))))
+      .collect().map(_.toSeq).toSet
+    assert(viaSearch == explicit && viaSearch.nonEmpty)
+  }
 }

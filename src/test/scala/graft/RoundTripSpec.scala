@@ -431,6 +431,44 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root, Some(1)).count() == na)
     assert(Snapshots.read(spark, root, Some(2)).count() == na + nb)
   }
+  test("compaction commit: pinned reader byte-identical, files collapse, crash heals") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    val root = s"${graft.Scratch.dir}/snap_compact_spec"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir)
+    Snapshots.commit(spark, root,
+      ev.filter(col("event_type") === "view").repartition(20))
+    Snapshots.commit(spark, root,
+      ev.filter(col("event_type") =!= "view").repartition(20))
+    val pinned = Snapshots.read(spark, root) // planned against v2's files
+    val before = pinned.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val fragFiles = Snapshots.fileCount(spark, root, 2)
+
+    // crash mid-compaction: a half-written c3 dir, HEAD untouched —
+    // readers unaffected, and the real compaction heals over it
+    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/c3")
+    assert(Snapshots.headVersion(spark, root) == 2)
+    assert(Snapshots.read(spark, root).count() == before.size)
+
+    assert(Snapshots.compact(spark, root, Seq("user_id")) == 3)
+    // the pinned pre-compaction reader scans its own immutable files:
+    // byte-identical rows after the rewrite landed
+    assert(pinned.collect().map(_.toSeq).toSeq.sortBy(_.toString) == before)
+    // the compacted HEAD has the same content in (many) fewer files
+    val after = Snapshots.read(spark, root).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(after == before, "compaction must not change a single row")
+    val compactFiles = Snapshots.fileCount(spark, root, 3)
+    assert(compactFiles < fragFiles / 2,
+      s"files $fragFiles -> $compactFiles: not a compaction")
+    // both generations remain independently readable (time travel)
+    assert(Snapshots.read(spark, root, Some(2)).count() == before.size)
+    assert(Snapshots.read(spark, root, Some(3)).count() == before.size)
+  }
+
   test("src16 layout: disjoint per-file user ranges, filter reaches the scan") {
     import org.apache.spark.sql.functions.col
     import scala.jdk.CollectionConverters._

@@ -746,6 +746,44 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.graft.spike.factor")
     }
   }
+  test("observability: dropped-late rows counted, watermark queryable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    import graft.streaming.Observability
+    val rec = Observability.attach(spark)
+    val input = MemoryStream[TsEv](spark)
+    val q = EventStreams.hourlyCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("obs_late_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000)
+    def droppedTotal(): Long = Observability.metrics(spark, rec)
+      .filter(col("query_name") === "obs_late_out")
+      .agg(coalesce(sum(col("dropped_late_rows")), lit(0L)))
+      .collect()(0).getLong(0)
+    try {
+      input.addData(Seq(TsEv(ts(0), 1L), TsEv(ts(1), 2L)))
+      q.processAllAvailable()
+      // max event time 10h -> watermark advances to 8h at batch end
+      input.addData(Seq(TsEv(ts(10), 3L)))
+      q.processAllAvailable()
+      // an event behind the watermark: dropped by the aggregation —
+      // and the drop must be OBSERVABLE, not silent
+      input.addData(Seq(TsEv(ts(0), 4L)))
+      q.processAllAvailable()
+      // the listener bus is async: poll until the batch's progress lands
+      val deadline = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < deadline && droppedTotal() < 1)
+        Thread.sleep(200)
+      assert(droppedTotal() == 1, "the late row must be counted")
+      val srow = Observability.lateDataSummary(spark, rec)
+        .filter(col("query_name") === "obs_late_out").collect()(0)
+      assert(srow.getAs[Long]("dropped_late_rows") == 1)
+      assert(srow.getAs[Long]("input_rows") == 4)
+      assert(srow.getAs[String]("watermark_high").startsWith("1970-01-01T08"),
+        s"watermark high-mark: ${srow.getAs[String]("watermark_high")}")
+    } finally { q.stop(); Observability.detach(spark, rec) }
+  }
+
   test("spike fold tolerates late hours: dropped + counted, not fatal") {
     import EventStreams.{HourCount, SpikeEmpty}
     // open hour 101 with 100 closed behind it

@@ -105,4 +105,44 @@ class TemporalSpec extends SparkSpec {
         !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
     }
   }
+
+  test("c43 endpoint matrix: internally consistent, covers c16's users") {
+    val rows = Temporal.c43(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      def s(c: String) = r.getAs[String](c)
+      // the TS format is lexicographically ordered, so every flag must
+      // equal the string comparison of its two endpoints
+      assert((s("a_first_end") < s("b_first_start")) ==
+        (r.getAs[Int]("first_a_before_first_b") == 1))
+      assert((s("a_first_end") < s("b_last_start")) ==
+        (r.getAs[Int]("first_a_before_last_b") == 1))
+      assert((s("a_last_end") < s("b_first_start")) ==
+        (r.getAs[Int]("last_a_before_first_b") == 1))
+      assert((s("a_last_end") < s("b_last_start")) ==
+        (r.getAs[Int]("last_a_before_last_b") == 1))
+      // span sanity: first <= last, start <= end, spans are day-bounded
+      for (p <- Seq("a", "b")) {
+        assert(s(s"${p}_first_start") <= s(s"${p}_last_start"))
+        assert(s(s"${p}_first_start") <= s(s"${p}_first_end"))
+        assert(s(s"${p}_last_start") <= s(s"${p}_last_end"))
+        assert(s(s"${p}_first_start").take(10) == s(s"${p}_first_end").take(10),
+          "an occurrence span must stay within its day")
+      }
+      // matrix monotonicity: first-A-before-first-B implies
+      // first-A-before-last-B (last starts no earlier than first)
+      if (r.getAs[Int]("first_a_before_first_b") == 1)
+        assert(r.getAs[Int]("first_a_before_last_b") == 1)
+    }
+    // c16 (first signup followed by a purchase within 7d) is a special
+    // case: each of its users must appear here with a purchase
+    // occurrence ending after the first signup's start
+    Temporal.c16(spark, sfDir).collect().foreach { r =>
+      val u = r.getLong(0)
+      assert(byUser.contains(u), s"c16 user $u missing from c43 frame")
+      val m = byUser(u)
+      assert(m.getAs[String]("b_last_end") > m.getAs[String]("a_first_start"))
+    }
+  }
 }
