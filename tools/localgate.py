@@ -33,6 +33,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 COSINE_T = 0.4  # Dedup.COSINE_T -- d05's raw-cosine threshold
 
+# suite-exported rows-only evidence (see graft.Evidence); absent -> the
+# plain rows>0 check, exactly the driver gate's behavior
+_EV_PATH = os.path.join(os.path.dirname(__file__), "..",
+                        "docs", "rowsonly_evidence.json")
+ROWSONLY_EVIDENCE = json.load(open(_EV_PATH)) if os.path.exists(_EV_PATH) else {}
+
 
 def uf_components(pairs):
     """Union-find with union-by-min: root IS the component's min id.
@@ -162,8 +168,15 @@ def main():
                               sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
                              ignore_index=True)
         if name not in oracles:
-            ok = len(spark_df) > 0
-            print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {len(spark_df)})")
+            # rows-only queries: rows>0 plus, when the suite has exported
+            # its quantitative evidence (graft.Evidence ->
+            # docs/rowsonly_evidence.json), the recorded bound must hold —
+            # machine-checked recall/error/twin-equality instead of prose
+            ev = ROWSONLY_EVIDENCE.get(name)
+            ok = len(spark_df) > 0 and (ev is None or ev.get("pass") is True)
+            detail = "" if ev is None else \
+                f", evidence {ev['metric']}={ev['value']} {ev['op']} {ev['bound']}"
+            print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {len(spark_df)}{detail})")
             n_pass += ok; n_fail += (not ok)
             continue
         try:
