@@ -174,30 +174,38 @@ object Temporal {
   // of B starts". Occurrences here are per-day presence spans (a day
   // with ≥1 such event; span = [min ts, max ts] that day) — the
   // observation_fact start/end shape. Because a user's day-spans are
-  // DISJOINT and ordered, ordering by span start equals ordering by
-  // span end, so the first occurrence's end is simply min(o_end): the
-  // whole 8-endpoint frame reduces to ONE conditional aggregate — a
-  // single shuffle on user_id (c16's decorrelation, generalized; no
-  // window, no self-join). The gate face emits all four before-matrix
-  // cells so every endpoint pairing is hash-checked at once.
+  // DISJOINT and ordered, every endpoint is a plain or struct-ordered
+  // min/max over the RAW events: first occurrence's start = min(ts);
+  // first occurrence's END = the latest instant of the earliest day =
+  // -min(struct(day, -us)).nu (lexicographic struct ordering picks the
+  // min day, then the min of -us = the max µs within it), and
+  // symmetrically for the last occurrence's start. The whole
+  // 8-endpoint frame is ONE conditional aggregate with map-side
+  // partials — a single user_id shuffle, no per-(user,type,day)
+  // pre-aggregate, no window, no self-join (c16's decorrelation,
+  // generalized). The gate face emits all four before-matrix cells so
+  // every endpoint pairing is hash-checked at once.
   /** All 8 endpoints per user having ≥1 occurrence of BOTH types. */
   private[graft] def endpointFrame(ev: DataFrame, typeA: String,
       typeB: String): DataFrame = {
-    val occ = ev.filter(col("event_type").isin(typeA, typeB))
-      .groupBy(col("user_id"), col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(min(col("ts")).as("o_start"), max(col("ts")).as("o_end"))
-    def side(t: String, pre: String) = Seq(
-      min(when(col("event_type") === t, col("o_start")))
-        .as(s"${pre}_first_start"),
-      min(when(col("event_type") === t, col("o_end")))
-        .as(s"${pre}_first_end"),
-      max(when(col("event_type") === t, col("o_start")))
-        .as(s"${pre}_last_start"),
-      max(when(col("event_type") === t, col("o_end")))
-        .as(s"${pre}_last_end"))
+    val us = unix_micros(col("ts"))
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    def side(t: String, pre: String) = {
+      val cond = col("event_type") === t
+      // (day asc, -µs asc): min = earliest day's latest instant,
+      // max = latest day's earliest instant
+      val spanKey = when(cond, struct(day.as("d"), (-us).as("nu")))
+      Seq(
+        min(when(cond, col("ts"))).as(s"${pre}_first_start"),
+        timestamp_micros(-min(spanKey).getField("nu"))
+          .as(s"${pre}_first_end"),
+        timestamp_micros(-max(spanKey).getField("nu"))
+          .as(s"${pre}_last_start"),
+        max(when(cond, col("ts"))).as(s"${pre}_last_end"))
+    }
     val aggs = side(typeA, "a") ++ side(typeB, "b")
-    occ.groupBy(col("user_id"))
+    ev.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("a_first_start").isNotNull && col("b_first_start").isNotNull)
   }
