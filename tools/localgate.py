@@ -144,10 +144,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    flags = {a for a in argv if a.startswith("--")}
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
+    records = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -177,12 +184,18 @@ def main():
             detail = "" if ev is None else \
                 f", evidence {ev['metric']}={ev['value']} {ev['op']} {ev['bound']}"
             print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {len(spark_df)}{detail})")
+            records[name] = {"pass": bool(ok), "mode": "rows_only",
+                             "spark_rows": int(len(spark_df)),
+                             "evidence": ev, "secs": round(time.time() - t0, 2)}
             n_pass += ok; n_fail += (not ok)
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name} oracle err: {e}")
+            records[name] = {"pass": False, "mode": "oracle",
+                             "err": f"oracle: {e}",
+                             "secs": round(time.time() - t0, 2)}
             n_fail += 1
             continue
         s, o = norm(spark_df), norm(odf)
@@ -211,7 +224,17 @@ def main():
         else:
             print(f"PASS {name} ({len(s)} rows, {time.time() - t0:.1f}s)")
             n_pass += 1
+        records[name] = {"pass": not problems, "mode": "oracle",
+                         "spark_rows": int(len(s)), "oracle_rows": int(len(o)),
+                         "problems": [p.split("\n")[0] for p in problems],
+                         "secs": round(time.time() - t0, 2)}
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_out:
+        summary = {"sf_dir": sf_dir, "flags": sorted(flags),
+                   "n_pass": n_pass, "n_fail": n_fail, "queries": records}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
