@@ -40,7 +40,13 @@ DAY_US = 86_400_000_000
 
 def write(name, cols):
     t = pa.table(cols)
-    pq.write_table(t, f"{OUT}/{name}.parquet")
+    # Bound row groups so a Spark scan of the single file gets real
+    # parallelism: a parquet split is processed only by the task holding
+    # the row-group START, so one giant row group = one task for the
+    # whole table (found at sf10: documents was 1 rg / 264 MB -> every
+    # text query ran single-task). Target >=32 groups, floor 16k rows.
+    rg = max(16_384, min(1 << 20, t.num_rows // 32 or 1))
+    pq.write_table(t, f"{OUT}/{name}.parquet", row_group_size=rg)
     print(f"{name:12s} {t.num_rows:>10,d} rows  {os.path.getsize(f'{OUT}/{name}.parquet')/1e6:8.1f} MB")
 
 def days_us(start_day, n_days, n):
