@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // single-FILE tables (the shipped/gen_sf testdata) only split into
+      // size/maxPartitionBytes scan tasks; 128 MB caps a 264 MB corpus at
+      // ~4 tasks no matter the core count. 16 MB restores scan-side
+      // parallelism locally; a real many-file deployment keeps 128 MB.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
