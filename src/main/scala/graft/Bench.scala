@@ -102,8 +102,12 @@ object Bench {
         }
         once() // warm-up: JIT + codegen + file-index caches (+ any
                // build-once persisted indexes, which queries then READ)
-        val runs = Seq.fill(3)(once()).flatten
-        val med = if (runs.size == 3) runs.sorted.apply(1)
+        // timed-run count: 3 (median) for the official record; the
+        // sf>=10 scale legs set SPARK_GRAFT_RUNS=1 — a single timed
+        // run after warm-up — so a 190-query 10 GB pass stays tractable
+        val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+        val runs = Seq.fill(nRuns)(once()).flatten
+        val med = if (runs.size == nRuns) runs.sorted.apply(runs.size / 2)
           else { recordFailure(name); -1.0 }
         name -> med
       }
@@ -168,6 +172,10 @@ object Bench {
         else None
       if (only.nonEmpty)
         System.err.println("[bench] SPARK_GRAFT_ONLY subset — docs/bench_last.json not written")
+      else if (sfDir != "/root/testdata/sf0.1")
+        // scale legs (sf1/sf10) are recorded by the caller under their
+        // own names; only the driver's sf0.1 suite IS the official record
+        System.err.println(s"[bench] non-default SF $sfDir — docs/bench_last.json not written")
       else if (shouldRecord(contended, load1, results.size, total, existing))
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       else
