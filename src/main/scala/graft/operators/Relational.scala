@@ -595,7 +595,13 @@ object Relational {
     orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(x * x).as("sxx"),
+        // the long SUMs are exact (x <= ~2.4e3 days, x**2 <= 5.8e6;
+        // even 10**9 rows/group stays under 2**53) — but the FORMULA
+        // squares the sums, and sx*sx overflows long past ~3e9 rows/
+        // group-days (hit at sf10). Cast to double first, exactly as
+        // the oracle's CAST(SUM(x) AS DOUBLE) does, so both engines
+        // run the identical double arithmetic.
+        sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
         dsumWide(y).as("sy"), dsumWide(x * y).as("sxy"),
         dsumWide(y * y).as("syy"))
       .select(col("o_orderpriority"), col("n"),
