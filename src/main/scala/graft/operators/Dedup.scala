@@ -1122,23 +1122,29 @@ object Dedup {
     * in SQL: token start offsets by cumulative token lengths, W-char
     * anchors joined on the string, islands per (pair, delta) with a
     * lag/sum pass. Shared by d08 and its prebuilt twin d08b.
+    * The per-token CTEs carry only (doc_id, i, toklen) — an earlier
+    * form dragged the full text and token array through the 75M-row
+    * offset window at sf10 (~75 GB spill, found r11); text is joined
+    * back once, at anchor extraction.
     */
   private val D08_SQL =
     s"""WITH tk AS (
-       | SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |toks AS (
-       | SELECT doc_id, text, w, CAST(i AS BIGINT) AS i
+       | SELECT doc_id, CAST(i AS BIGINT) AS i, len(w[i]) AS toklen
        | FROM tk, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
        |apos AS (
-       | SELECT doc_id, text,
-       |  1 + CAST(COALESCE(SUM(len(w[i]) + 1) OVER (
+       | SELECT doc_id,
+       |  1 + CAST(COALESCE(SUM(toklen + 1) OVER (
        |   PARTITION BY doc_id ORDER BY i
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |   AS pos
        | FROM toks),
        |anchors AS (
-       | SELECT doc_id, pos, substr(text, CAST(pos AS INT), $D08_W) AS a
-       | FROM apos WHERE pos + ${D08_W - 1} <= len(text)),
+       | SELECT p.doc_id, p.pos, substr(d.text, CAST(p.pos AS INT), $D08_W)
+       |  AS a
+       | FROM apos p JOIN documents d ON p.doc_id = d.doc_id
+       | WHERE p.pos + ${D08_W - 1} <= len(d.text)),
        |ci AS (SELECT * FROM anchors WHERE a NOT IN (
        | SELECT a FROM anchors GROUP BY a
        | HAVING COUNT(DISTINCT doc_id) > $D08_DF_CAP)),
