@@ -156,6 +156,12 @@ def main():
     only = set(args[2:])
     records = {}
     con = duckdb.connect()
+    # bound the oracle engine: an unbounded spill (d08's r11 pre-fix
+    # form needed ~75 GB) fills the disk AND leaves the connection in a
+    # bad-allocation state that fails NEIGHBORING queries' oracles
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GATE_DUCKDB_MEM", "48GB"))
+    con.execute("SET temp_directory='/tmp/duckgate.tmp'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
