@@ -1014,7 +1014,82 @@ object Cohort {
       .transform(Gate.ordered("event_type"))
   }
 
+  // -- c44: condition/exposure eras (gap-merge of day-span occurrences) --
+  // The era construction clinical analytics presupposes (OHDSI calls
+  // these drug/condition eras; i2b2 temporal queries assume per-concept
+  // continuous intervals): per (patient, concept), day-level
+  // occurrences within a persistence window of each other merge into
+  // ONE era, and a gap longer than the window starts the next one —
+  // interval union with gap tolerance, the span-merge sibling of c09's
+  // event-gap sessionization. Reference scope: the observation_fact
+  // start/end model packaged by src/docker/database/Dockerfile.
+  //
+  // Scale shape: the first aggregate collapses raw facts to ACTIVE
+  // (patient, concept, day) rows with map-side partials — at 100 TB the
+  // heavy exchange moves day-level rows, not events. The era window
+  // then shuffles only that collapsed frame on (patient, concept); the
+  // per-key ordered walk is a lag + running sum, never a self-join.
+  private[graft] val C44_GAP_DAYS = 2
+
+  /** Typed era frame (dates unformatted) — ONE era definition, consumed
+    * by c44's report face and c45's person-time rates (the c09Core
+    * pattern: composers can never fork the merge rule).
+    */
+  private[graft] def c44Core(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_facts"))
+      .withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > C44_GAP_DAYS, 1).otherwise(0))
+      .withColumn("era_seq", sum(col("is_new")).over(wCum))
+      .groupBy(col("user_id"), col("event_type"), col("era_seq"))
+      .agg(count(lit(1)).as("n_active_days"),
+        sum(col("n_facts")).as("n_facts"),
+        min(col("day")).as("era_start_day"),
+        max(col("day")).as("era_end_day"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span_days"))
+  }
+
+  def c44(s: SparkSession, d: String): DataFrame =
+    c44Core(s, d)
+      .select(col("user_id"), col("event_type"), col("era_seq"),
+        col("n_active_days"), col("n_facts"),
+        date_format(col("era_start_day"), "yyyy-MM-dd").as("era_start"),
+        date_format(col("era_end_day"), "yyyy-MM-dd").as("era_end"),
+        col("span_days"))
+      .transform(Gate.ordered("user_id", "event_type", "era_seq"))
+
+  // -- c45: person-time incidence rates over the era frame ---------------
+  // The epidemiology measure c31's raw counts can't give: incidence per
+  // person-TIME, not per person — episodes (c44's eras, one shared
+  // definition) over the days actually spent in observation. All-
+  // integer accumulators (era counts, span-day sums) with ONE
+  // correctly-rounded divide at the end, so partitioning can't wiggle
+  // the 6th decimal; the era frame is already user×concept-sized, so
+  // this rollup is a near-free second aggregate on top of c44's
+  // shuffles.
+  def c45(s: SparkSession, d: String): DataFrame =
+    c44Core(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_eras"),
+        sum(col("span_days").cast("bigint")).as("person_days"))
+      .select(col("event_type"), col("n_users"), col("n_eras"),
+        col("person_days"),
+        // ×100 BEFORE the divide (exact in double for integer counts)
+        // so both engines run the identical single rounding
+        round(col("n_eras").cast("double") * 100 / col("person_days"), 6)
+          .as("eras_per_100_person_days"))
+      .transform(Gate.ordered("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c44_condition_eras" -> (c44 _),
+    "c45_person_time" -> (c45 _),
     "c41_standardized_rates" -> (c41 _),
     "c35_session_native" -> (c35 _),
     "c38_survival_km" -> (c38 _),
@@ -1103,7 +1178,55 @@ object Cohort {
       s"WHEN $st THEN $w"
     }.mkString(" ") + " ELSE 0 END"
 
+  /** The era chain (occ/g/e + the era rollup) as shared oracle CTEs —
+    * c44's and c45's oracles both splice THIS, mirroring the one
+    * c44Core definition (the dischargeVerdicts pattern).
+    */
+  private val C44_CTES: String =
+    s"""occ AS (
+       | SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+       |  COUNT(*) AS n_facts
+       | FROM events GROUP BY 1, 2, 3),
+       |g AS (
+       | SELECT user_id, event_type, day, n_facts,
+       |  CASE WHEN LAG(day) OVER w IS NULL
+       |    OR date_diff('day', LAG(day) OVER w, day) > $C44_GAP_DAYS
+       |   THEN 1 ELSE 0 END AS is_new
+       | FROM occ
+       | WINDOW w AS (PARTITION BY user_id, event_type ORDER BY day)),
+       |e AS (
+       | SELECT user_id, event_type, day, n_facts,
+       |  SUM(is_new) OVER (PARTITION BY user_id, event_type
+       |   ORDER BY day ROWS UNBOUNDED PRECEDING) AS era_seq
+       | FROM g),
+       |eras AS (
+       | SELECT user_id, event_type, CAST(era_seq AS BIGINT) AS era_seq,
+       |  COUNT(*) AS n_active_days,
+       |  CAST(SUM(n_facts) AS BIGINT) AS n_facts,
+       |  MIN(day) AS era_start_day, MAX(day) AS era_end_day,
+       |  date_diff('day', MIN(day), MAX(day)) + 1 AS span_days
+       | FROM e GROUP BY 1, 2, 3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same gap-merge rule: day-distinct occurrences, LAG gap test,
+    // running-sum era ids, era rollup — every era hash-checked
+    "c44_condition_eras" ->
+      s"""WITH $C44_CTES
+         |SELECT user_id, event_type, era_seq, n_active_days, n_facts,
+         | strftime(era_start_day, '%Y-%m-%d') AS era_start,
+         | strftime(era_end_day, '%Y-%m-%d') AS era_end,
+         | span_days
+         |FROM eras
+         |ORDER BY user_id, event_type, era_seq""".stripMargin,
+    // same era CTEs, rolled up to person-time rates — integer counts
+    // and day sums, one rounded divide
+    "c45_person_time" ->
+      s"""WITH $C44_CTES
+         |SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+         | COUNT(*) AS n_eras, CAST(SUM(span_days) AS BIGINT) AS person_days,
+         | ROUND(COUNT(*) * 100.0 / SUM(span_days), 6)
+         |  AS eras_per_100_person_days
+         |FROM eras GROUP BY 1 ORDER BY event_type""".stripMargin,
     // same ntile strata, integer counts, the identical decimal
     // rendition of the four (rate × weight) terms
     "c41_standardized_rates" ->

@@ -648,7 +648,65 @@ object RoundTrip {
       .orderBy("event_type")
   }
 
+  // -- src18: Z-order (Morton) clustered layout ---------------------------
+  // src16 solves selective scans on ONE key; a fact table is scanned
+  // selectively on SEVERAL (patient AND date — c01's panel shape).
+  // A single-key sort leaves the second dimension's per-file min/max
+  // spanning the whole domain (zero pruning). Interleaving the key
+  // bits (Morton order) makes range-partition + sort cluster BOTH
+  // dimensions at once: every file owns a small rectangle of the
+  // (user, day) plane, so a 2-D box predicate prunes files/row groups
+  // on either dimension — the lakehouse OPTIMIZE ZORDER BY move. The
+  // interleave is pure bit arithmetic on builtin functions (shiftright/
+  // and/shiftleft folds — whole-stage codegen, no UDF), computed only
+  // at WRITE time; readers see ordinary columns + tight footers.
+  /** Morton-interleave two non-negative ints, `bits` bits each (21
+    * covers 2M ids — sf100 headroom; the fold is a literal chain the
+    * optimizer constant-folds per row into ~4*bits codegen'd ops).
+    */
+  private[graft] def zInterleave(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int = 21)
+      : org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private val zorderBuilt = scala.collection.mutable.Set[String]()
+  // the gate's 2-D box: a mid-table user band × a mid-month week
+  private[graft] val SRC18_USERS = (40L, 70L)
+  // half-open ts window [08, 15) = days 08..14 inclusive
+  private[graft] val SRC18_DAYS = ("2024-01-08", "2024-01-15")
+
+  def src18(s: SparkSession, d: String): DataFrame = {
+    val path = s"$scratch/src18_zorder/${graft.Scratch.tag(d)}"
+    if (!zorderBuilt.contains(path)) {
+      graft.Tables.events(s, d)
+        .withColumn("zval", zInterleave(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("bigint")))
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("zval")
+        .write.mode("overwrite").parquet(path)
+      zorderBuilt += path
+    }
+    val (uLo, uHi) = SRC18_USERS
+    val (dLo, dHi) = SRC18_DAYS
+    s.read.parquet(path)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("ts") >= lit(dLo).cast("timestamp") &&
+        col("ts") < lit(dHi).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src18_zorder_layout" -> (src18 _),
+    "src19_change_feed" -> (Snapshots.src19 _),
     "src16_sorted_layout" -> (src16 _),
     "src01_csv_roundtrip" -> (src01 _),
     "src02_json_roundtrip" -> (src02 _),
@@ -670,6 +728,21 @@ object RoundTrip {
 
   /** Round-trip fidelity means the oracle is simply the original table. */
   val oracle: Map[String, String] = Map(
+    // the z-ordered copy must answer the 2-D box exactly like the raw
+    // table — the layout changes pruning, never a row
+    "src18_zorder_layout" -> {
+      val (uLo, uHi) = SRC18_USERS
+      val (dLo, dHi) = SRC18_DAYS
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         | COUNT(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE user_id BETWEEN $uLo AND $uHi
+         | AND ts >= TIMESTAMP '$dLo' AND ts < TIMESTAMP '$dHi'
+         |GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
+    // every change-feed range re-derived from the raw table by the
+    // same day slices: the manifest diff must lose/duplicate nothing
+    "src19_change_feed" -> Snapshots.changeFeedOracle,
     // the clustered copy must answer exactly like the raw table
     "src16_sorted_layout" ->
       s"""SELECT event_type, COUNT(*) AS n_events,

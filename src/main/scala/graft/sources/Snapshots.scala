@@ -126,13 +126,47 @@ object Snapshots {
       : DataFrame = {
     val v = version.getOrElse(headVersion(s, root))
     require(v > 0, s"no snapshot at $root")
+    s.read.parquet(dirsOf(s, root, v): _*)
+  }
+
+  /** The data dirs a version's manifest lists (v0 = the empty table —
+    * the bootstrap anchor for [[changesBetween]]).
+    */
+  private[graft] def dirsOf(s: SparkSession, root: String, v: Int)
+      : Seq[String] = {
+    if (v == 0) return Seq.empty
     val f = fs(s, root)
     val in = f.open(new Path(s"$root/manifests/v$v.json"))
     val manifest =
       try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(
+    "\"([^\"]+)\"".r.findAllMatchIn(
       manifest.substring(manifest.indexOf('['))).map(_.group(1)).toSeq
-    s.read.parquet(dirs: _*)
+  }
+
+  /** Incremental read — the change feed between two committed versions,
+    * resolved from MANIFESTS alone: committed data files are immutable
+    * and an append commit's manifest is a superset of its parent's, so
+    * the rows added in (va, vb] are EXACTLY the files vb lists and va
+    * doesn't. The consumer scans only the delta — no old data is read,
+    * no row diffing runs; at 100 TB a nightly incremental consumer
+    * (p03's shape) costs the night's bytes, never the table's. va = 0
+    * bootstraps (everything up to vb). Non-append ranges (a
+    * replace/compaction commit swaps the file set; its logical change
+    * is the writer's merge semantics, not a file-set difference —
+    * st12's CDC face) are refused loudly rather than mis-answered.
+    */
+  def changesBetween(s: SparkSession, root: String, va: Int, vb: Int)
+      : DataFrame = {
+    require(0 <= va && va <= vb && vb <= headVersion(s, root),
+      s"bad change range v$va..v$vb at $root")
+    val base = dirsOf(s, root, va).toSet
+    val target = dirsOf(s, root, vb)
+    require(base.subsetOf(target.toSet),
+      s"v$va..v$vb is not append-lineage (a replace commit intervened); " +
+        "read the versions and diff by the writer's merge key instead")
+    val added = target.filterNot(base)
+    if (added.isEmpty) s.emptyDataFrame
+    else s.read.parquet(added: _*)
   }
 
   /** All committed versions, ascending. */
@@ -168,12 +202,7 @@ object Snapshots {
     */
   def fileCount(s: SparkSession, root: String, version: Int): Int = {
     val f = fs(s, root)
-    val in = f.open(new Path(s"$root/manifests/v$version.json"))
-    val manifest =
-      try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val dirs = "\"([^\"]+)\"".r.findAllMatchIn(
-      manifest.substring(manifest.indexOf('['))).map(_.group(1)).toSeq
-    dirs.map(dir => f.listStatus(new Path(dir))
+    dirsOf(s, root, version).map(dir => f.listStatus(new Path(dir))
       .count(_.getPath.getName.endsWith(".parquet"))).sum
   }
 
@@ -249,4 +278,52 @@ object Snapshots {
       |UNION ALL
       |SELECT 3, COUNT(*), COUNT(DISTINCT user_id) FROM events
       |ORDER BY version""".stripMargin
+
+  // -- src19: the change feed (incremental read between versions) --------
+  // Three deterministic ten-day append commits, then every consumer
+  // range a nightly pipeline would ask for — each consecutive delta
+  // (v0→v1, v1→v2, v2→v3) plus a catch-up range (v1→v3) — read through
+  // changesBetween's manifest diff. The oracle recomputes each range's
+  // rows from the raw table by the same day slices, so the manifest
+  // path must lose/duplicate nothing in ANY range; RoundTripSpec covers
+  // the scan-only-the-delta plan claim, the empty va=vb feed, and the
+  // replace-commit refusal.
+  private val SRC19_CUTS = Seq("2024-01-11", "2024-01-21")
+
+  def src19(s: SparkSession, d: String): DataFrame = {
+    val root = s"${graft.Scratch.dir}/src19_snap/${graft.Scratch.tag(d)}"
+    if (headVersion(s, root) != 3) {
+      fs(s, root).delete(new Path(root), true)
+      val ev = events(s, d)
+      val Seq(c1, c2) = SRC19_CUTS.map(lit(_).cast("timestamp"))
+      commit(s, root, ev.filter(col("ts") < c1))
+      commit(s, root, ev.filter(col("ts") >= c1 && col("ts") < c2))
+      commit(s, root, ev.filter(col("ts") >= c2))
+    }
+    Seq((0, 1), (1, 2), (2, 3), (1, 3)).map { case (va, vb) =>
+      changesBetween(s, root, va, vb)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(va).cast("int").as("from_v"),
+          lit(vb).cast("int").as("to_v"), col("n_rows"), col("n_users"))
+    }.reduce(_ unionByName _)
+      .transform(Gate.ordered("from_v", "to_v"))
+  }
+
+  val changeFeedOracle: String = {
+    val Seq(c1, c2) = SRC19_CUTS
+    s"""SELECT 0 AS from_v, 1 AS to_v, COUNT(*) AS n_rows,
+       | COUNT(DISTINCT user_id) AS n_users
+       |FROM events WHERE ts < TIMESTAMP '$c1'
+       |UNION ALL
+       |SELECT 1, 2, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       | WHERE ts >= TIMESTAMP '$c1' AND ts < TIMESTAMP '$c2'
+       |UNION ALL
+       |SELECT 2, 3, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       | WHERE ts >= TIMESTAMP '$c2'
+       |UNION ALL
+       |SELECT 1, 3, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       | WHERE ts >= TIMESTAMP '$c1'
+       |ORDER BY from_v, to_v""".stripMargin
+  }
 }

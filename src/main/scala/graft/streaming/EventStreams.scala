@@ -909,7 +909,82 @@ object EventStreams {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- st13
+  // The change feed CONSUMED AS A STREAM: src19 hands a delta to a
+  // batch consumer on demand; a continuous consumer wants the snapshot
+  // table to BE a source — every append commit's files arriving as
+  // exactly-once micro-batch input, offsets checkpointed, old commits
+  // never rescanned. Spark's file stream source already implements the
+  // hard parts (seen-file log, globbed discovery, AvailableNow
+  // drains), so pointing it at the append root's immutable data dirs
+  // makes the snapshot table a streaming table with ZERO custom source
+  // code — the Spark-first move. Replace/compaction commits rewrite
+  // file sets and are not tailable (src19's refusal, here by
+  // contract): tail append-only roots.
+
+  /** The snapshot root as a streaming source. New append commits land
+    * whole immutable files under data/c<v>/, which the globbed file
+    * source discovers and logs exactly once per checkpoint.
+    */
+  def changeFeedStream(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).parquet(s"$root/data/c*")
+
+  /** Drain everything committed-but-unseen into `outDir` (AvailableNow
+    * + the exactly-once parquet sink), then return. Each call ships
+    * only commits the checkpoint hasn't logged — the nightly-consumer
+    * loop (p03's cadence) is just repeated calls.
+    */
+  def drainChangeFeed(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = changeFeedStream(s, root, schema)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Gate face: three deterministic ten-day append commits (src19's
+    * slices), drained through the streaming tail into a parquet sink,
+    * the result rolled up per day — the full raw table must come out
+    * the other end (src05's oracle). Fresh checkpoint per run so the
+    * gate drains the whole feed; StreamingSpec holds the checkpoint
+    * across commits to prove the second drain ships ONLY the new
+    * commit.
+    */
+  def st13(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.Scratch.tag(d)
+    val root = s"${graft.Scratch.dir}/st13_feed/$tag"
+    val ev = graft.Tables.events(s, d)
+    if (Snapshots.headVersion(s, root) != 3) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val Seq(c1, c2) = Seq("2024-01-11", "2024-01-21")
+        .map(lit(_).cast("timestamp"))
+      Snapshots.commit(s, root, ev.filter(col("ts") < c1))
+      Snapshots.commit(s, root, ev.filter(col("ts") >= c1 && col("ts") < c2))
+      Snapshots.commit(s, root, ev.filter(col("ts") >= c2))
+    }
+    val out = s"${graft.Scratch.dir}/st13_out/$tag"
+    val cp = s"${graft.Scratch.dir}/st13_cp/$tag"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.delete(new org.apache.hadoop.fs.Path(cp), true)
+    drainChangeFeed(s, root, ev.schema, out, cp)
+    s.read.schema(ev.schema).parquet(out)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .transform(Gate.ordered("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_change_feed" -> (st13 _),
     "st11_stream_spike" -> (st11 _),
     "st12_stream_snapshot_cdc" -> (st12 _),
     "st01_stream_window" -> (st01 _),
@@ -925,6 +1000,10 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
+    // the whole raw table must come out the other end of the tail —
+    // src05's day rollup, verbatim by reference
+    "st13_stream_change_feed" ->
+      graft.sources.RoundTrip.oracle("src05_compaction"),
     // all-integer spike rule (n·t_n·1000 > milli·t_sum) over the same
     // RANGE frame; empty-frame SUM is NULL in both engines → COALESCE 0
     "st11_stream_spike" ->

@@ -577,4 +577,52 @@ class CohortSpec extends SparkSpec {
     // no hits -> empty frame, not an error
     assert(Cohort.searchConcepts(spark, "no-such-term").count() == 0)
   }
+
+  test("c44 eras: gap-merged, disjoint, seq-contiguous, day-conserving") {
+    val eras = Cohort.c44(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("era_seq"), r.getAs[String]("era_start"),
+        r.getAs[String]("era_end"), r.getAs[Long]("n_active_days"),
+        r.getAs[Int]("span_days")))
+    assert(eras.nonEmpty)
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    eras.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      // era ids are 1..n with no holes
+      assert(sorted.map(_._3).toSeq == (1L to g.length).toSeq)
+      sorted.foreach { case (_, _, _, st, en, nDays, span) =>
+        assert(day(en) - day(st) + 1 == span)
+        // active days fit the span; a span only exists around active days
+        assert(nDays >= 1 && nDays <= span)
+      }
+      // consecutive eras are separated by MORE than the persistence gap
+      // (else they would have merged), and never overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(day(b._4) - day(a._5) > Cohort.C44_GAP_DAYS)
+        case _ =>
+      }
+    }
+    // day conservation: total active days == distinct (user,type,day)
+    import org.apache.spark.sql.functions._
+    val expected = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")))
+      .distinct().count()
+    assert(eras.map(_._6).sum == expected)
+
+    // c45 is c44's rollup — person-days and era counts must reconcile
+    // exactly against the era rows (shared-core chain)
+    val rates = Cohort.c45(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_eras"), r.getAs[Long]("person_days"),
+          r.getAs[Double]("eras_per_100_person_days"))).toMap
+    val byType = eras.groupBy(_._2)
+    assert(rates.keySet == byType.keySet)
+    byType.foreach { case (t, g) =>
+      val (nE, pd, rate) = rates(t)
+      assert(nE == g.length)
+      assert(pd == g.map(_._7.toLong).sum)
+      assert(math.abs(rate - nE * 100.0 / pd) < 1e-6)
+    }
+  }
 }

@@ -509,4 +509,90 @@ class RoundTripSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id), " +
       "LessThanOrEqual(user_id,"), s"filter not pushed:\n$plan")
   }
+
+  test("src18 z-order: every file owns a small (user, ts) rectangle") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    graft.sources.RoundTrip.src18(spark, sfDir).collect() // ensure built
+    val path =
+      s"${graft.Scratch.dir}/src18_zorder/${graft.Scratch.tag(sfDir)}"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    def colRange(f: org.apache.hadoop.fs.FileStatus, name: String)
+        : (Long, Long) = {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader
+        .readFooter(conf, f.getPath)
+      val st = footer.getBlocks.asScala.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == name).get.getStatistics
+        (c.genericGetMin.asInstanceOf[Long],
+          c.genericGetMax.asInstanceOf[Long])
+      }
+      (st.map(_._1).min, st.map(_._2).max)
+    }
+    val files = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.size >= 8)
+    val boxes = files.map(f => (colRange(f, "user_id"), colRange(f, "ts")))
+    val uSpan = boxes.map(_._1._2).max - boxes.map(_._1._1).min
+    val tSpan = boxes.map(_._2._2).max - boxes.map(_._2._1).min
+    // z-order's promise: per-file spans are FRACTIONS of the domain on
+    // BOTH dimensions at once (a single-key sort leaves the second
+    // dimension's span ≈ the whole domain in every file). Allow the
+    // curve's boundary files (a z-range crossing a high-bit flip spans
+    // half a dimension); the MEDIAN file must be tightly boxed.
+    def median(xs: Seq[Long]) = xs.sorted.apply(xs.size / 2)
+    assert(median(boxes.map(b => b._1._2 - b._1._1)) <= uSpan / 2,
+      "user_id not clustered")
+    assert(median(boxes.map(b => b._2._2 - b._2._1)) <= tSpan / 2,
+      "ts not clustered")
+    // both box predicates reach the reader (asserted one dimension per
+    // plan — the combined PushedFilters list elides its tail in
+    // toString, hiding whichever predicate sorts last)
+    val (uLo, uHi) = graft.sources.RoundTrip.SRC18_USERS
+    val uPlan = spark.read.parquet(path)
+      .filter(col("user_id").between(uLo, uHi))
+      .queryExecution.executedPlan.toString
+    assert(uPlan.contains("GreaterThanOrEqual(user_id,") &&
+      uPlan.contains("LessThanOrEqual(user_id,"), s"users not pushed:\n$uPlan")
+    val tPlan = spark.read.parquet(path)
+      .filter(col("ts") >= org.apache.spark.sql.functions.lit("2024-01-08")
+        .cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(tPlan.contains("GreaterThanOrEqual(ts,"), s"ts not pushed:\n$tPlan")
+  }
+
+  test("src19 change feed: delta-only scan, empty range, replace refusal") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Snapshots
+    graft.sources.Snapshots.src19(spark, sfDir).collect() // ensure built
+    val root = s"${graft.Scratch.dir}/src19_snap/${graft.Scratch.tag(sfDir)}"
+    // the 1→2 delta's scan lists ONLY commit 2's files — the
+    // incremental consumer never re-reads old data
+    val feed = Snapshots.changesBetween(spark, root, 1, 2)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/data/c2/")),
+      s"non-delta files in scan: ${feed.inputFiles.take(3).mkString(",")}")
+    // va == vb -> an empty feed, not an error
+    assert(Snapshots.changesBetween(spark, root, 2, 2).count() == 0)
+    // feed rows == the version-level row delta (nothing lost/duplicated)
+    val n12 = feed.count()
+    assert(n12 == Snapshots.read(spark, root, Some(2)).count() -
+      Snapshots.read(spark, root, Some(1)).count())
+    // a replace (compaction) commit breaks append lineage: ranges that
+    // cross it are refused loudly, ranges before it still answer
+    val root2 = root + "_replace"
+    val f = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root2), true)
+    val ev = Tables.events(spark, sfDir).limit(100)
+    Snapshots.commit(spark, root2, ev.filter(col("event_id") < 50))
+    Snapshots.commit(spark, root2, ev.filter(col("event_id") >= 50))
+    Snapshots.compact(spark, root2, Seq("user_id"))
+    assert(Snapshots.changesBetween(spark, root2, 1, 2).count() > 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root2, 1, 3)
+    }
+  }
 }

@@ -838,4 +838,36 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("st13 tail: second drain ships ONLY the new commit, union exact") {
+    import graft.sources.Snapshots
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = s"${graft.Scratch.dir}/st13spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/root"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ev = Tables.events(spark, sfDir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    // two commits live when the consumer first drains
+    Snapshots.commit(spark, root, ev.filter(col("ts") < cut)
+      .filter(col("event_id") % 2 === 0))
+    Snapshots.commit(spark, root, ev.filter(col("ts") < cut)
+      .filter(col("event_id") % 2 =!= 0))
+    EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
+    val n2 = spark.read.schema(ev.schema).parquet(out).count()
+    assert(n2 == ev.filter(col("ts") < cut).count())
+    // a third commit lands; the SAME checkpoint drains only its rows
+    Snapshots.commit(spark, root, ev.filter(col("ts") >= cut))
+    EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
+    val after = spark.read.schema(ev.schema).parquet(out)
+    assert(after.count() == ev.count(), "tail lost or duplicated rows")
+    // and nothing pre-cut was re-shipped: every event_id exactly once
+    assert(after.groupBy(col("event_id")).count()
+      .filter(col("count") > 1).count() == 0)
+    // a drain with nothing new ships nothing (idempotent consumer loop)
+    EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
+    assert(spark.read.schema(ev.schema).parquet(out).count() == ev.count())
+  }
 }
