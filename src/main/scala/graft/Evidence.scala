@@ -85,6 +85,15 @@ object Evidence {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val s05bMean = s05exact.map { case (k, ids) =>
       recall(s05b.getOrElse(k, Set.empty), ids) }.sum / s05exact.size
+    // s13's reference is s07 — the FILTERED exact answer, not s05's
+    val s07exact = run("s07_knn_join_filtered").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val s13 = run("s13_ann_filtered_ivf").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val s13Mean = s07exact.map { case (k, ids) =>
+      recall(s13.getOrElse(k, Set.empty), ids) }.sum / s07exact.size
 
     val d04pairs = run("d04_dedup_simhash")
     val d04strict = d04pairs.collect()
@@ -165,6 +174,8 @@ object Evidence {
         1.0, "=="),
       Item("s05b_knn_join_lsh", "recall",
         "mean_recall_at_10_vs_s05", s05bMean, 0.7, ">="),
+      Item("s13_ann_filtered_ivf", "recall",
+        "mean_recall_at_10_vs_s07", s13Mean, 0.7, ">="),
       Item("s10_mmr_rerank", "twin-equality",
         "rank1_is_s01_top1",
         if (run("s10_mmr_rerank").collect().head.getLong(1) ==

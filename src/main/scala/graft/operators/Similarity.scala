@@ -661,6 +661,50 @@ object Similarity {
         cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
           DIM).as("cos")))
 
+  // -- s13: FILTERED ANN over the persisted IVF index --------------------
+  // s07's semantics served from the index instead of the full scan —
+  // the production "filtered vector search" problem (tenant/language/
+  // date predicate + top-k): candidates come from each probe's nearest
+  // IVF cells (equi-join on cid against the SAME persisted cells table
+  // s03b reads — no corpus scan, no new index), the metadata predicate
+  // prunes candidates BEFORE the exact re-rank (s07's pre-filter
+  // semantics on the candidate set: the top-k is computed over
+  // qualifying candidates only, never post-filtered), and NPROBE is
+  // BOOSTED over the unfiltered path — the standard compensation:
+  // a selectivity-s filter leaves ~s·|cell| qualifying candidates per
+  // cell, so holding the candidate budget needs ~1/s more cells.
+  // Recall is measured against s07's oracle-checked exact answer in
+  // SimilaritySpec and exported via Evidence (rows-only discipline).
+  private[graft] val S13_NPROBE = 5
+
+  def s13(s: SparkSession, d: String): DataFrame = {
+    val (cellsT, centT) = ensureIvfIndex(s, d)
+    // per-probe probed cells: each probe vector scored against the
+    // broadcast centroids, top S13_NPROBE cells kept — a |Q|×K frame
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
+    val probeCells = broadcast(
+      cellScores(embeddings(s, d)
+        .filter(col("vec_id").isin(KNN_PROBE_IDS: _*))
+        .select(col("vec_id"), col("embedding")), s.table(centT))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= S13_NPROBE)
+        .select(col("vec_id").as("q_id"), col("cid")))
+    val cand = s.table(cellsT).join(probeCells, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    // qualifying-subset join applies the predicate BEFORE re-rank; the
+    // filter reaches the parquet scan exactly as in s07
+    topKPerProbe(embeddings(s, d)
+      .filter(col("label") < S07_MAX_LABEL)
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
+      .join(cand, Seq("vec_id"))
+      .join(probeFrame(s, d), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"),
+          DIM).as("cos")))
+  }
+
   // -- s08: truncated-dimension two-stage kNN join -----------------------
   // The Matryoshka/dimension-pruning serving shape: stage 1 scores every
   // (corpus, probe) pair on only the FIRST 16 of 64 dimensions and keeps
@@ -1099,6 +1143,7 @@ object Similarity {
     "s04b_ann_pq_prebuilt" -> (s04b _),
     "s05_knn_join_exact" -> (s05 _),
     "s05b_knn_join_lsh" -> (s05b _),
+    "s13_ann_filtered_ivf" -> (s13 _),
     "s06_range_search" -> (s06 _),
     "s07_knn_join_filtered" -> (s07 _),
     "s08_knn_join_truncated" -> (s08 _),

@@ -39,6 +39,8 @@ class PlanHygieneSpec extends SparkSpec {
     "s09_hybrid_rrf", // vector leg = s01's 1-row query-frame cross
     "s10_mmr_rerank", // s01's 1-row query-frame cross feeds the pool
     "s11_index_quality", // rides s05's bounded probe-panel cross
+    "s13_ann_filtered_ivf", // 10-probe × K-centroid cell scoring only;
+    // candidates come from the cid equi-join (spec-asserted)
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 

@@ -182,6 +182,37 @@ class SimilaritySpec extends SparkSpec {
       s"label predicate must be pushed into the scan:\n$plan")
   }
 
+  test("s13 filtered IVF ANN: qualifying-only, recall vs s07, no nested loop") {
+    val df = Similarity.s13(spark, sfDir)
+    val got = df.collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // pre-filter semantics on the candidate set: every served
+    // neighbour satisfies the predicate
+    got.foreach { r =>
+      assert(labels(r.getLong(2)) < Similarity.S07_MAX_LABEL) }
+    // recall measured against s07's oracle-checked exact answer
+    val exact = Similarity.s07(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val approx = got.map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      (ids & approx.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 = $mean per-probe $recalls")
+    // candidates come from the cid equi-join against the persisted
+    // cells table: the ONLY nested loop licensed is the bounded
+    // 10-probe × K-centroid cell scoring (constants, not the corpus)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      s"exactly one bounded probe×centroid loop allowed:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ivf_cells"), "must read the persisted index")
+  }
+
   test("s08 truncated-dim two-stage kNN: rank dominance and pinned recall") {
     def perProbe(df: org.apache.spark.sql.DataFrame) =
       df.collect()
