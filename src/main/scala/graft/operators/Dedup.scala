@@ -1214,18 +1214,20 @@ object Dedup {
     // verification uses the full index, so jaccard values are exact
     "d02_dedup_ngram_jaccard" -> D02_SQL,
     // the same banding over d02's pair SQL; rounded-jaccard boundary
-    // compares identically on both engines
+    // compares identically on both engines. Single pass over the
+    // unnested pair endpoints (each pair contributes exactly 2 rows, so
+    // count/2 = n_pairs) — a two-branch join here makes DuckDB inline
+    // and recompute the whole shingle pipeline twice (spill-bombed the
+    // sf10 gate).
     "d14_threshold_curve" ->
       s"""WITH p AS ($D02_SQL),
          |b AS (SELECT CASE WHEN jaccard < 0.8 THEN '0.7-0.8'
          |   WHEN jaccard < 0.9 THEN '0.8-0.9'
-         |   ELSE '0.9-1.0' END AS band, doc_a, doc_b FROM p)
-         |SELECT band, n_pairs, n_docs FROM
-         | (SELECT band, COUNT(*) AS n_pairs FROM b GROUP BY 1) x
-         | JOIN (SELECT band, COUNT(DISTINCT doc) AS n_docs FROM (
-         |   SELECT band, unnest([doc_a, doc_b]) AS doc FROM b)
-         |  GROUP BY 1) y USING (band)
-         |ORDER BY band""".stripMargin,
+         |   ELSE '0.9-1.0' END AS band, doc_a, doc_b FROM p),
+         |u AS (SELECT band, unnest([doc_a, doc_b]) AS doc FROM b)
+         |SELECT band, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+         | COUNT(DISTINCT doc) AS n_docs
+         |FROM u GROUP BY band ORDER BY band""".stripMargin,
     // d02's pair SQL verbatim (nested WITH), sources tagged by two
     // doc→source joins, upper-triangle via least/greatest
     "d13_cross_source_dup" ->
