@@ -163,6 +163,44 @@ object Panels {
     cohort(eventsDf.join(
       broadcast(patientSet.select("user_id")), Seq("user_id"), "left_semi"), cd)
 
+  /** CONSORT-style attrition flow — the eligibility ladder every study
+    * protocol reports: panels applied IN ORDER, with the count of
+    * patients still eligible after each step (step 0 = everyone
+    * assessed, i.e. any fact in the window). The naive form runs K
+    * cohort queries (K fact scans); this compiles the whole ladder into
+    * the SAME one-pass shape as [[cohort]]: one conditional-aggregate
+    * scan gives every per-user panel count, the prefix conjunctions are
+    * free column arithmetic on the collapsed user frame, and ONE final
+    * rollup emits all K+1 survivor counts — a K-step ladder costs
+    * exactly one fact scan + one user_id shuffle, independent of K.
+    * PatientScope only (a ladder is a patient-level construct).
+    */
+  def attrition(eventsDf: DataFrame, cd: CohortDef): DataFrame = {
+    require(cd.scope == PatientScope, "attrition is a patient-level ladder")
+    requireModifierSupport(eventsDf, cd.panels)
+    val windowed = Seq(
+      cd.from.map(f => col("ts") >= lit(f).cast("timestamp")),
+      cd.until.map(u => col("ts") < lit(u).cast("timestamp")))
+      .flatten.foldLeft(eventsDf)(_ filter _)
+    val panelCols = cd.panels.zipWithIndex.map { case (p, i) =>
+      count(when(p.concepts.map(conceptMatch).reduce(_ || _), 1)).as(s"p$i")
+    }
+    val perUser = windowed.groupBy(col("user_id"))
+      .agg(panelCols.head, panelCols.tail: _*)
+    val quals = cd.panels.zipWithIndex.map { case (p, i) =>
+      if (p.negated) col(s"p$i") === 0 else col(s"p$i") >= p.minOccurrences
+    }
+    // survived(step i) = panels 0..i-1 all hold — monotone prefix ANDs
+    val prefixes = quals.scanLeft(lit(true))(_ && _)
+    val steps = prefixes.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"n$i")
+    }
+    perUser.agg(steps.head, steps.tail: _*)
+      .select(posexplode(array(prefixes.indices.map(i => col(s"n$i")): _*))
+        .as(Seq("step", "n_surviving")))
+      .transform(Gate.ordered("step"))
+  }
+
   // -- c13: the API exercised through the oracle gate --------------------
   // Panel 1: at least 3 events that are (purchase with value >= 100) OR
   // click; panel 2: NOT error — over the first week of January (the
@@ -497,7 +535,41 @@ object Panels {
       .transform(Gate.ordered("user_id"))
   }
 
+  // -- c46: attrition flow under the gate ----------------------------------
+  // c01's eligibility criteria unrolled into a ladder (assessed →
+  // engaged → paying → clean record): each prefix's survivor count is
+  // re-derived independently by the oracle, so the one-pass compile
+  // must agree with K separate cohort queries at every step — and the
+  // final rung must equal the standalone c01 cohort (PanelsSpec pins
+  // that equality against the independently oracle-checked operator).
+  val c46Def: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("signup"), Concept("view"))),
+      Panel(Seq(Concept("purchase")), minOccurrences = 2),
+      Panel(Seq(Concept("error")), negated = true)),
+    from = Some("2024-01-01"), until = Some("2024-01-08"))
+
+  def c46(s: SparkSession, d: String): DataFrame =
+    attrition(events(s, d), c46Def)
+
+  private val C46_SQL =
+    """WITH f AS (
+      | SELECT user_id,
+      |  COUNT(CASE WHEN event_type IN ('signup', 'view') THEN 1 END) AS p0,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS p1,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS p2
+      | FROM events
+      | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      | GROUP BY user_id)
+      |SELECT 0 AS step, COUNT(*) AS n_surviving FROM f
+      |UNION ALL SELECT 1, COUNT(*) FROM f WHERE p0 >= 1
+      |UNION ALL SELECT 2, COUNT(*) FROM f WHERE p0 >= 1 AND p1 >= 2
+      |UNION ALL SELECT 3, COUNT(*) FROM f
+      | WHERE p0 >= 1 AND p1 >= 2 AND p2 = 0
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c46_attrition_flow" -> (c46 _),
     "c13_panel_cohort_api" -> (c13 _),
     "c13b_panel_value_constraints" -> (c13b _),
     "c13c_panel_prebucketed" -> (c13c _),
@@ -545,6 +617,9 @@ object Panels {
       |ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // every prefix's survivor count re-derived as its own filtered
+    // aggregate — the one-pass ladder must match K separate queries
+    "c46_attrition_flow" -> C46_SQL,
     "c23_patient_set_panel" -> C23_SQL,
     // the saved-set path must answer EXACTLY like the inline path
     "c23b_saved_patient_set" -> C23_SQL,

@@ -723,7 +723,8 @@ object RoundTrip {
     "src13_document_ingest" -> (src13 _),
     "src14_layout_panel" -> (src14 _),
     "src15_snapshot_travel" -> (Snapshots.src15 _),
-    "src17_compaction_snapshot" -> (Snapshots.src17 _)
+    "src17_compaction_snapshot" -> (Snapshots.src17 _),
+    "src20_deletion_vectors" -> (Snapshots.src20 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -755,6 +756,10 @@ object RoundTrip {
     // pre- and post-compaction versions both re-derived from the raw
     // table: the rewrite must change layout only, never a row
     "src17_compaction_snapshot" -> Snapshots.compactionOracle,
+    // pinned pre-delete state + both sidecar-applied states re-derived
+    // from the raw table: the DV anti-join must remove exactly the
+    // predicate's rows
+    "src20_deletion_vectors" -> Snapshots.deletionVectorOracle,
     // the layout changes the plan, never the answer: c01's oracle
     "src14_layout_panel" ->
       graft.operators.Cohort.oracle("c01_panel_cohort"),

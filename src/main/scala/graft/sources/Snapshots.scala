@@ -51,8 +51,18 @@ object Snapshots {
     * simply overwritten), and the commit point is the single HEAD
     * rename at the end.
     */
-  def commit(s: SparkSession, root: String, df: DataFrame): Int =
-    commitWith(s, root, df, v => (1 to v).map(i => s"$root/data/c$i"))
+  def commit(s: SparkSession, root: String, df: DataFrame): Int = {
+    // an append extends the PARENT MANIFEST (not "dirs 1..v" by
+    // convention — a delete commit contributes no data dir, a replace
+    // swapped the set) and carries its deletion vectors forward: new
+    // files can't be referenced by any DV (sidecars name (file, row)
+    // pairs), and rows already deleted must STAY deleted
+    val head = headVersion(s, root)
+    val parentDirs = dirsOf(s, root, head)
+    val parentDvs = dvDirsOf(s, root, head)
+    commitWith(s, root, df, v => parentDirs :+ s"$root/data/c$v",
+      _ => parentDvs)
+  }
 
   /** Commit `df` as the next snapshot whose manifest lists ONLY the new
     * data dir — the REPLACE form the manifest design anticipated: each
@@ -62,21 +72,33 @@ object Snapshots {
     * resolve their own manifests' dirs, which a replace never touches.
     */
   def commitReplace(s: SparkSession, root: String, df: DataFrame): Int =
-    commitWith(s, root, df, v => Seq(s"$root/data/c$v"))
+    commitWith(s, root, df, v => Seq(s"$root/data/c$v"), _ => Seq.empty)
 
   private def commitWith(s: SparkSession, root: String, df: DataFrame,
-      dirsFor: Int => Seq[String],
+      dirsFor: Int => Seq[String], dvsFor: Int => Seq[String],
       maxRecordsPerFile: Option[Long] = None): Int = {
-    val f = fs(s, root)
     val v = headVersion(s, root) + 1
     val dataDir = s"$root/data/c$v"
     val w = df.write.mode("overwrite")
     maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
       .parquet(dataDir)
-    val dirs = dirsFor(v)
+    commitManifest(s, root, v, dirsFor(v), dvsFor(v))
+  }
+
+  /** Write manifest v and swap HEAD to it — the shared tail of every
+    * commit form (append / replace / [[deleteWhere]]'s data-free
+    * deletion-vector commit).
+    */
+  private def commitManifest(s: SparkSession, root: String, v: Int,
+      dirs: Seq[String], dvs: Seq[String]): Int = {
+    val f = fs(s, root)
+    def arr(ps: Seq[String]) = ps.map(p => "\"" + p + "\"").mkString(", ")
     // manifest = explicit dir list (not "1..v" by convention) so a
-    // future compaction/replace commit can swap file sets freely
-    val manifest = s"""{"version": $v, "dirs": [${dirs.map(p => "\"" + p + "\"").mkString(", ")}]}"""
+    // future compaction/replace commit can swap file sets freely;
+    // "dvs" lists deletion-vector sidecars (absent = none, so every
+    // pre-DV manifest keeps parsing)
+    val manifest =
+      s"""{"version": $v, "dirs": [${arr(dirs)}], "dvs": [${arr(dvs)}]}"""
     val mTmp = new Path(s"$root/manifests/v$v.json.tmp")
     val mFin = new Path(s"$root/manifests/v$v.json")
     writeFile(f, mTmp, manifest)
@@ -126,21 +148,97 @@ object Snapshots {
       : DataFrame = {
     val v = version.getOrElse(headVersion(s, root))
     require(v > 0, s"no snapshot at $root")
-    s.read.parquet(dirsOf(s, root, v): _*)
+    val base = s.read.parquet(dirsOf(s, root, v): _*)
+    val dvs = dvDirsOf(s, root, v)
+    if (dvs.isEmpty) base
+    else {
+      // merge-on-read: anti-join the (file, row-position) sidecar rows
+      // out of the scan. Positions come from the parquet reader itself
+      // (_metadata.row_index — no stored row ids, no table rewrite);
+      // the sidecar holds ONLY deleted positions, so it broadcasts, and
+      // the scan side stays a plain pruned/pushed-down parquet scan.
+      val cols = base.columns.map(col)
+      val dv = broadcast(s.read.parquet(dvs: _*)
+        .select(col("file_path").as("_dv_fp"), col("row_index").as("_dv_ri"))
+        .distinct())
+      s.read.parquet(dirsOf(s, root, v): _*)
+        .select(cols :+ col("_metadata.file_path").as("_graft_fp")
+          :+ col("_metadata.row_index").as("_graft_ri"): _*)
+        .join(dv, col("_graft_fp") === col("_dv_fp") &&
+          col("_graft_ri") === col("_dv_ri"), "left_anti")
+        .drop("_graft_fp", "_graft_ri")
+    }
+  }
+
+  /** Deletion-vector DELETE — the lakehouse merge-on-read delete: rows
+    * matching `cond` at HEAD are recorded as (file, row-position) pairs
+    * in a sidecar, and the commit is a new manifest referencing the SAME
+    * immutable data files plus the sidecar. No data file is rewritten —
+    * a delete of 100 rows in a 100 TB table costs one small parquet
+    * write — and pinned readers of older versions are untouched. The
+    * candidate scan runs over [[read]] (which already applies earlier
+    * sidecars), so re-deleting a dead row never double-records it.
+    * Physical purge stays [[compact]]'s job: it reads the DV-applied
+    * state and commits a REPLACE with no sidecars, materializing every
+    * outstanding delete (the erasure story: deleteWhere = instant
+    * logical removal, compact = the physical rewrite src11 does eagerly,
+    * on the operator's schedule).
+    */
+  def deleteWhere(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Int = {
+    val head = headVersion(s, root)
+    require(head > 0, s"no snapshot at $root")
+    val v = head + 1
+    val dvDir = s"$root/dv/c$v"
+    val dvs = dvDirsOf(s, root, head)
+    // the candidate scan carries its own positions (_metadata is a scan
+    // column, not a join output), with earlier sidecars anti-joined out
+    // so an already-deleted row never double-records
+    val scan = s.read.parquet(dirsOf(s, root, head): _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"), col("*"))
+    val live =
+      if (dvs.isEmpty) scan
+      else scan.join(broadcast(s.read.parquet(dvs: _*)
+          .select(col("file_path").as("_dv_fp"),
+            col("row_index").as("_dv_ri")).distinct()),
+        col("file_path") === col("_dv_fp") &&
+          col("row_index") === col("_dv_ri"), "left_anti")
+    live.filter(cond).select("file_path", "row_index")
+      .write.mode("overwrite").parquet(dvDir)
+    commitManifest(s, root, v, dirsOf(s, root, head), dvs :+ dvDir)
   }
 
   /** The data dirs a version's manifest lists (v0 = the empty table —
     * the bootstrap anchor for [[changesBetween]]).
     */
   private[graft] def dirsOf(s: SparkSession, root: String, v: Int)
-      : Seq[String] = {
-    if (v == 0) return Seq.empty
+      : Seq[String] = arrayOf(manifestOf(s, root, v), "dirs")
+
+  /** The deletion-vector sidecar dirs a version's manifest lists
+    * (absent key = none — pre-DV manifests parse unchanged).
+    */
+  private[graft] def dvDirsOf(s: SparkSession, root: String, v: Int)
+      : Seq[String] =
+    if (v == 0) Seq.empty else arrayOf(manifestOf(s, root, v), "dvs")
+
+  private def manifestOf(s: SparkSession, root: String, v: Int): String = {
+    if (v == 0) return """{"dirs": []}"""
     val f = fs(s, root)
     val in = f.open(new Path(s"$root/manifests/v$v.json"))
-    val manifest =
-      try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    "\"([^\"]+)\"".r.findAllMatchIn(
-      manifest.substring(manifest.indexOf('['))).map(_.group(1)).toSeq
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  /** The quoted strings of the named JSON array (the manifest grammar
+    * is ours and flat, so a keyed scan is exact).
+    */
+  private def arrayOf(manifest: String, key: String): Seq[String] = {
+    val k = manifest.indexOf("\"" + key + "\"")
+    if (k < 0) return Seq.empty
+    val start = manifest.indexOf('[', k)
+    val end = manifest.indexOf(']', start)
+    "\"([^\"]+)\"".r.findAllMatchIn(manifest.substring(start, end + 1))
+      .map(_.group(1)).toSeq
   }
 
   /** Incremental read — the change feed between two committed versions,
@@ -164,6 +262,10 @@ object Snapshots {
     require(base.subsetOf(target.toSet),
       s"v$va..v$vb is not append-lineage (a replace commit intervened); " +
         "read the versions and diff by the writer's merge key instead")
+    require(dvDirsOf(s, root, va) == dvDirsOf(s, root, vb),
+      s"v$va..v$vb crosses a delete commit (new deletion vectors): the " +
+        "logical change includes row REMOVALS a file-add feed can't " +
+        "express — read the versions and diff by the writer's key instead")
     val added = target.filterNot(base)
     if (added.isEmpty) s.emptyDataFrame
     else s.read.parquet(added: _*)
@@ -185,7 +287,10 @@ object Snapshots {
     * laid-out state. A crash mid-compaction leaves HEAD untouched —
     * the half-written c<v+1> dir is an invisible orphan the next
     * commit at that version overwrites (the names-from-new-version
-    * discipline). Returns the new version.
+    * discipline). Reads the DV-APPLIED state and commits with no
+    * sidecars, so compaction also materializes every outstanding
+    * [[deleteWhere]] — the physical-purge half of the erasure story.
+    * Returns the new version.
     */
   def compact(s: SparkSession, root: String, clusterBy: Seq[String],
       maxRecordsPerFile: Long = 1000000): Int = {
@@ -194,7 +299,7 @@ object Snapshots {
       if (clusterBy.isEmpty) cur.coalesce(s.sparkContext.defaultParallelism)
       else cur.repartition(clusterBy.map(col): _*)
     commitWith(s, root, clustered, v => Seq(s"$root/data/c$v"),
-      Some(maxRecordsPerFile))
+      _ => Seq.empty, Some(maxRecordsPerFile))
   }
 
   /** Parquet file count under a version's data dirs (the compaction
@@ -326,4 +431,56 @@ object Snapshots {
        | WHERE ts >= TIMESTAMP '$c1'
        |ORDER BY from_v, to_v""".stripMargin
   }
+
+  // -- src20: deletion-vector deletes (merge-on-read) ---------------------
+  // Two append commits, then two deleteWhere batches — a patient-id
+  // erasure and a selective event purge — each a data-free sidecar
+  // commit. The output reads the pre-delete version (pinned history
+  // must still show every row) and both post-delete versions through
+  // the DV-applying read path; the oracle recomputes all three states
+  // from the raw table with the same predicates, so the sidecar
+  // anti-join must remove EXACTLY the matching rows — no more (a DV
+  // naming a live row), no fewer (a missed file/position). RoundTripSpec
+  // covers the no-data-files-written claim, compaction materializing
+  // the sidecars away, and the change-feed refusal across a delete.
+  private val SRC20_MOD7 = 3L // delete batch 1: user_id % 7 = 3
+  private val SRC20_MOD5 = 0L // delete batch 2: errors of user_id % 5 = 0
+
+  private[graft] def buildSrc20(s: SparkSession, d: String): String = {
+    val root = s"${graft.Scratch.dir}/src20_snap/${graft.Scratch.tag(d)}"
+    if (headVersion(s, root) != 4) {
+      fs(s, root).delete(new Path(root), true)
+      val ev = events(s, d)
+      commit(s, root, ev.filter(col("ts") < lit(SPLIT_DAY).cast("timestamp")))
+      commit(s, root, ev.filter(col("ts") >= lit(SPLIT_DAY).cast("timestamp")))
+      deleteWhere(s, root, col("user_id") % 7 === SRC20_MOD7)
+      deleteWhere(s, root,
+        col("event_type") === "error" && col("user_id") % 5 === SRC20_MOD5)
+    }
+    root
+  }
+
+  def src20(s: SparkSession, d: String): DataFrame = {
+    val root = buildSrc20(s, d)
+    Seq(2, 3, 4).map { v =>
+      read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+      .transform(Gate.ordered("version"))
+  }
+
+  val deletionVectorOracle: String =
+    s"""SELECT 2 AS version, COUNT(*) AS n_rows,
+       | COUNT(DISTINCT user_id) AS n_users FROM events
+       |UNION ALL
+       |SELECT 3, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       | WHERE NOT (user_id % 7 = $SRC20_MOD7)
+       |UNION ALL
+       |SELECT 4, COUNT(*), COUNT(DISTINCT user_id) FROM events
+       | WHERE NOT (user_id % 7 = $SRC20_MOD7)
+       |  AND NOT (event_type = 'error' AND user_id % 5 = $SRC20_MOD5)
+       |ORDER BY version""".stripMargin
 }

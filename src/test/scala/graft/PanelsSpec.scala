@@ -445,4 +445,30 @@ class PanelsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaSearch == explicit && viaSearch.nonEmpty)
   }
+
+  test("c46 attrition ladder: monotone, anchored to cohort(), one fact scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val flow = Panels.attrition(ev, Panels.c46Def).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a ladder only sheds patients: monotone non-increasing
+    (1 to 3).foreach(i => assert(flow(i) <= flow(i - 1),
+      s"step $i grew: ${flow(i)} > ${flow(i - 1)}"))
+    // step 0 = everyone assessed (any fact in the window)
+    val assessed = ev
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select("user_id").distinct().count()
+    assert(flow(0) == assessed)
+    // the final step IS the cohort — and c46Def unrolls c01's criteria,
+    // so the last rung must equal the independently oracle-checked c01
+    assert(flow(3) == Panels.cohort(ev, Panels.c46Def).count())
+    assert(flow(3) == graft.operators.Cohort.c01(spark, sfDir).count())
+    assert(flow(3) > 0, "vacuous ladder — tighten the test definition")
+    // the whole K-step ladder reads the fact table ONCE
+    val plan = Panels.attrition(ev, Panels.c46Def)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 fact scan, got $scans:\n$plan")
+  }
 }

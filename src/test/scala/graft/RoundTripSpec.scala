@@ -595,4 +595,75 @@ class RoundTripSpec extends SparkSpec {
       Snapshots.changesBetween(spark, root2, 1, 3)
     }
   }
+
+  test("src20 deletion vectors: data-free commits, exact removal, pinned history") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val root = Snapshots.buildSrc20(spark, sfDir)
+    // a delete commit writes NO data files: v3/v4 list exactly v2's
+    // data dirs, so the delete's cost is the sidecar alone
+    assert(Snapshots.dirsOf(spark, root, 3) == Snapshots.dirsOf(spark, root, 2))
+    assert(Snapshots.dirsOf(spark, root, 4) == Snapshots.dirsOf(spark, root, 2))
+    assert(Snapshots.dvDirsOf(spark, root, 2).isEmpty)
+    assert(Snapshots.dvDirsOf(spark, root, 3).size == 1)
+    assert(Snapshots.dvDirsOf(spark, root, 4).size == 2)
+    // the DV-applied read removes EXACTLY the predicate's rows: same
+    // event_id set as the raw-table filter, both directions
+    val ev = Tables.events(spark, sfDir)
+    val expect3 = ev.filter(!(col("user_id") % 7 === 3)).select("event_id")
+    val got3 = Snapshots.read(spark, root, Some(3)).select("event_id")
+    assert(got3.exceptAll(expect3).isEmpty && expect3.exceptAll(got3).isEmpty)
+    // pinned pre-delete history still shows every row
+    assert(Snapshots.read(spark, root, Some(2)).count() == ev.count())
+    // the sidecar side of the anti-join broadcasts; the scan side stays
+    // a parquet scan (no shuffle added by merge-on-read)
+    val plan = Snapshots.read(spark, root, Some(4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV merge not a broadcast anti-join:\n$plan")
+  }
+
+  test("src20 deletion vectors: no-op erasure, purge on compact, feed refusal") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val root = s"${graft.Scratch.dir}/src20_mut_test"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir).limit(300).cache()
+    Snapshots.commit(spark, root, ev.filter(col("event_id") < 150))
+    Snapshots.commit(spark, root, ev.filter(col("event_id") >= 150))
+    // an erasure request matching nothing is a safe no-op commit
+    Snapshots.deleteWhere(spark, root, col("user_id") === -1L)
+    assert(Snapshots.read(spark, root).count() == ev.count())
+    Snapshots.deleteWhere(spark, root, col("user_id") % 3 === 1)
+    val live = Snapshots.read(spark, root)
+    val expected = ev.filter(!(col("user_id") % 3 === 1))
+    assert(live.count() == expected.count())
+    // an APPEND after a delete carries the sidecars forward: deleted
+    // rows stay dead, the appended rows all land
+    Snapshots.commit(spark, root, ev.limit(0)) // empty append, v5
+    assert(Snapshots.dvDirsOf(spark, root, 5).size == 2)
+    assert(Snapshots.read(spark, root).count() == expected.count())
+    // a deleted row is NOT double-recorded by a later overlapping delete
+    Snapshots.deleteWhere(spark, root, col("user_id") % 3 === 1) // v6
+    val dv6 = spark.read.parquet(Snapshots.dvDirsOf(spark, root, 6): _*)
+    assert(dv6.count() == dv6.distinct().count())
+    assert(dv6.count() == ev.count() - expected.count())
+    // compact materializes every outstanding delete: same rows, no
+    // sidecars, and the pinned pre-compaction version is untouched
+    val vPre = Snapshots.headVersion(spark, root)
+    val vPost = Snapshots.compact(spark, root, Seq("user_id"))
+    assert(Snapshots.dvDirsOf(spark, root, vPost).isEmpty)
+    val post = Snapshots.read(spark, root, Some(vPost)).select("event_id")
+    val pre = Snapshots.read(spark, root, Some(vPre)).select("event_id")
+    assert(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty)
+    // the change feed refuses a range crossing a delete commit (the
+    // logical change includes removals), and still answers before it
+    assert(Snapshots.changesBetween(spark, root, 1, 2).count() > 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 2, 4)
+    }
+    ev.unpersist()
+  }
 }
