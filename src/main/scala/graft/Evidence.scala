@@ -94,6 +94,12 @@ object Evidence {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val s13Mean = s07exact.map { case (k, ids) =>
       recall(s13.getOrElse(k, Set.empty), ids) }.sum / s07exact.size
+    // s14's reference: the exact top-k over the SURVIVING corpus
+    val s14Exact = {
+      val tomb = s.read.parquet(
+        operators.Similarity.ensureTombstones(s, d))
+      topIds(operators.Similarity.exactTopKExcluding(s, d, tomb))
+    }
 
     val d04pairs = run("d04_dedup_simhash")
     val d04strict = d04pairs.collect()
@@ -176,6 +182,12 @@ object Evidence {
         "mean_recall_at_10_vs_s05", s05bMean, 0.7, ">="),
       Item("s13_ann_filtered_ivf", "recall",
         "mean_recall_at_10_vs_s07", s13Mean, 0.7, ">="),
+      // recall over the SURVIVING corpus: exact = s01's frame minus the
+      // tombstoned ids (truth shrinks with the deletes, got must track
+      // it); purged-index twin equality is pinned in SimilaritySpec
+      Item("s14_ann_tombstones", "recall",
+        "recall_at_10_vs_exact_minus_deleted",
+        recall(topIds(run("s14_ann_tombstones")), s14Exact), 0.7, ">="),
       Item("s10_mmr_rerank", "twin-equality",
         "rank1_is_s01_top1",
         if (run("s10_mmr_rerank").collect().head.getLong(1) ==

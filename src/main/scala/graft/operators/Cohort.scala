@@ -1087,7 +1087,86 @@ object Cohort {
           .as("eras_per_100_person_days"))
       .transform(Gate.ordered("event_type"))
 
+  // -- c47: log-rank two-group survival comparison -------------------------
+  // The hypothesis-test face c38's single curve can't give: are two
+  // cohorts' time-to-event distributions different? (Exposed vs
+  // unexposed, treatment vs control — the standard companion to every
+  // published KM plot.) Groups come from the patient dimension (the
+  // c24 demographic join: segment membership as the exposure); the
+  // time-to-event frame IS c38's (signup → first purchase, censored at
+  // the horizon), so curve and test can't fork definitions. At each
+  // event day t: O1 observed group-1 events, E1 expected under H0 =
+  // o_t·n1_t/n_t, hypergeometric variance v_t; χ² = (O1−E1)²/V.
+  //
+  // Determinism discipline: risk sets are all-integer suffix sums over
+  // the day-granular frame (c38's bounded single-partition window —
+  // frame size = the day span, never the corpus); each e1/v term is ONE
+  // fixed-parenthesization double expression rounded to 6 dp and summed
+  // as exact decimal, so partitioning and engine cannot wiggle the sum;
+  // χ² derives from the already-rounded totals.
+  private[graft] val C47_EXPOSED_SEGMENTS =
+    Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+
+  def c47(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val base = events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("s0_us",
+        min(when(col("event_type") === "signup", col("us"))).over(wu))
+      .filter(col("s0_us").isNotNull)
+    val horizon = events(s, d).agg(max(unix_micros(col("ts"))).as("h_us"))
+    val grp = customer(s, d).select(col("c_custkey").as("user_id"),
+      when(col("c_mktsegment").isin(C47_EXPOSED_SEGMENTS: _*), 1L)
+        .otherwise(0L).as("grp"))
+    val perUser = base
+      .groupBy(col("user_id"))
+      .agg(min(col("s0_us")).as("s0_us"),
+        min(when(col("event_type") === "purchase" && col("us") >= col("s0_us"),
+          col("us"))).as("ev_us"))
+      .join(grp, Seq("user_id"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("ev_us"), col("h_us")) - col("s0_us")) /
+          lit(86400000000L)).as("t_day"),
+        when(col("ev_us").isNotNull, 1L).otherwise(0L).as("observed"),
+        col("grp"))
+    val byDay = perUser
+      .groupBy(col("t_day"))
+      .agg(count(lit(1)).as("m"), sum(col("grp")).as("m1"),
+        sum(col("observed")).as("o"),
+        sum(col("observed") * col("grp")).as("o1"))
+    val wSuffix = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def dbl(c: Column) = c.cast("double")
+    val terms = byDay
+      .withColumn("n", sum(col("m")).over(wSuffix))
+      .withColumn("n1", sum(col("m1")).over(wSuffix))
+      .filter(col("o") > 0)
+      .withColumn("e1_t", round(
+        dbl(col("o")) * dbl(col("n1")) / dbl(col("n")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("v_t", round(
+        when(col("n") > 1,
+          dbl(col("o")) * (dbl(col("n1")) / dbl(col("n"))) *
+            (dbl(col("n") - col("n1")) / dbl(col("n"))) *
+            (dbl(col("n") - col("o")) / dbl(col("n") - lit(1))))
+          .otherwise(lit(0.0)), 6)
+        .cast("decimal(18,6)"))
+    val tot = terms.agg(
+      sum(col("o1")).as("o1"),
+      round(sum(col("e1_t")), 6).cast("double").as("e1"),
+      round(sum(col("v_t")), 6).cast("double").as("v"))
+    val sizes = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("grp")).as("n1_users"))
+    tot.crossJoin(broadcast(sizes))
+      .select(col("n_users"), col("n1_users"), col("o1"), col("e1"), col("v"),
+        when(col("v") > 0,
+          round((col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v"),
+            6)).as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c47_logrank" -> (c47 _),
     "c44_condition_eras" -> (c44 _),
     "c45_person_time" -> (c45 _),
     "c41_standardized_rates" -> (c41 _),
@@ -1279,6 +1358,60 @@ object Cohort {
     // ln/exp only on the final ratio, zero_seen guard pins the
     // everyone-fails day to exactly 0.0 (Spark ln(0) is null, DuckDB
     // -inf — neither reaches the output)
+    // c38's time-to-event CTEs with the demographic group joined in;
+    // every integer risk set re-derived, the same fixed-parenthesization
+    // double term rounded per day, exact decimal sums
+    "c47_logrank" -> {
+      val segs = C47_EXPOSED_SEGMENTS.map(x => s"'$x'").mkString(", ")
+      s"""WITH base AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |   OVER (PARTITION BY user_id) AS s0_us
+        | FROM events),
+        |h AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+        |pu AS (
+        | SELECT user_id, MIN(s0_us) AS s0_us,
+        |  MIN(CASE WHEN event_type = 'purchase' AND us >= s0_us
+        |    THEN us END) AS ev_us
+        | FROM base WHERE s0_us IS NOT NULL GROUP BY 1),
+        |g AS (
+        | SELECT CAST(FLOOR((COALESCE(p.ev_us, h.h_us) - p.s0_us)
+        |    / 86400000000) AS BIGINT) AS t_day,
+        |  CASE WHEN p.ev_us IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        |  CASE WHEN c.c_mktsegment IN ($segs) THEN 1 ELSE 0 END AS grp
+        | FROM pu p JOIN customer c ON p.user_id = c.c_custkey CROSS JOIN h),
+        |days AS (
+        | SELECT t_day, CAST(COUNT(*) AS BIGINT) AS m,
+        |  CAST(SUM(grp) AS BIGINT) AS m1,
+        |  CAST(SUM(observed) AS BIGINT) AS o,
+        |  CAST(SUM(observed * grp) AS BIGINT) AS o1
+        | FROM g GROUP BY 1),
+        |r AS (
+        | SELECT *, CAST(SUM(m) OVER ws AS BIGINT) AS n,
+        |  CAST(SUM(m1) OVER ws AS BIGINT) AS n1
+        | FROM days
+        | WINDOW ws AS (ORDER BY t_day
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |terms AS (
+        | SELECT o1,
+        |  CAST(ROUND(CAST(o AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS e1_t,
+        |  CAST(ROUND(CASE WHEN n > 1 THEN
+        |    CAST(o AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (CAST(n - o AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |   ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS v_t
+        | FROM r WHERE o > 0),
+        |sizes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(grp) AS BIGINT) AS n1_users FROM g),
+        |tot AS (SELECT CAST(SUM(o1) AS BIGINT) AS o1,
+        |  CAST(ROUND(SUM(e1_t), 6) AS DOUBLE) AS e1,
+        |  CAST(ROUND(SUM(v_t), 6) AS DOUBLE) AS v FROM terms)
+        |SELECT s.n_users, s.n1_users, t.o1, t.e1, t.v,
+        | CASE WHEN t.v > 0
+        |   THEN ROUND((t.o1 - t.e1) * (t.o1 - t.e1) / t.v, 6) END AS chi2
+        |FROM tot t CROSS JOIN sizes s""".stripMargin
+    },
     "c38_survival_km" ->
       """WITH base AS (
         | SELECT user_id, event_type, epoch_us(ts) AS us,

@@ -80,6 +80,23 @@ object Similarity {
       .limit(K)
       .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
 
+  /** s01's exact answer over the corpus MINUS an excluded id set —
+    * s14's recall reference (Evidence): truth shrinks with the deletes.
+    */
+  private[graft] def exactTopKExcluding(s: SparkSession, d: String,
+      excluded: DataFrame): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .join(broadcast(excluded.select("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(K)
+      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+
   // -- s02: LSH-bucketed approximate top-k -------------------------------
   // Bucket index: explode vectors to (vec, dim, x) rows, broadcast-join
   // the 4096-row hyperplane table, and reduce with codegen'd aggregates —
@@ -705,6 +722,99 @@ object Similarity {
           DIM).as("cos")))
   }
 
+  // -- s14: tombstoned ANN + index purge (the DELETE lifecycle) ----------
+  // The maintenance problem every production vector index has and
+  // src11/src20 solve for the fact lake: an erasure request (GDPR, a
+  // retracted document) must take effect at QUERY time immediately,
+  // without retraining the quantizer or rewriting the corpus-sized
+  // cells table. Tombstones are an append-only id table (two batches
+  // here — the delete-queue shape); the query path anti-joins them out
+  // of the candidate set BEFORE the exact re-rank, so a deleted vector
+  // can never surface and qualifying neighbours past it are promoted
+  // (the pre-filter discipline s07/s13 established — post-filtering a
+  // top-k loses rank-k+1 survivors). purgeTombstones is the compaction
+  // half: rewrite the cells table without tombstoned rows — centroids
+  // UNCHANGED (deletes don't retrain a quantizer; cell geometry decays
+  // only under distribution drift, which s11's recall monitor owns) —
+  // after which the anti-join is a no-op. SimilaritySpec proves the
+  // live-tombstone and purged-index answers byte-identical and pins
+  // recall vs the exact answer over the surviving corpus; Evidence
+  // exports both. Rows-only (candidate generation is k-means-seeded).
+  private[graft] def tombstonePath(d: String): String =
+    s"${graft.Scratch.dir}/ann_tombstones/${sanitize(d)}"
+
+  /** Build-once append-only delete queue: two deterministic batches. */
+  private[graft] def ensureTombstones(s: SparkSession, d: String): String = {
+    val path = tombstonePath(d)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val ids = embeddings(s, d).select(col("vec_id"))
+      ids.filter(col("vec_id") % 9 === 2)
+        .write.mode("append").parquet(path)
+      ids.filter(col("vec_id") % 23 === 5)
+        .write.mode("append").parquet(path)
+    }
+    path
+  }
+
+  def s14(s: SparkSession, d: String): DataFrame = {
+    val (cellsT, centT) = ensureIvfIndex(s, d)
+    val tomb = broadcast(
+      s.read.parquet(ensureTombstones(s, d)).select("vec_id").distinct())
+    val probed = broadcast(s.table(centT)
+      .crossJoin(queryVec(s, d))
+      .select(col("cid"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(IVF_NPROBE).select("cid"))
+    val candidates = s.table(cellsT)
+      .join(probed, Seq("cid"), "left_semi")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .select("vec_id").distinct()
+    rerank(s, d, candidates)
+  }
+
+  /** Purge: the cells table rewritten without tombstoned rows, as a NEW
+    * versioned table (the encode-layout-in-the-name discipline — s03b's
+    * readers keep their unpurged table; a purge is a new index state,
+    * not an in-place mutation). Returns the purged cells table name.
+    */
+  private[graft] def purgeTombstones(s: SparkSession, d: String): String = {
+    val (cellsT, _) = ensureIvfIndex(s, d)
+    val tombP = ensureTombstones(s, d)
+    val purgedT = s"${cellsT}_purged"
+    if (!s.catalog.tableExists(purgedT)) {
+      val tomb = broadcast(
+        s.read.parquet(tombP).select("vec_id").distinct())
+      s.table(cellsT).join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite")
+        .option("path", s"$scratch/ivf_cells_purged/${sanitize(d)}")
+        .saveAsTable(purgedT)
+    }
+    purgedT
+  }
+
+  /** s14's answer served from the PURGED index with no tombstone
+    * anti-join — SimilaritySpec proves it byte-identical to [[s14]].
+    */
+  private[graft] def s14Purged(s: SparkSession, d: String): DataFrame = {
+    val (_, centT) = ensureIvfIndex(s, d)
+    val purgedT = purgeTombstones(s, d)
+    val probed = broadcast(s.table(centT)
+      .crossJoin(queryVec(s, d))
+      .select(col("cid"),
+        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+      .orderBy(col("score").desc, col("cid"))
+      .limit(IVF_NPROBE).select("cid"))
+    val candidates = s.table(purgedT)
+      .join(probed, Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .select("vec_id").distinct()
+    rerank(s, d, candidates)
+  }
+
   // -- s08: truncated-dimension two-stage kNN join -----------------------
   // The Matryoshka/dimension-pruning serving shape: stage 1 scores every
   // (corpus, probe) pair on only the FIRST 16 of 64 dimensions and keeps
@@ -1144,6 +1254,7 @@ object Similarity {
     "s05_knn_join_exact" -> (s05 _),
     "s05b_knn_join_lsh" -> (s05b _),
     "s13_ann_filtered_ivf" -> (s13 _),
+    "s14_ann_tombstones" -> (s14 _),
     "s06_range_search" -> (s06 _),
     "s07_knn_join_filtered" -> (s07 _),
     "s08_knn_join_truncated" -> (s08 _),

@@ -467,6 +467,44 @@ object TextAnalysis {
       .transform(Gate.ordered("lang", "rk"))
   }
 
+  // -- t22: per-rule quality gate (the Gopher-rules shape) ---------------
+  // t02 gives ONE blended score; production filtering pipelines
+  // (Gopher/Rae et al. 2021 §A1.1; C4's heuristics) ship a RULE LIST,
+  // because the ops question is never "what's the score" but "WHICH
+  // rule killed my document" — per-rule pass/fail flags per document,
+  // plus the kept verdict (all rules pass). Five rules over the same
+  // whitespace tokenizer every t-operator shares: token-count band,
+  // mean-word-length band, minimum stopword evidence, lexical-diversity
+  // floor (integer-compare form: n_distinct·2 ≥ n_tokens — no double
+  // boundary), and a max-word-length cap. One scan, one projection —
+  // every rule is codegen'd column arithmetic; the only HOF is the
+  // per-doc max-word-length transform over a ≤10²-token array.
+  // Thresholds sit inside this corpus's measured ranges so every rule
+  // fires both ways at every SF (TextAnalysisSpec pins non-vacuity).
+  def t22(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        stopwordHits("w", stopwords("en")).as("stop_hits"),
+        array_max(transform(col("w"), t => length(t))).as("max_word"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 80)
+          .cast("int").as("r_words"),
+        (col("n_chars").cast("double") / col("n_tokens") >= 4.0 &&
+          col("n_chars").cast("double") / col("n_tokens") < 5.0)
+          .cast("int").as("r_meanlen"),
+        (col("stop_hits") >= 2).cast("int").as("r_stop"),
+        (col("n_distinct") * 2 >= col("n_tokens")).cast("int").as("r_distinct"),
+        (col("max_word") <= 7).cast("int").as("r_maxword"))
+      .withColumn("n_failed",
+        lit(5) - col("r_words") - col("r_meanlen") - col("r_stop") -
+          col("r_distinct") - col("r_maxword"))
+      .withColumn("keep", (col("n_failed") === 0).cast("int"))
+      .transform(Gate.ordered("doc_id"))
+
   // -- t16: TF-IDF keyword extraction ------------------------------------
   // The per-document salient-term face (search indexing, topic tagging,
   // near-dup EXPLANATION): top-3 tokens by tf·idf. Scale shape mirrors
@@ -712,6 +750,7 @@ object TextAnalysis {
     "t17_bigram_fluency" -> (t17 _),
     "t01_langid" -> (t01 _),
     "t02_quality_score" -> (t02 _),
+    "t22_gopher_rules" -> (t22 _),
     "t03_token_stats" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_train_split" -> (t05 _),
@@ -1013,6 +1052,33 @@ object TextAnalysis {
       s"""SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, quality
          |FROM $T02_SCORED_SQL
          |ORDER BY doc_id""".stripMargin,
+    // every rule re-derived over the same split-on-space tokenizer;
+    // the diversity rule is the integer-compare form on both engines
+    "t22_gopher_rules" ->
+      s"""WITH f AS (
+         | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  length(replace(text, ' ', '')) AS n_chars,
+         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |  ${sqlHits(stopwords("en"))} AS stop_hits,
+         |  list_max(list_transform(string_split(text, ' '),
+         |    t -> length(t))) AS max_word
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id,
+         |  CAST(n_tokens >= 20 AND n_tokens <= 80 AS INTEGER) AS r_words,
+         |  CAST(CAST(n_chars AS DOUBLE) / n_tokens >= 4.0
+         |   AND CAST(n_chars AS DOUBLE) / n_tokens < 5.0 AS INTEGER)
+         |   AS r_meanlen,
+         |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop,
+         |  CAST(n_distinct * 2 >= n_tokens AS INTEGER) AS r_distinct,
+         |  CAST(max_word <= 7 AS INTEGER) AS r_maxword
+         | FROM f)
+         |SELECT doc_id, r_words, r_meanlen, r_stop, r_distinct, r_maxword,
+         | 5 - r_words - r_meanlen - r_stop - r_distinct - r_maxword
+         |  AS n_failed,
+         | CAST(r_words + r_meanlen + r_stop + r_distinct + r_maxword = 5
+         |  AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "t03_token_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,

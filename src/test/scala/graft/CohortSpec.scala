@@ -625,4 +625,57 @@ class CohortSpec extends SparkSpec {
       assert(math.abs(rate - nE * 100.0 / pd) < 1e-6)
     }
   }
+
+  test("c47 log-rank agrees with an independent driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val r = Cohort.c47(spark, sfDir).collect().head
+    val (nU, n1U, o1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (e1, v) = (r.getDouble(3), r.getDouble(4))
+    assert(n1U > 0 && n1U < nU, "both groups must be populated")
+    assert(v > 0 && r.getDouble(5) >= 0)
+    // independent path: collect the raw tables and run the textbook
+    // per-day log-rank in plain Scala (different code, same math)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val h = ev.map(_._3).max
+    val byUser = ev.groupBy(_._1)
+    val perUser = byUser.toSeq.flatMap { case (u, rows) =>
+      val s0s = rows.filter(_._2 == "signup").map(_._3)
+      if (s0s.isEmpty || !seg.contains(u)) None
+      else {
+        val s0 = s0s.min
+        val evs = rows.filter(x => x._2 == "purchase" && x._3 >= s0).map(_._3)
+        val t = ((if (evs.isEmpty) h else evs.min) - s0) / 86400000000L
+        val grp = if (Cohort.C47_EXPOSED_SEGMENTS.contains(seg(u))) 1 else 0
+        Some((t, if (evs.nonEmpty) 1 else 0, grp))
+      }
+    }
+    assert(perUser.size == nU && perUser.count(_._3 == 1) == n1U)
+    val days = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.count(_._3 == 1).toLong,
+        g.count(_._2 == 1).toLong, g.count(x => x._2 == 1 && x._3 == 1).toLong)
+    }
+    var (atRisk, atRisk1) = (perUser.size.toLong, perUser.count(_._3 == 1).toLong)
+    var (sumO1, sumE1, sumV) = (0L, 0.0, 0.0)
+    days.foreach { case (_, m, m1, o, oG1) =>
+      if (o > 0) {
+        sumO1 += oG1
+        sumE1 += o.toDouble * atRisk1 / atRisk
+        if (atRisk > 1)
+          sumV += o.toDouble * (atRisk1.toDouble / atRisk) *
+            ((atRisk - atRisk1).toDouble / atRisk) *
+            ((atRisk - o).toDouble / (atRisk - 1))
+      }
+      atRisk -= m; atRisk1 -= m1
+    }
+    assert(sumO1 == o1)
+    assert(math.abs(sumE1 - e1) < 1e-3, s"E1 $sumE1 vs $e1")
+    assert(math.abs(sumV - v) < 1e-3, s"V $sumV vs $v")
+    val chi = (sumO1 - sumE1) * (sumO1 - sumE1) / sumV
+    assert(math.abs(chi - r.getDouble(5)) < 1e-2, s"chi2 $chi vs ${r.getDouble(5)}")
+  }
 }

@@ -213,6 +213,40 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("ivf_cells"), "must read the persisted index")
   }
 
+  test("s14 tombstoned ANN: no deleted id served, purge twin identical") {
+    import org.apache.spark.sql.functions.col
+    val live = Similarity.s14(spark, sfDir)
+    val got = live.collect()
+    assert(got.length == 10)
+    // a deleted vector can never surface
+    val dead = spark.read.parquet(
+      Similarity.ensureTombstones(spark, sfDir))
+      .collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty)
+    got.foreach(r => assert(!dead.contains(r.getLong(0)),
+      s"tombstoned ${r.getLong(0)} served"))
+    // the purged index (no anti-join at query time) answers
+    // byte-identically: the tombstone path and the compaction path are
+    // the SAME logical index state
+    val purged = Similarity.s14Purged(spark, sfDir).collect()
+    assert(got.map(_.toSeq).toSeq == purged.map(_.toSeq).toSeq)
+    // purge physically shrank the cells table by exactly the tombstoned
+    // assignments; the centroid table is untouched (no retraining)
+    val (cellsT, _) = Similarity.ensureIvfIndex(spark, sfDir)
+    val purgedT = Similarity.purgeTombstones(spark, sfDir)
+    val nDeadCells = spark.table(cellsT)
+      .filter(col("vec_id").isin(dead.toSeq: _*)).count()
+    assert(nDeadCells > 0)
+    assert(spark.table(purgedT).count() ==
+      spark.table(cellsT).count() - nDeadCells)
+    // recall vs the exact answer over the SURVIVING corpus
+    val exact = Similarity.exactTopKExcluding(spark, sfDir,
+      spark.read.parquet(Similarity.tombstonePath(sfDir)))
+      .collect().map(_.getLong(0)).toSet
+    val rec = (got.map(_.getLong(0)).toSet & exact).size.toDouble / exact.size
+    assert(rec >= 0.7, s"recall@10 over surviving corpus = $rec")
+  }
+
   test("s08 truncated-dim two-stage kNN: rank dominance and pinned recall") {
     def perProbe(df: org.apache.spark.sql.DataFrame) =
       df.collect()

@@ -434,4 +434,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 1))
     assert(got.values.exists(_._3 > 0.3))
   }
+
+  test("t22 every rule fires both ways; verdict arithmetic consistent") {
+    val rows = TextAnalysis.t22(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val ruleCols = Seq("r_words", "r_meanlen", "r_stop", "r_distinct",
+      "r_maxword")
+    // thresholds sit INSIDE the corpus's ranges: a rule that always
+    // passes (or always kills) is decoration, not a filter
+    ruleCols.foreach { c =>
+      val vs = rows.map(_.getAs[Int](c)).toSet
+      assert(vs == Set(0, 1), s"$c never fires both ways: $vs")
+    }
+    rows.foreach { r =>
+      val flags = ruleCols.map(r.getAs[Int](_))
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("n_failed") == 5 - flags.sum)
+      assert((r.getAs[Int]("keep") == 1) == (flags.sum == 5))
+    }
+    // the gate must actually keep something and kill something
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length)
+  }
 }
