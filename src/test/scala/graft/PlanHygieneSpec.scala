@@ -41,6 +41,10 @@ class PlanHygieneSpec extends SparkSpec {
     "s11_index_quality", // rides s05's bounded probe-panel cross
     "s13_ann_filtered_ivf", // 10-probe × K-centroid cell scoring only;
     // candidates come from the cid equi-join (spec-asserted)
+    "s14_ann_tombstones", // s03b's 1-row query × K-centroid probe; the
+    // tombstone exclusion itself is a broadcast ANTI join, never a loop
+    "c47_logrank", // two 1-row broadcasts (censoring horizon, group
+    // sizes) crossed into user- and single-row frames
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 

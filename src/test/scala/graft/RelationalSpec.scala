@@ -355,7 +355,8 @@ class RelationalSpec extends SparkSpec {
       "t04_fingerprint", "m01_multimodal_meta", "q15b_percentiles_approx",
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
       "c20_report_incremental", "s10_mmr_rerank", "s11_index_quality",
-      "s12_ann_ivfpq", "s12b_ann_ivfpq_prebuilt", "s13_ann_filtered_ivf")
+      "s12_ann_ivfpq", "s12b_ann_ivfpq_prebuilt", "s13_ann_filtered_ivf",
+      "s14_ann_tombstones")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }
