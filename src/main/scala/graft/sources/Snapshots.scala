@@ -302,6 +302,35 @@ object Snapshots {
       _ => Seq.empty, Some(maxRecordsPerFile))
   }
 
+  /** VACUUM — truncate history below `keepFrom`: delete every data dir
+    * and deletion-vector sidecar referenced ONLY by manifests older
+    * than `keepFrom`, then the old manifests themselves. This is the
+    * third stage of the erasure lifecycle — [[deleteWhere]] removes a
+    * row logically (instant), [[compact]] materializes a state without
+    * it (the physical rewrite), and vacuum destroys the historical
+    * bytes that still contained it (time travel below `keepFrom` is
+    * deliberately forfeited: that is what a retention policy IS).
+    * Kept versions are untouched — their manifests list their own
+    * dirs, and any dir shared with a dropped version survives the
+    * reference check. Returns the number of directories deleted.
+    */
+  def vacuum(s: SparkSession, root: String, keepFrom: Int): Int = {
+    val head = headVersion(s, root)
+    require(1 <= keepFrom && keepFrom <= head,
+      s"keepFrom $keepFrom outside committed range 1..$head at $root")
+    val f = fs(s, root)
+    val kept = (keepFrom to head).flatMap(v =>
+      dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).toSet
+    val dropped = (1 until keepFrom).flatMap(v =>
+      dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).distinct
+      .filterNot(kept)
+    dropped.foreach(dir => f.delete(new Path(dir), true))
+    (1 until keepFrom).foreach { v =>
+      f.delete(new Path(s"$root/manifests/v$v.json"), false)
+    }
+    dropped.size
+  }
+
   /** Parquet file count under a version's data dirs (the compaction
     * metric RoundTripSpec asserts on).
     */

@@ -983,7 +983,129 @@ object EventStreams {
       .transform(Gate.ordered("day"))
   }
 
+  // ---------------------------------------------------------------- st14
+  // Streaming era building: c44's gap-merge (per (patient, concept),
+  // day-level activity within C44_GAP_DAYS merges into one era) as a
+  // live fold — the feed face of the era table a clinical deployment
+  // maintains continuously. One fold function [[eraAdvance]] is shared
+  // by the batch twin (st02's secondary-sort shape: one shuffle on the
+  // era key, spillable partition sort, constant-memory walk) and the
+  // stream (flatMapGroupsWithState, state = ONE OpenEra per active
+  // (patient, concept) — never a day buffer); the batch twin is the
+  // gate entry and carries c44's oracle VERBATIM, so the stream's
+  // semantics chain to the same SQL. Ordered-ingestion assumption as
+  // st02: days arrive non-decreasing per key across batches (same-day
+  // facts may split across batches and accumulate); a day older than
+  // the open era's end folds its facts in without reopening history.
+  case class DayFact(user_id: Long, event_type: String, epoch_day: Int,
+      n_facts: Long)
+  case class OpenEra(eraSeq: Long, startDay: Int, endDay: Int,
+      nDays: Long, nFacts: Long)
+  case class Era(user_id: Long, event_type: String, era_seq: Long,
+      n_active_days: Long, n_facts: Long, era_start: String,
+      era_end: String, span_days: Int)
+
+  private def fmtDay(epochDay: Int): String =
+    java.time.LocalDate.ofEpochDay(epochDay.toLong).toString
+
+  private def closeEra(u: Long, t: String, o: OpenEra): Era =
+    Era(u, t, o.eraSeq, o.nDays, o.nFacts, fmtDay(o.startDay),
+      fmtDay(o.endDay), o.endDay - o.startDay + 1)
+
+  /** The one era-merge rule (== c44Core's lag/gap window): extend within
+    * the persistence gap, close-and-open past it, accumulate same-day
+    * (or late) facts without double-counting active days.
+    */
+  def eraAdvance(user: Long, etype: String, prior: Option[OpenEra],
+      sorted: Seq[DayFact]): (Vector[Era], Option[OpenEra]) =
+    sorted.foldLeft((Vector.empty[Era], prior)) {
+      case ((closed, None), f) =>
+        (closed, Some(OpenEra(1L, f.epoch_day, f.epoch_day, 1L, f.n_facts)))
+      case ((closed, Some(o)), f) =>
+        if (f.epoch_day <= o.endDay)
+          (closed, Some(o.copy(nFacts = o.nFacts + f.n_facts)))
+        else if (f.epoch_day - o.endDay <= graft.operators.Cohort.C44_GAP_DAYS)
+          (closed, Some(o.copy(endDay = f.epoch_day, nDays = o.nDays + 1,
+            nFacts = o.nFacts + f.n_facts)))
+        else
+          (closed :+ closeEra(user, etype, o),
+            Some(OpenEra(o.eraSeq + 1, f.epoch_day, f.epoch_day, 1L,
+              f.n_facts)))
+    }
+
+  /** The day-level rollup both faces consume (c44Core's first
+    * aggregate): map-side partials collapse facts to (key, day) rows
+    * BEFORE the era key's exchange.
+    */
+  private def dayFacts(s: SparkSession, d: String): Dataset[DayFact] = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_facts"))
+      .select(col("user_id"), col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).as("epoch_day"),
+        col("n_facts"))
+      .as[DayFact]
+  }
+
+  /** Batch twin — the gate entry (c44's oracle verbatim). */
+  def st14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dayFacts(s, d)
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("event_type"), col("epoch_day"))
+      .as[DayFact]
+      .mapPartitions { it =>
+        var curKey: (Long, String) = (Long.MinValue, "")
+        var open: Option[OpenEra] = None
+        val closedRuns = it.flatMap { f =>
+          val key = (f.user_id, f.event_type)
+          val boundary = if (open.isDefined && key != curKey) {
+            val c = closeEra(curKey._1, curKey._2, open.get)
+            open = None; Seq(c)
+          } else Nil
+          curKey = key
+          val (closed, stillOpen) = eraAdvance(f.user_id, f.event_type,
+            open, Seq(f))
+          open = stillOpen
+          boundary ++ closed
+        }
+        closedRuns ++ new Iterator[Era] {
+          def hasNext: Boolean = open.isDefined
+          def next(): Era = {
+            val c = closeEra(curKey._1, curKey._2, open.get)
+            open = None; c
+          }
+        }
+      }
+      .toDF()
+      .transform(Gate.ordered("user_id", "event_type", "era_seq"))
+  }
+
+  /** Streaming path: one OpenEra of state per active (patient,
+    * concept); eras emit the moment a later day proves them closed.
+    */
+  def eraState(key: (Long, String), batch: Iterator[DayFact],
+      state: GroupState[OpenEra]): Iterator[Era] = {
+    val sorted = batch.toVector.sortBy(_.epoch_day)
+    val (closed, open) = eraAdvance(key._1, key._2, state.getOption, sorted)
+    open match {
+      case Some(o) => state.update(o)
+      case None => state.remove()
+    }
+    closed.iterator
+  }
+
+  def eraStream(s: SparkSession, stream: Dataset[DayFact]): Dataset[Era] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    stream.groupByKey(f => (f.user_id, f.event_type))
+      .flatMapGroupsWithState[OpenEra, Era](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(eraState)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_stream_eras" -> (st14 _),
     "st13_stream_change_feed" -> (st13 _),
     "st11_stream_spike" -> (st11 _),
     "st12_stream_snapshot_cdc" -> (st12 _),
@@ -1000,6 +1122,10 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
+    // the batch twin must equal c44's era table row-for-row — the
+    // stream chains to the same SQL through the shared fold
+    "st14_stream_eras" ->
+      graft.operators.Cohort.oracle("c44_condition_eras"),
     // the whole raw table must come out the other end of the tail —
     // src05's day rollup, verbatim by reference
     "st13_stream_change_feed" ->

@@ -664,6 +664,28 @@ class RoundTripSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.changesBetween(spark, root, 2, 4)
     }
+    // VACUUM below the compacted version: history is forfeited, the
+    // kept state is untouched, and the erased rows' HISTORICAL BYTES
+    // are gone from disk — no parquet file under the root still holds
+    // a deleted user's row (the retention half of the GDPR story)
+    val keepRows = Snapshots.read(spark, root, Some(vPost)).count()
+    val nDropped = Snapshots.vacuum(spark, root, vPost)
+    assert(nDropped > 0, "vacuum should delete the pre-compaction dirs")
+    assert(Snapshots.read(spark, root, Some(vPost)).count() == keepRows)
+    intercept[Exception] { Snapshots.read(spark, root, Some(2)).count() }
+    val survivors = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root + "/data")
+    assert(survivors.filter(col("user_id") % 3 === 1).count() == 0,
+      "vacuumed history still holds erased rows")
+    // append-lineage safety: a shared data dir referenced by a KEPT
+    // manifest survives vacuum even though dropped manifests list it
+    val root3 = s"${graft.Scratch.dir}/src20_vac_append"
+    f.delete(new org.apache.hadoop.fs.Path(root3), true)
+    Snapshots.commit(spark, root3, ev.filter(col("event_id") < 150))
+    Snapshots.commit(spark, root3, ev.filter(col("event_id") >= 150))
+    assert(Snapshots.vacuum(spark, root3, 2) == 0,
+      "append lineage shares every dir with HEAD — nothing to drop")
+    assert(Snapshots.read(spark, root3).count() == ev.count())
     ev.unpersist()
   }
 }
