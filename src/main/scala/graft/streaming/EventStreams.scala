@@ -675,6 +675,90 @@ object EventStreams {
       .transform(Gate.ordered("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- st15
+  // CDC with DELETES: st06 materializes a latest-wins upsert feed, but
+  // a real change-data-capture stream carries removals too (row
+  // deleted upstream, GDPR erasure propagating through the feed). The
+  // winner rule is st06's total order extended over ops: the highest
+  // (version, hash) op at a key decides its fate — a 'D' winner means
+  // the key is ABSENT from the materialized table, and the tombstone
+  // STAYS in state so a late replay of an older upsert can never
+  // resurrect the key (the classic CDC resurrection bug; StreamingSpec
+  // replays history out of order to prove it). One comparator serves
+  // the batch twin (reduceGroups — map-side partial aggregation, the
+  // shuffle carries one candidate per key per map task) and the
+  // stream; the batch twin is the gate entry with a full SQL oracle.
+  case class CdcOp(o_orderkey: Long, o_orderstatus: String,
+      o_totalprice: Double, __v: Long, __h: Long, op: String)
+  case class CdcChange(o_orderkey: Long, op: String, o_orderstatus: String,
+      o_totalprice: Double, __v: Long)
+
+  private[graft] def betterOp(a: CdcOp, b: CdcOp): Boolean =
+    a.__v > b.__v || (a.__v == b.__v && a.__h < b.__h)
+
+  /** The three deterministic CDC generations: the base table (v0), the
+    * src08 update delta (v1), and a delete wave (v2, keys %20==3) —
+    * op rows carry the same whole-row hash tie-break as st06.
+    */
+  private[graft] def cdcFeed(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.RoundTrip.src08Base(s, d)
+      .withColumn("op", lit("U"))
+    val delta = graft.sources.RoundTrip.src08Delta(s, d)
+      .withColumn("op", lit("U"))
+    val deletes = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 3)
+      .select(col("o_orderkey"), lit("").as("o_orderstatus"),
+        lit(0.0).as("o_totalprice"), lit(2L).as("__v"), lit("D").as("op"))
+    val all = base.unionByName(delta).unionByName(deletes)
+    all.withColumn("__h", xxhash64(struct(
+      all.columns.filter(_ != "op").map(col) :+ col("op"): _*)))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "__v", "__h",
+        "op")
+  }
+
+  /** Batch twin — the gate entry: fold the whole feed under the one
+    * comparator, then drop keys whose winner is a delete.
+    */
+  def st15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cdcFeed(s, d).as[CdcOp]
+      .groupByKey(_.o_orderkey)
+      .reduceGroups((a: CdcOp, b: CdcOp) => if (betterOp(b, a)) b else a)
+      .map(_._2)
+      .filter(_.op != "D")
+      .toDF()
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
+  private def cdcState(key: Long, rows: Iterator[CdcOp],
+      state: GroupState[CdcOp]): Iterator[CdcChange] = {
+    var best = state.getOption.orNull
+    var changed = false
+    rows.foreach { r =>
+      if (best == null || betterOp(r, best)) { best = r; changed = true }
+    }
+    if (!changed) Iterator.empty
+    else {
+      state.update(best) // a 'D' winner stays: the anti-resurrection rule
+      Iterator.single(CdcChange(best.o_orderkey, best.op,
+        best.o_orderstatus, best.o_totalprice, best.__v))
+    }
+  }
+
+  /** The live materialization: emits the key's new latest row when an
+    * upsert wins, ONE tombstone when a delete wins, nothing for losers
+    * and replays.
+    */
+  def cdcDeleteStream(s: SparkSession, ops: Dataset[CdcOp])
+      : Dataset[CdcChange] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ops.groupByKey(_.o_orderkey)
+      .flatMapGroupsWithState[CdcOp, CdcChange](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(cdcState)
+  }
+
   /** c35's sessionization as a STREAM through Spark's native streaming
     * session windows — the API face whose batch twin (Cohort.c35,
     * gate-checked) shares the groupBy(user, session_window) verbatim.
@@ -1105,6 +1189,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_cdc_deletes" -> (st15 _),
     "st14_stream_eras" -> (st14 _),
     "st13_stream_change_feed" -> (st13 _),
     "st11_stream_spike" -> (st11 _),
@@ -1126,6 +1211,16 @@ object EventStreams {
     // stream chains to the same SQL through the shared fold
     "st14_stream_eras" ->
       graft.operators.Cohort.oracle("c44_condition_eras"),
+    // src08's upsert answer minus the deleted keys — the whole
+    // three-generation feed re-derived declaratively
+    "st15_stream_cdc_deletes" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |   AS o_orderstatus,
+        | CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |   ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE NOT (o_orderkey % 20 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
     // the whole raw table must come out the other end of the tail —
     // src05's day rollup, verbatim by reference
     "st13_stream_change_feed" ->

@@ -35,6 +35,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val dayGen: Gen[List[EventStreams.DayFact]] = for {
+    n <- Gen.choose(0, 50)
+    ds <- Gen.listOfN(n, Gen.choose(0, 120))
+  } yield ds.distinct.sorted.map(d =>
+    EventStreams.DayFact(1L, "x", d, (d % 5) + 1L))
+
+  test("era fold is micro-batch-split invariant (batch == stream)") {
+    check(Prop.forAll(dayGen, Gen.choose(0, 50)) { (days, rawCut) =>
+      val (closedAll, openAll) = EventStreams.eraAdvance(1L, "x", None, days)
+      val cut = math.min(rawCut, days.size)
+      val (b1, b2) = days.splitAt(cut)
+      val (c1, o1) = EventStreams.eraAdvance(1L, "x", None, b1)
+      val (c2, o2) = EventStreams.eraAdvance(1L, "x", o1, b2)
+      c1 ++ c2 == closedAll && o2 == openAll
+    })
+  }
+
+  test("eras partition active days and split exactly at gaps > 2 days") {
+    check(Prop.forAll(dayGen) { days =>
+      val (closed, open) = EventStreams.eraAdvance(1L, "x", None, days)
+      val nDays = closed.map(_.n_active_days).sum +
+        open.map(_.nDays).getOrElse(0L)
+      val nFacts = closed.map(_.n_facts).sum +
+        open.map(_.nFacts).getOrElse(0L)
+      val gaps = days.map(_.epoch_day).sliding(2).count {
+        case Seq(a, b) => b - a > graft.operators.Cohort.C44_GAP_DAYS
+        case _ => false
+      }
+      val nEras = closed.size + open.size
+      nDays == days.size && nFacts == days.map(_.n_facts).sum &&
+        (days.isEmpty || nEras == gaps + 1) &&
+        closed.map(_.era_seq) == (1L to closed.size.toLong)
+    })
+  }
+
   test("sessions partition the events and split exactly at >30min gaps") {
     check(Prop.forAll(evsGen) { evs =>
       val (closed, open) = EventStreams.advance(1L, None, evs)

@@ -410,6 +410,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st15 CDC deletes: one tombstone, no resurrection on replay") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CdcOp, CdcChange}
+    val feed = EventStreams.cdcFeed(spark, sfDir).as[CdcOp].collect().toSeq
+    val byV = feed.groupBy(_.__v)
+    val input = MemoryStream[CdcOp](spark)
+    val q = EventStreams.cdcDeleteStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("st15_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(0L, 1L, 2L).foreach { v =>
+        input.addData(byV(v)); q.processAllAvailable()
+      }
+      // a late full replay of the pre-delete history: nothing emits,
+      // and no deleted key is resurrected — the tombstone's version
+      // wins against every replayed upsert (the CDC resurrection bug)
+      val afterFeed = spark.table("st15_out").count()
+      input.addData(byV(0L) ++ byV(1L)); q.processAllAvailable()
+      assert(spark.table("st15_out").count() == afterFeed,
+        "replayed history must be absorbed by tombstone/upsert state")
+      val changes = spark.table("st15_out").as[CdcChange].collect()
+      // every deleted key emitted exactly ONE tombstone
+      val tombs = changes.filter(_.op == "D")
+      assert(tombs.nonEmpty)
+      assert(tombs.groupBy(_.o_orderkey).forall(_._2.length == 1))
+      // materialized view (final emission per key, deletes applied)
+      // == the gate-checked batch twin
+      val mat = changes.groupBy(_.o_orderkey).view
+        .mapValues(_.maxBy(_.__v)).toMap
+        .collect { case (k, c) if c.op != "D" =>
+          (k, c.o_orderstatus, c.o_totalprice) }.toSet
+      val batch = EventStreams.st15(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(mat == batch,
+        s"missing=${(batch -- mat).take(3)} extra=${(mat -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("st06 CDC sink survives kill + restart + full-history replay") {
     import spark.implicits._
     import org.apache.commons.io.FileUtils
