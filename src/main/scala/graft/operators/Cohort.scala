@@ -1165,7 +1165,82 @@ object Cohort {
             6)).as("chi2"))
   }
 
+  // -- c48: small-cell suppression (disclosure control) --------------------
+  // The OTHER half of the privacy face: c15 jitters counts released to
+  // federated peers; a PUBLISHED report table (the AKTIN monthly
+  // report's demographic breakdowns) instead suppresses small cells —
+  // and because group totals are published too, PRIMARY suppression
+  // alone leaks: with exactly one suppressed cell in a group, total
+  // minus the visible cells reveals it. The standard fix is
+  // COMPLEMENTARY suppression — also hide the smallest visible cell so
+  // the difference is never attributable. Deterministic end to end:
+  // the complementary pick is rank-1 by (n, then key) among visible
+  // cells, so both engines choose the same victim.
+  //
+  // Scale shape: one fact scan → distinct (day, user) pairs → the
+  // dimension join → two aggregates sharing the group key's exchange;
+  // the window runs per (day, segment) group — bounded by the nation
+  // count (25), never data-sized.
+  private[graft] val C48_K = 3L
+
+  /** The cell-level suppression rule on any (day, c_mktsegment,
+    * c_nationkey, n) frame — primary (n < K) + complementary (exactly
+    * one primary in the group → also the rank-1-by-(n, key) visible
+    * cell). Exposed for CohortSpec's synthetic-group test: the shipped
+    * corpora happen to put every one-suppressed group at a single cell
+    * (total-suppression territory), so the complementary branch is
+    * proven on constructed groups where it MUST fire.
+    */
+  private[graft] def suppressCells(cells: DataFrame): DataFrame = {
+    val wg = Window.partitionBy("day", "c_mktsegment")
+    val wRank = Window.partitionBy("day", "c_mktsegment")
+      .orderBy(when(col("n") < C48_K, lit(null)).otherwise(col("n"))
+        .asc_nulls_last, col("c_nationkey"))
+    cells
+      .withColumn("prim", col("n") < C48_K)
+      .withColumn("n_sup", sum(when(col("prim"), 1).otherwise(0)).over(wg))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("suppressed",
+        (col("prim") || (col("n_sup") === 1 && col("rk") === 1)).cast("int"))
+      .select(col("day"), col("c_mktsegment"), col("c_nationkey"),
+        when(col("suppressed") === 1, lit(null)).otherwise(col("n")).as("n"),
+        col("suppressed"))
+  }
+
+  def c48(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .filter(col("event_type") === "error")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .join(customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_nationkey")), "user_id")
+    val cells = base
+      .groupBy(col("day"), col("c_mktsegment"), col("c_nationkey"))
+      .agg(countDistinct(col("user_id")).as("n"))
+    // a group with ONE below-threshold cell and NO second cell to hide
+    // cannot be protected by complementary suppression — its published
+    // total IS the cell; suppress the total itself (the last-resort
+    // rule real statistical-disclosure practice applies)
+    val gstats = cells.groupBy(col("day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("n") < C48_K, 1).otherwise(0)).as("n_below"))
+    val totals = base
+      .groupBy(col("day"), col("c_mktsegment"))
+      .agg(countDistinct(col("user_id")).as("nt"))
+      .join(gstats, Seq("day", "c_mktsegment"))
+      .select(col("day"), col("c_mktsegment"),
+        lit(-1L).as("c_nationkey"),
+        when(col("n_below") === 1 && col("n_cells") === 1, lit(null))
+          .otherwise(col("nt")).as("n"),
+        (col("n_below") === 1 && col("n_cells") === 1).cast("int")
+          .as("suppressed"))
+    suppressCells(cells).unionByName(totals)
+      .select(col("day"), col("c_mktsegment"), col("c_nationkey"),
+        col("n").as("n_users"), col("suppressed"))
+      .transform(Gate.ordered("day", "c_mktsegment", "c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c48_cell_suppression" -> (c48 _),
     "c47_logrank" -> (c47 _),
     "c44_condition_eras" -> (c44 _),
     "c45_person_time" -> (c45 _),
@@ -1358,6 +1433,43 @@ object Cohort {
     // ln/exp only on the final ratio, zero_seen guard pins the
     // everyone-fails day to exactly 0.0 (Spark ln(0) is null, DuckDB
     // -inf — neither reaches the output)
+    // primary + complementary suppression re-derived with the same
+    // deterministic rank-1 victim rule; published totals exact
+    "c48_cell_suppression" ->
+      s"""WITH b AS (
+         | SELECT strftime(ts, '%Y-%m-%d') AS day, c_mktsegment,
+         |  c_nationkey, e.user_id
+         | FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         | WHERE event_type = 'error'),
+         |cells AS (
+         | SELECT day, c_mktsegment, c_nationkey,
+         |  COUNT(DISTINCT user_id) AS n
+         | FROM b GROUP BY 1, 2, 3),
+         |mk AS (
+         | SELECT day, c_mktsegment, c_nationkey, n, (n < $C48_K) AS prim,
+         |  SUM(CASE WHEN n < $C48_K THEN 1 ELSE 0 END)
+         |   OVER (PARTITION BY day, c_mktsegment) AS n_sup,
+         |  ROW_NUMBER() OVER (PARTITION BY day, c_mktsegment
+         |   ORDER BY CASE WHEN n < $C48_K THEN NULL ELSE n END
+         |    ASC NULLS LAST, c_nationkey) AS rk
+         | FROM cells)
+         |SELECT day, c_mktsegment, c_nationkey,
+         | CASE WHEN sup = 1 THEN NULL ELSE n END AS n_users,
+         | sup AS suppressed
+         |FROM (SELECT day, c_mktsegment, c_nationkey, n,
+         |  CAST(prim OR (n_sup = 1 AND rk = 1) AS INTEGER) AS sup FROM mk)
+         |UNION ALL
+         |SELECT t.day, t.c_mktsegment, CAST(-1 AS BIGINT),
+         | CASE WHEN g.n_below = 1 AND g.n_cells = 1 THEN NULL
+         |  ELSE t.nt END,
+         | CAST(g.n_below = 1 AND g.n_cells = 1 AS INTEGER)
+         |FROM (SELECT day, c_mktsegment, COUNT(DISTINCT user_id) AS nt
+         |  FROM b GROUP BY 1, 2) t
+         |JOIN (SELECT day, c_mktsegment, COUNT(*) AS n_cells,
+         |  SUM(CASE WHEN n < $C48_K THEN 1 ELSE 0 END) AS n_below
+         |  FROM cells GROUP BY 1, 2) g
+         | ON t.day = g.day AND t.c_mktsegment = g.c_mktsegment
+         |ORDER BY day, c_mktsegment, c_nationkey""".stripMargin,
     // c38's time-to-event CTEs with the demographic group joined in;
     // every integer risk set re-derived, the same fixed-parenthesization
     // double term rounded per day, exact decimal sums

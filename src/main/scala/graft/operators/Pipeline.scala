@@ -161,10 +161,35 @@ object Pipeline {
       .transform(Gate.ordered("lang"))
   }
 
+  // -- p05: decontaminated evaluation holdout -----------------------------
+  // The eval-integrity composition: t05 assigns the content-addressed
+  // split, t11 finds val/test documents sharing enough shingles with
+  // any train document — and the RELEASED holdout must exclude them,
+  // or reported eval numbers are memorization. p05 is that contract as
+  // one query: every document's final disposition (train kept as-is;
+  // clean val/test kept; contaminated val/test QUARANTINED — dropped
+  // from eval, never silently retrained-on, so the audit trail shows
+  // exactly what was removed and why). Definitions are referenced, not
+  // re-declared: the split is t05's splitOf, the contamination verdict
+  // is t11's output, and the oracle splices both SQL fragments
+  // (SPLIT_CASE_SQL, CONTAM_CTES) — neither side can fork a rule.
+  def p05(s: SparkSession, d: String): DataFrame = {
+    val split = documents(s, d)
+      .select(col("doc_id"), TextAnalysis.splitOf(col("doc_id")).as("split"))
+    val contam = broadcast(TextAnalysis.t11(s, d)
+      .select(col("doc_id")).withColumn("contam", lit(1)))
+    split.join(contam, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"),
+        when(col("split") =!= "train" && col("contam").isNotNull,
+          lit("quarantined")).otherwise(col("split")).as("final_split"))
+      .transform(Gate.ordered("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pipeline_e2e" -> (p01 _),
     "p03_pipeline_incremental" -> (p03 _),
-    "p04_pipeline_release" -> (p04 _)
+    "p04_pipeline_release" -> (p04 _),
+    "p05_decontaminated_holdout" -> (p05 _)
   )
 
   /** The oracle composes the SAME stage fragments the per-operator
@@ -172,6 +197,15 @@ object Pipeline {
     * one definition per stage on each side.
     */
   val oracle: Map[String, String] = Map(
+    // t05's split CASE + t11's contamination CTEs, both by reference
+    "p05_decontaminated_holdout" ->
+      s"""WITH ${TextAnalysis.CONTAM_CTES},
+         |contam AS (SELECT DISTINCT doc_id FROM m)
+         |SELECT sp.doc_id, sp.split,
+         | CASE WHEN sp.split <> 'train' AND c.doc_id IS NOT NULL
+         |   THEN 'quarantined' ELSE sp.split END AS final_split
+         |FROM sp LEFT JOIN contam c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // the same stage fragments: t18's bar over T02_SCORED_SQL means,
     // d06's recursive components + d12's quality argmax, t06's mixture
     // predicate — all by reference, no stage rule re-declared

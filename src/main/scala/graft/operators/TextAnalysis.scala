@@ -789,6 +789,28 @@ object TextAnalysis {
       |   THEN 'val'
       |  ELSE 'test' END""".stripMargin
 
+  /** t11's contamination pipeline as shared oracle CTEs (`sh` shingles,
+    * `sp` splits, `ci` df-capped index, `m` contaminated (eval, train)
+    * matches) — t11's and Pipeline.p05's oracles both splice THIS
+    * (the dischargeVerdicts pattern: one definition, two faces).
+    */
+  private[graft] lazy val CONTAM_CTES: String =
+    s"""sh AS (
+       | SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |   AS shingle
+       | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r),
+       |sp AS (SELECT doc_id,
+       |  $SPLIT_CASE_SQL AS split FROM documents),
+       |ci AS (SELECT sh.doc_id, shingle, split FROM sh JOIN sp USING (doc_id)
+       | WHERE shingle NOT IN (
+       |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $CONTAM_DF_CAP)),
+       |m AS (
+       | SELECT e.doc_id, e.split, t.doc_id AS train_id, COUNT(*) AS shared
+       | FROM ci e JOIN ci t ON e.shingle = t.shingle
+       |  AND t.split = 'train' AND e.split <> 'train'
+       | GROUP BY 1, 2, 3 HAVING COUNT(*) >= $CONTAM_MIN_SHARED)""".stripMargin
+
   /** t02's per-document scoring as a reusable subquery
     * (doc_id, n_tokens, distinct_ratio, stop_ratio, quality).
     */
@@ -979,21 +1001,7 @@ object TextAnalysis {
     // exact-string shingles on the oracle side (the engine joins on
     // xxhash64 — the d02 collision caveat); same split CASE as t05
     "t11_contamination" ->
-      s"""WITH sh AS (
-         | SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |   AS shingle
-         | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) r),
-         |sp AS (SELECT doc_id,
-         |  $SPLIT_CASE_SQL AS split FROM documents),
-         |ci AS (SELECT sh.doc_id, shingle, split FROM sh JOIN sp USING (doc_id)
-         | WHERE shingle NOT IN (
-         |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $CONTAM_DF_CAP)),
-         |m AS (
-         | SELECT e.doc_id, e.split, t.doc_id AS train_id, COUNT(*) AS shared
-         | FROM ci e JOIN ci t ON e.shingle = t.shingle
-         |  AND t.split = 'train' AND e.split <> 'train'
-         | GROUP BY 1, 2, 3 HAVING COUNT(*) >= $CONTAM_MIN_SHARED)
+      s"""WITH $CONTAM_CTES
          |SELECT doc_id, split, COUNT(DISTINCT train_id) AS n_contaminating,
          | CAST(MAX(shared) AS BIGINT) AS max_shared
          |FROM m GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,

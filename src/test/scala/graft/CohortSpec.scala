@@ -626,6 +626,89 @@ class CohortSpec extends SparkSpec {
     }
   }
 
+  test("c48 suppression: no group leaks, visible cells >= K, totals exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Cohort.c48(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    val (totals, cells) = rows.partition(_._3 == -1L)
+    // the anti-leak invariant: a group never publishes a VISIBLE total
+    // alongside exactly one suppressed cell (total minus visible cells
+    // would reveal it) — either >=2 cells hide, or the total hides too
+    val totSup = totals.map(t => (t._1, t._2) -> (t._5 == 1)).toMap
+    cells.groupBy(t => (t._1, t._2)).foreach { case (g, cs) =>
+      val nSup = cs.count(_._5 == 1)
+      assert(nSup != 1 || totSup(g),
+        s"group $g leaks: one suppressed cell under a visible total")
+    }
+    // the last-resort total suppression exists and fires only on
+    // single-cell groups
+    assert(totals.exists(_._5 == 1), "no suppressed total at this SF")
+    totals.filter(_._5 == 1).foreach { t =>
+      assert(t._4 == -1L, "suppressed total must publish NULL")
+      val g = cells.filter(c => (c._1, c._2) == ((t._1, t._2)))
+      assert(g.length == 1 && g.head._5 == 1)
+    }
+    // visible cells all clear the threshold; suppressed ones are null
+    cells.foreach { c =>
+      if (c._5 == 0) assert(c._4 >= Cohort.C48_K)
+      else assert(c._4 == -1L, "suppressed cell must publish NULL")
+    }
+    // both suppression modes actually fire at this SF
+    assert(cells.exists(_._5 == 1), "primary suppression never fired")
+    // complementary = a group whose suppressed count exceeds its
+    // below-threshold count (a visible-range cell was hidden too);
+    // verify against the unsuppressed recompute
+    val raw = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
+          col("c_nationkey")), "user_id")
+    val rawCells = raw.groupBy("day", "c_mktsegment", "c_nationkey")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number](2).longValue, r.getLong(3)))
+      .toSeq
+    // suppression flags agree with the raw recompute: every below-K
+    // cell is hidden, and a group hides either >=2 cells or its total
+    val belowByGroup = rawCells.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.count(_._4 < Cohort.C48_K)).toMap
+    val supByGroup = cells.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.count(_._5 == 1)).toMap
+    supByGroup.foreach { case (g, s) => assert(s >= belowByGroup(g)) }
+    // published group totals are exact (that is WHY complementary
+    // suppression is needed)
+    val rawTotals = rawCells.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._4)).toMap
+    totals.filter(_._5 == 0).foreach { t =>
+      val members = raw.filter(col("day") === t._1 &&
+        col("c_mktsegment") === t._2)
+        .select("user_id").distinct().count()
+      assert(t._4 == members, s"total for (${t._1}, ${t._2})")
+    }
+    assert(rawTotals.keySet == totals.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("c48 complementary rule fires on a constructed group") {
+    import spark.implicits._
+    // group A: one below-K cell (2) among visible cells (5, 7) — the
+    // smallest visible (5) must ALSO hide, 7 stays; group B: two
+    // below-K cells — both hide, nothing else does
+    val cells = Seq(
+      ("d1", "A", 1L, 5L), ("d1", "A", 2L, 2L), ("d1", "A", 3L, 7L),
+      ("d1", "B", 1L, 1L), ("d1", "B", 2L, 2L), ("d1", "B", 3L, 9L))
+      .toDF("day", "c_mktsegment", "c_nationkey", "n")
+    val out = Cohort.suppressCells(cells).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toMap
+    assert(out(("A", 2L)) == (-1L, 1), "primary must hide the 2-cell")
+    assert(out(("A", 1L)) == (-1L, 1), "complementary must hide the 5-cell")
+    assert(out(("A", 3L)) == (7L, 0), "the 7-cell stays visible")
+    assert(out(("B", 1L)) == (-1L, 1) && out(("B", 2L)) == (-1L, 1))
+    assert(out(("B", 3L)) == (9L, 0), "two primaries need no complementary")
+  }
+
   test("c47 log-rank agrees with an independent driver-side recomputation") {
     import org.apache.spark.sql.functions._
     val r = Cohort.c47(spark, sfDir).collect().head

@@ -145,4 +145,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n_source_gated") -
       r.getAs[Long]("n_after_dedup")).sum > 0)
   }
+
+  test("p05 quarantines exactly t11's contaminated eval docs") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val rows = Pipeline.p05(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // train is never quarantined (contamination is an EVAL verdict)
+    rows.filter(_._2 == "train").foreach(r => assert(r._3 == "train"))
+    // the quarantine set IS t11's doc set — no more, no fewer
+    val quarantined = rows.filter(_._3 == "quarantined").map(_._1).toSet
+    val t11Ids = TextAnalysis.t11(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(quarantined == t11Ids)
+    assert(quarantined.nonEmpty, "planted cross-split dups must fire")
+    // clean eval docs keep their split unchanged
+    rows.filter(r => r._2 != "train" && !quarantined(r._1))
+      .foreach(r => assert(r._3 == r._2))
+  }
 }
