@@ -165,6 +165,17 @@ object GraftConf {
   def spikeFactorMilli(s: SparkSession): Long =
     math.round(s.conf.get("spark.graft.spike.factor", "2").toDouble * 1000)
 
+  /** c49's adherence bar in MILLI-units (a conf of "0.8" → 800): the
+    * verdict compare stays all-integer (covered·1000 ≥ window·milli)
+    * so partitioning can't wiggle it, while the clinical threshold is
+    * tunable per protocol. Default 0.5 — the recorded oracle's
+    * constant (this corpus's activity never reaches the 0.8 clinical
+    * default; the dfCap convention applies: overriding moves the
+    * operator off its recorded oracle).
+    */
+  def pdcBarMilli(s: SparkSession): Long =
+    math.round(s.conf.get("spark.graft.pdc.bar", "0.5").toDouble * 1000)
+
   /** t18's corpus-relative source bar: a source survives when its mean
     * quality ≥ bar × corpus mean (default 0.9 — the recorded oracle's
     * constant).

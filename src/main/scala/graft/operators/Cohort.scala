@@ -1165,6 +1165,36 @@ object Cohort {
             6)).as("chi2"))
   }
 
+  // -- c49: proportion of days covered (adherence) --------------------------
+  // The OHDSI/pharmacoepi adherence measure c44's eras exist to feed:
+  // per (patient, concept), the fraction of the assessment window
+  // covered by eras (gap-bridged coverage — the persistence window IS
+  // the grace period), with the adherent verdict at a per-protocol
+  // bar. Rides c44Core unchanged (the one era definition), so the
+  // adherence number and the era table cannot disagree; the window is
+  // the corpus's day span (one 1-row broadcast). All-integer verdict
+  // (covered·1000 ≥ window·barMilli — spark.graft.pdc.bar, default
+  // 0.5, the recorded oracle's constant) and ONE rounded divide for
+  // the published pdc. Cost: a second user×concept-sized aggregate on
+  // top of c44's shuffles — near-free at any scale.
+  def c49(s: SparkSession, d: String): DataFrame = {
+    val barMilli = graft.GraftConf.pdcBarMilli(s)
+    val window = events(s, d).agg(
+      (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+        .as("window_days"))
+    c44Core(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("span_days").cast("bigint")).as("covered_days"))
+      .crossJoin(broadcast(window))
+      .select(col("user_id"), col("event_type"), col("covered_days"),
+        col("window_days"),
+        round(col("covered_days").cast("double") / col("window_days"), 6)
+          .as("pdc"),
+        (col("covered_days") * 1000 >= col("window_days") * barMilli)
+          .cast("int").as("adherent"))
+      .transform(Gate.ordered("user_id", "event_type"))
+  }
+
   // -- c48: small-cell suppression (disclosure control) --------------------
   // The OTHER half of the privacy face: c15 jitters counts released to
   // federated peers; a PUBLISHED report table (the AKTIN monthly
@@ -1240,6 +1270,7 @@ object Cohort {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c49_pdc_adherence" -> (c49 _),
     "c48_cell_suppression" -> (c48 _),
     "c47_logrank" -> (c47 _),
     "c44_condition_eras" -> (c44 _),
@@ -1372,6 +1403,21 @@ object Cohort {
          | span_days
          |FROM eras
          |ORDER BY user_id, event_type, era_seq""".stripMargin,
+    // same era CTEs again: gap-bridged coverage over the corpus-span
+    // window; the 500-milli bar mirrors spark.graft.pdc.bar's default
+    // (the dfCap convention — an override moves off the recorded oracle)
+    "c49_pdc_adherence" ->
+      s"""WITH $C44_CTES,
+         |w AS (SELECT date_diff('day', MIN(CAST(ts AS DATE)),
+         |   MAX(CAST(ts AS DATE))) + 1 AS window_days FROM events)
+         |SELECT user_id, event_type,
+         | CAST(SUM(span_days) AS BIGINT) AS covered_days, window_days,
+         | ROUND(CAST(SUM(span_days) AS DOUBLE) / window_days, 6) AS pdc,
+         | CAST(SUM(span_days) * 1000 >= window_days * 500 AS INTEGER)
+         |  AS adherent
+         |FROM eras CROSS JOIN w
+         |GROUP BY user_id, event_type, window_days
+         |ORDER BY user_id, event_type""".stripMargin,
     // same era CTEs, rolled up to person-time rates — integer counts
     // and day sums, one rounded divide
     "c45_person_time" ->

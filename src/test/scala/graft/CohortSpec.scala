@@ -626,6 +626,32 @@ class CohortSpec extends SparkSpec {
     }
   }
 
+  test("c49 PDC reconciles with c44's eras; bar knob moves the verdict") {
+    import org.apache.spark.sql.functions._
+    val pdc = Cohort.c49(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3), r.getDouble(4), r.getInt(5))).toMap
+    // covered days == the era table's span sum, key for key (the
+    // shared-core chain: adherence cannot disagree with the eras)
+    val spans = Cohort.c44(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(7).toLong))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    assert(pdc.keySet == spans.keySet)
+    pdc.foreach { case (k, (cov, wd, p, adh)) =>
+      assert(cov == spans(k))
+      assert(math.abs(p - cov.toDouble / wd) < 1e-6)
+      assert((adh == 1) == (cov * 2 >= wd), s"$k verdict at the 0.5 bar")
+    }
+    // the verdict fires both ways at this SF
+    assert(pdc.values.exists(_._4 == 1) && pdc.values.exists(_._4 == 0))
+    // per-protocol bar: at 0.9 nothing in this corpus is adherent
+    spark.conf.set("spark.graft.pdc.bar", "0.9")
+    try {
+      val strict = Cohort.c49(spark, sfDir).collect()
+      assert(strict.forall(_.getInt(5) == 0))
+    } finally spark.conf.unset("spark.graft.pdc.bar")
+  }
+
   test("c48 suppression: no group leaks, visible cells >= K, totals exact") {
     import org.apache.spark.sql.functions._
     val rows = Cohort.c48(spark, sfDir).collect()

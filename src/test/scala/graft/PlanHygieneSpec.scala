@@ -45,6 +45,7 @@ class PlanHygieneSpec extends SparkSpec {
     // tombstone exclusion itself is a broadcast ANTI join, never a loop
     "c47_logrank", // two 1-row broadcasts (censoring horizon, group
     // sizes) crossed into user- and single-row frames
+    "c49_pdc_adherence", // 1-row assessment-window broadcast
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 
