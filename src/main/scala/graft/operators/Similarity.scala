@@ -743,17 +743,27 @@ object Similarity {
   private[graft] def tombstonePath(d: String): String =
     s"${graft.Scratch.dir}/ann_tombstones/${sanitize(d)}"
 
-  /** Build-once append-only delete queue: two deterministic batches. */
+  /** Build-once append-only delete queue: two deterministic batches.
+    * The two batch writes land in a STAGING dir and the queue is
+    * published by ONE atomic rename (the Snapshots manifest
+    * tmp-then-rename discipline) — a crash between the batch writes
+    * can only leave staging debris, never a half-built queue that
+    * later runs (s14, Evidence recall, purgeTombstones) would silently
+    * accept as complete.
+    */
   private[graft] def ensureTombstones(s: SparkSession, d: String): String = {
     val path = tombstonePath(d)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".building")
+      fs.delete(tmp, true) // debris from a crashed prior attempt
       val ids = embeddings(s, d).select(col("vec_id"))
       ids.filter(col("vec_id") % 9 === 2)
-        .write.mode("append").parquet(path)
+        .write.mode("append").parquet(tmp.toString)
       ids.filter(col("vec_id") % 23 === 5)
-        .write.mode("append").parquet(path)
+        .write.mode("append").parquet(tmp.toString)
+      require(fs.rename(tmp, p), s"tombstone publish $tmp -> $p failed")
     }
     path
   }

@@ -13,19 +13,29 @@ import org.apache.spark.sql.functions._
   * The reference gets this from PostgreSQL's MVCC (its CRC store is
   * transactional); on a parquet lake it has to be built:
   *
-  *   root/data/c<version>/     immutable data files, one dir per commit
-  *   root/manifests/v<n>.json  the dir list visible at snapshot n
-  *   root/HEAD                 current version — ONE atomic rename is
-  *                             the only commit point
+  *   root/data/w<token>/       immutable data files, one dir per commit
+  *                              attempt (writer-unique name)
+  *   root/manifests/v<n>.json   the dir list visible at snapshot n —
+  *                              its EXCLUSIVE creation is the one
+  *                              commit point (optimistic concurrency)
+  *   root/HEAD                  hint to the current version; readers
+  *                              probe manifests forward from it
   *
   * Correctness rests on two facts: data files are immutable once a
   * manifest references them (a reader planned against snapshot n lists
   * exactly those files — later commits cannot change what it reads),
-  * and the HEAD swap is a filesystem rename (a crash anywhere before
-  * it leaves HEAD on the old snapshot; orphan data/manifest files are
-  * invisible and the next commit — numbered from HEAD+1 — overwrites
-  * them). This is deletePatients' tombstone discipline applied to
-  * whole-table versioning.
+  * and manifest v<n> can be created by exactly ONE writer (an atomic
+  * link/no-overwrite rename — the CAS primitive PostgreSQL MVCC gives
+  * the reference for free). Two writers racing version n both write
+  * their data under writer-unique dirs, then race the manifest: the
+  * winner owns v<n>; the loser re-reads head, REBASES its manifest on
+  * the winner's state, and retries as v<n+1> — both commits land, no
+  * rows lost. A crash before the manifest publish leaves only an
+  * unreferenced (invisible) data dir, swept by [[vacuumOrphans]]; a
+  * crash after it is a completed commit whose HEAD hint lags —
+  * [[headVersion]]'s forward probe makes that benign. This is
+  * deletePatients' tombstone discipline applied to whole-table
+  * versioning, plus the multi-writer safety a lakehouse needs.
   */
 object Snapshots {
 
@@ -34,87 +44,147 @@ object Snapshots {
 
   private def headPath(root: String) = new Path(s"$root/HEAD")
 
-  /** Current committed version; 0 = no snapshot yet. */
+  /** Current committed version; 0 = no snapshot yet. HEAD is a HINT
+    * (see [[advanceHead]]): the manifest publish is the commit point,
+    * so versions committed past a stale hint — a crash between publish
+    * and advance, or a slower writer's older advance landing last —
+    * are found by probing manifests FORWARD from it.
+    */
   def headVersion(s: SparkSession, root: String): Int = {
     val f = fs(s, root)
-    if (!f.exists(headPath(root))) 0
-    else {
-      val in = f.open(headPath(root))
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    }
+    val hint =
+      if (!f.exists(headPath(root))) 0
+      else {
+        val in = f.open(headPath(root))
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      }
+    var v = hint
+    while (f.exists(new Path(s"$root/manifests/v${v + 1}.json"))) v += 1
+    v
   }
 
-  /** Append `df` as the next snapshot; returns the new version. The
-    * data write and the manifest write both target names derived from
-    * the NEW version (a crashed prior attempt at the same version is
-    * simply overwritten), and the commit point is the single HEAD
-    * rename at the end.
+  /** Writer-unique suffix for data/sidecar dirs and tmp files — two
+    * concurrent committers must never target the same physical paths.
     */
-  def commit(s: SparkSession, root: String, df: DataFrame): Int = {
+  private def token(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Append `df` as the next snapshot; returns the new version. The
+    * data lands ONCE under a writer-unique dir; the manifest publish is
+    * the commit point, CAS-retried on contention (the parent state is
+    * re-read per attempt, so a losing writer rebases on the winner's).
+    */
+  def commit(s: SparkSession, root: String, df: DataFrame): Int =
     // an append extends the PARENT MANIFEST (not "dirs 1..v" by
     // convention — a delete commit contributes no data dir, a replace
     // swapped the set) and carries its deletion vectors forward: new
     // files can't be referenced by any DV (sidecars name (file, row)
     // pairs), and rows already deleted must STAY deleted
-    val head = headVersion(s, root)
-    val parentDirs = dirsOf(s, root, head)
-    val parentDvs = dvDirsOf(s, root, head)
-    commitWith(s, root, df, v => parentDirs :+ s"$root/data/c$v",
-      _ => parentDvs)
-  }
+    commitWith(s, root, df,
+      (v, dataDir) => dirsOf(s, root, v - 1) :+ dataDir,
+      v => dvDirsOf(s, root, v - 1))
 
   /** Commit `df` as the next snapshot whose manifest lists ONLY the new
     * data dir — the REPLACE form the manifest design anticipated: each
     * version is a full materialized state (st12's CDC merge), not an
-    * append. Same names-from-the-new-version discipline, same single
-    * HEAD-rename commit point; pinned readers of older versions still
-    * resolve their own manifests' dirs, which a replace never touches.
+    * append. Same write-once-then-CAS discipline; pinned readers of
+    * older versions still resolve their own manifests' dirs, which a
+    * replace never touches.
     */
   def commitReplace(s: SparkSession, root: String, df: DataFrame): Int =
-    commitWith(s, root, df, v => Seq(s"$root/data/c$v"), _ => Seq.empty)
+    commitWith(s, root, df, (_, dataDir) => Seq(dataDir), _ => Seq.empty)
 
   private def commitWith(s: SparkSession, root: String, df: DataFrame,
-      dirsFor: Int => Seq[String], dvsFor: Int => Seq[String],
+      dirsFor: (Int, String) => Seq[String], dvsFor: Int => Seq[String],
       maxRecordsPerFile: Option[Long] = None): Int = {
-    val v = headVersion(s, root) + 1
-    val dataDir = s"$root/data/c$v"
+    // the expensive data write happens ONCE, outside the CAS loop: the
+    // dir name carries no version, so a lost race re-stamps only the
+    // manifest. A crashed attempt leaves an unreferenced, invisible
+    // dir (vacuumOrphans' job), never a half-visible table.
+    val dataDir = s"$root/data/w${token()}"
     val w = df.write.mode("overwrite")
     maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
       .parquet(dataDir)
-    commitManifest(s, root, v, dirsFor(v), dvsFor(v))
+    retryCommit(s, root)(v => (dirsFor(v, dataDir), dvsFor(v)))
   }
 
-  /** Write manifest v and swap HEAD to it — the shared tail of every
-    * commit form (append / replace / [[deleteWhere]]'s data-free
-    * deletion-vector commit).
+  /** The optimistic-concurrency loop shared by every commit form
+    * (append / replace / [[deleteWhere]]'s data-free sidecar commit):
+    * derive the next version from the CURRENT head, publish its
+    * manifest exclusively; exactly one concurrent writer wins each
+    * version number — a loser re-invokes `manifestFor`, which re-reads
+    * the parent state (the rebase), and retries at the next version.
     */
-  private def commitManifest(s: SparkSession, root: String, v: Int,
-      dirs: Seq[String], dvs: Seq[String]): Int = {
+  private def retryCommit(s: SparkSession, root: String)
+      (manifestFor: Int => (Seq[String], Seq[String])): Int = {
+    var attempts = 0
+    while (true) {
+      val v = headVersion(s, root) + 1
+      val (dirs, dvs) = manifestFor(v)
+      if (tryPublishManifest(s, root, v, dirs, dvs)) return v
+      attempts += 1
+      require(attempts < 64,
+        s"commit contention at $root: lost $attempts CAS races")
+    }
+    -1 // unreachable
+  }
+
+  /** Publish manifest v iff nobody else has: full content goes to a
+    * writer-unique tmp file first, then ONE atomic create-if-absent
+    * link/rename makes it visible — a reader can never observe a
+    * partial manifest, and exactly one of N racing writers returns
+    * true. On success the HEAD hint advances (best-effort).
+    */
+  private def tryPublishManifest(s: SparkSession, root: String, v: Int,
+      dirs: Seq[String], dvs: Seq[String]): Boolean = {
     val f = fs(s, root)
     def arr(ps: Seq[String]) = ps.map(p => "\"" + p + "\"").mkString(", ")
     // manifest = explicit dir list (not "1..v" by convention) so a
-    // future compaction/replace commit can swap file sets freely;
-    // "dvs" lists deletion-vector sidecars (absent = none, so every
-    // pre-DV manifest keeps parsing)
+    // compaction/replace commit can swap file sets freely; "dvs" lists
+    // deletion-vector sidecars (absent = none, so every pre-DV
+    // manifest keeps parsing)
     val manifest =
       s"""{"version": $v, "dirs": [${arr(dirs)}], "dvs": [${arr(dvs)}]}"""
-    val mTmp = new Path(s"$root/manifests/v$v.json.tmp")
+    val mTmp = new Path(s"$root/manifests/v$v.json.tmp-${token()}")
     val mFin = new Path(s"$root/manifests/v$v.json")
     writeFile(f, mTmp, manifest)
-    renameOver(s, f, mTmp, mFin)
-    val hTmp = new Path(s"$root/HEAD.tmp")
+    val won = linkExclusive(f, mTmp, mFin)
+    f.delete(mTmp, false)
+    if (won) advanceHead(s, f, root, v)
+    won
+  }
+
+  /** Atomic create-if-absent publish — the CAS primitive. Local fs: a
+    * hard link (link(2) is O_EXCL-atomic; POSIX rename(2) silently
+    * OVERWRITES, so it cannot arbitrate a race). HDFS-semantics
+    * stores: FileSystem.rename, which fails when the destination
+    * exists. Object stores without either need an external lock/log
+    * service (documented, out of scope — same caveat as Delta's
+    * S3 LogStore).
+    */
+  private def linkExclusive(f: FileSystem, src: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !f.exists(dst) && f.rename(src, dst)
+
+  /** Advance the HEAD hint to v via an OVERWRITING rename — never
+    * delete-then-rename, which would open a no-HEAD window where a
+    * concurrent headVersion() pays a full forward probe from 0. HEAD
+    * is a hint, not the commit point: a crash before this line is a
+    * COMPLETED commit (the manifest is published) whose hint lags, and
+    * headVersion's probe finds it.
+    */
+  private def advanceHead(s: SparkSession, f: FileSystem, root: String,
+      v: Int): Unit = {
+    val hTmp = new Path(s"$root/HEAD.tmp-${token()}")
     writeFile(f, hTmp, v.toString)
-    // THE commit point: an OVERWRITING rename (FileContext semantics),
-    // never delete-then-rename — a delete first would open a window
-    // with NO HEAD at all, where headVersion()=0 makes the next commit
-    // restart at v1 and overwrite data files that existing manifests
-    // still reference (history corruption, not just a failed commit).
-    // With the atomic replace, a crash anywhere in commit() leaves
-    // HEAD on the previous snapshot and only unreferenced orphans
-    // behind, which the next attempt at this version overwrites.
     renameOver(s, f, hTmp, headPath(root))
-    v
   }
 
   /** Atomic overwriting rename. FileContext carries the OVERWRITE
@@ -155,20 +225,34 @@ object Snapshots {
       // merge-on-read: anti-join the (file, row-position) sidecar rows
       // out of the scan. Positions come from the parquet reader itself
       // (_metadata.row_index — no stored row ids, no table rewrite);
-      // the sidecar holds ONLY deleted positions, so it broadcasts, and
       // the scan side stays a plain pruned/pushed-down parquet scan.
       val cols = base.columns.map(col)
-      val dv = broadcast(s.read.parquet(dvs: _*)
-        .select(col("file_path").as("_dv_fp"), col("row_index").as("_dv_ri"))
-        .distinct())
-      s.read.parquet(dirsOf(s, root, v): _*)
-        .select(cols :+ col("_metadata.file_path").as("_graft_fp")
-          :+ col("_metadata.row_index").as("_graft_ri"): _*)
-        .join(dv, col("_graft_fp") === col("_dv_fp") &&
-          col("_graft_ri") === col("_dv_ri"), "left_anti")
+      minusDvs(s,
+        s.read.parquet(dirsOf(s, root, v): _*)
+          .select(cols :+ col("_metadata.file_path").as("_graft_fp")
+            :+ col("_metadata.row_index").as("_graft_ri"): _*),
+        dvs, "_graft_fp", "_graft_ri")
         .drop("_graft_fp", "_graft_ri")
     }
   }
+
+  /** THE deletion-vector application rule — anti-join the sidecars'
+    * (file, row-position) pairs out of a scan carrying its positions in
+    * columns `fp`/`ri`. The sidecar holds ONLY deleted positions, so it
+    * broadcasts. One definition shared by [[read]] and [[deleteWhere]]'s
+    * candidate scan, so the merge-on-read semantics (distinct pairs,
+    * both-column equality, anti-join) cannot fork between them.
+    */
+  private def minusDvs(s: SparkSession, scan: DataFrame, dvs: Seq[String],
+      fp: String, ri: String): DataFrame =
+    if (dvs.isEmpty) scan
+    else {
+      val dv = broadcast(s.read.parquet(dvs: _*)
+        .select(col("file_path").as("_dv_fp"), col("row_index").as("_dv_ri"))
+        .distinct())
+      scan.join(dv, col(fp) === col("_dv_fp") && col(ri) === col("_dv_ri"),
+        "left_anti")
+    }
 
   /** Deletion-vector DELETE — the lakehouse merge-on-read delete: rows
     * matching `cond` at HEAD are recorded as (file, row-position) pairs
@@ -186,27 +270,35 @@ object Snapshots {
     */
   def deleteWhere(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Int = {
-    val head = headVersion(s, root)
-    require(head > 0, s"no snapshot at $root")
-    val v = head + 1
-    val dvDir = s"$root/dv/c$v"
-    val dvs = dvDirsOf(s, root, head)
-    // the candidate scan carries its own positions (_metadata is a scan
-    // column, not a join output), with earlier sidecars anti-joined out
-    // so an already-deleted row never double-records
-    val scan = s.read.parquet(dirsOf(s, root, head): _*)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("row_index"), col("*"))
-    val live =
-      if (dvs.isEmpty) scan
-      else scan.join(broadcast(s.read.parquet(dvs: _*)
-          .select(col("file_path").as("_dv_fp"),
-            col("row_index").as("_dv_ri")).distinct()),
-        col("file_path") === col("_dv_fp") &&
-          col("row_index") === col("_dv_ri"), "left_anti")
-    live.filter(cond).select("file_path", "row_index")
-      .write.mode("overwrite").parquet(dvDir)
-    commitManifest(s, root, v, dirsOf(s, root, head), dvs :+ dvDir)
+    val f = fs(s, root)
+    var attempts = 0
+    while (true) {
+      val head = headVersion(s, root)
+      require(head > 0, s"no snapshot at $root")
+      val dvs = dvDirsOf(s, root, head)
+      val dvDir = s"$root/dv/w${token()}"
+      // the candidate scan carries its own positions (_metadata is a
+      // scan column, not a join output), with earlier sidecars
+      // anti-joined out (minusDvs — read()'s one rule) so an
+      // already-deleted row never double-records
+      val scan = s.read.parquet(dirsOf(s, root, head): _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"), col("*"))
+      minusDvs(s, scan, dvs, "file_path", "row_index")
+        .filter(cond).select("file_path", "row_index")
+        .write.mode("overwrite").parquet(dvDir)
+      if (tryPublishManifest(s, root, head + 1,
+          dirsOf(s, root, head), dvs :+ dvDir)) return head + 1
+      // lost the CAS race: this sidecar was computed against a
+      // superseded head — discard it and recompute against the new
+      // state (a concurrent replace/compact can remap (file, row)
+      // positions; a concurrent delete changes what is already dead)
+      f.delete(new Path(dvDir), true)
+      attempts += 1
+      require(attempts < 64,
+        s"deleteWhere contention at $root: lost $attempts CAS races")
+    }
+    -1 // unreachable
   }
 
   /** The data dirs a version's manifest lists (v0 = the empty table —
@@ -225,7 +317,13 @@ object Snapshots {
   private def manifestOf(s: SparkSession, root: String, v: Int): String = {
     if (v == 0) return """{"dirs": []}"""
     val f = fs(s, root)
-    val in = f.open(new Path(s"$root/manifests/v$v.json"))
+    val mp = new Path(s"$root/manifests/v$v.json")
+    // loud, actionable failure — never a partial scan: a reader pinned
+    // below the vacuum retention floor must learn WHY its version is
+    // gone (RoundTripSpec pins this negative path)
+    require(f.exists(mp), s"snapshot v$v at $root does not exist: " +
+      "vacuumed below the retention floor, or never committed")
+    val in = f.open(mp)
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
 
@@ -285,9 +383,8 @@ object Snapshots {
     * byte-identical files while (and after) the compaction lands; the
     * only visible change is HEAD advancing to an equivalent, better-
     * laid-out state. A crash mid-compaction leaves HEAD untouched —
-    * the half-written c<v+1> dir is an invisible orphan the next
-    * commit at that version overwrites (the names-from-new-version
-    * discipline). Reads the DV-APPLIED state and commits with no
+    * the half-written writer-unique dir is an invisible orphan
+    * [[vacuumOrphans]] sweeps. Reads the DV-APPLIED state and commits with no
     * sidecars, so compaction also materializes every outstanding
     * [[deleteWhere]] — the physical-purge half of the erasure story.
     * Returns the new version.
@@ -298,7 +395,7 @@ object Snapshots {
     val clustered =
       if (clusterBy.isEmpty) cur.coalesce(s.sparkContext.defaultParallelism)
       else cur.repartition(clusterBy.map(col): _*)
-    commitWith(s, root, clustered, v => Seq(s"$root/data/c$v"),
+    commitWith(s, root, clustered, (_, dataDir) => Seq(dataDir),
       _ => Seq.empty, Some(maxRecordsPerFile))
   }
 
@@ -321,14 +418,47 @@ object Snapshots {
     val f = fs(s, root)
     val kept = (keepFrom to head).flatMap(v =>
       dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).toSet
-    val dropped = (1 until keepFrom).flatMap(v =>
+    // RE-RUNNABLE (a retention policy runs daily): versions a prior
+    // vacuum already truncated have no manifest left — they contribute
+    // no dirs and are skipped instead of crashing manifestOf
+    val extant = (1 until keepFrom).filter(v =>
+      f.exists(new Path(s"$root/manifests/v$v.json")))
+    val dropped = extant.flatMap(v =>
       dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).distinct
       .filterNot(kept)
     dropped.foreach(dir => f.delete(new Path(dir), true))
-    (1 until keepFrom).foreach { v =>
+    extant.foreach { v =>
       f.delete(new Path(s"$root/manifests/v$v.json"), false)
     }
     dropped.size
+  }
+
+  /** Sweep data/sidecar dirs REFERENCED BY NO extant manifest — the
+    * debris of crashed or CAS-losing commit attempts (data is written
+    * before the manifest publish; a loser's dir is simply never
+    * referenced). Age-gated: a dir younger than `olderThanMs` may
+    * belong to a commit IN FLIGHT (written, publish pending), so only
+    * dirs past the horizon are dropped — the standard lakehouse
+    * orphan-retention rule (pick a horizon well past the longest
+    * plausible commit). Returns deleted-dir count.
+    */
+  def vacuumOrphans(s: SparkSession, root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(s, root)
+    val head = headVersion(s, root)
+    val referenced = (1 to head)
+      .filter(v => f.exists(new Path(s"$root/manifests/v$v.json")))
+      .flatMap(v => dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    Seq("data", "dv").map { sub =>
+      val base = new Path(s"$root/$sub")
+      if (!f.exists(base)) 0
+      else f.listStatus(base).toSeq
+        .filter(st => st.isDirectory &&
+          !referenced.contains(s"$root/$sub/${st.getPath.getName}") &&
+          st.getModificationTime < cutoff)
+        .count { st => f.delete(st.getPath, true); true }
+    }.sum
   }
 
   /** Parquet file count under a version's data dirs (the compaction

@@ -1007,12 +1007,15 @@ object EventStreams {
   // contract): tail append-only roots.
 
   /** The snapshot root as a streaming source. New append commits land
-    * whole immutable files under data/c<v>/, which the globbed file
-    * source discovers and logs exactly once per checkpoint.
+    * whole immutable files under writer-unique data/ dirs, which the
+    * globbed file source discovers and logs exactly once per
+    * checkpoint. (Tail only roots with clean commit histories: a
+    * crashed attempt's never-published orphan dir would match the glob
+    * until Snapshots.vacuumOrphans sweeps it.)
     */
   def changeFeedStream(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    s.readStream.schema(schema).parquet(s"$root/data/c*")
+    s.readStream.schema(schema).parquet(s"$root/data/*")
 
   /** Drain everything committed-but-unseen into `outDir` (AvailableNow
     * + the exactly-once parquet sink), then return. Each call ships

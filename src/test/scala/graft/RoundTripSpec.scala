@@ -391,7 +391,7 @@ class RoundTripSpec extends SparkSpec {
     } finally parsed.unpersist()
   }
 
-  test("snapshots: pinned readers isolated; HEAD swap is the one commit point") {
+  test("snapshots: pinned readers isolated; manifest publish is the one commit point") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions.col
     val root = s"${graft.Scratch.dir}/snap_spec"
@@ -415,21 +415,105 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == na + nb)
     assert(Snapshots.versions(spark, root) == Seq(1, 2))
 
-    // crash window: version-3 data AND manifest exist but HEAD was
-    // never swapped — readers must still see snapshot 2, and the next
-    // commit must claim version 3, overwriting the orphans
-    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/c3")
-    val orphan = new org.apache.hadoop.fs.Path(s"$root/manifests/v3.json")
-    val out = fs.create(orphan, true)
-    out.write(s"""{"version": 3, "dirs": ["$root/data/c3"]}""".getBytes("UTF-8"))
-    out.close()
+    // crash window A: a data dir was written but its manifest never
+    // published — the table is unchanged (the dir is invisible), and
+    // the next commit simply claims the next version
+    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/wcrashed")
     assert(Snapshots.headVersion(spark, root) == 2)
     assert(Snapshots.read(spark, root).count() == na + nb)
-    assert(Snapshots.commit(spark, root, ev.limit(5)) == 3)
-    assert(Snapshots.read(spark, root, Some(3)).count() == na + nb + 5)
+    // crash window B: manifest v3 published but the crash hit before
+    // the HEAD hint advanced — the manifest publish IS the commit
+    // point, so v3 is COMMITTED: headVersion's forward probe finds it
+    // and the next commit claims v4, never overwriting v3
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/manifests/v3.json")
+    val out = fs.create(orphan, true)
+    out.write((s"""{"version": 3, "dirs": ["$root/data/wcrashed"]}""")
+      .getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.headVersion(spark, root) == 3)
+    assert(Snapshots.read(spark, root).count() == 3)
+    assert(Snapshots.commit(spark, root, ev.limit(5)) == 4)
+    assert(Snapshots.read(spark, root, Some(4)).count() == 3 + 5)
     // earlier snapshots still read exactly as committed
     assert(Snapshots.read(spark, root, Some(1)).count() == na)
     assert(Snapshots.read(spark, root, Some(2)).count() == na + nb)
+  }
+
+  test("snapshots OCC: two interleaved committers both land, no rows lost") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = s"${graft.Scratch.dir}/snap_occ"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir)
+    val base = ev.filter(col("event_type") === "view")
+    assert(Snapshots.commit(spark, root, base) == 1)
+    // two writers race the SAME parent version from separate threads —
+    // the CAS arbitration must give them v2 and v3 in some order, with
+    // both appends visible at HEAD (the PostgreSQL-MVCC property the
+    // reference's CRC store gets for free)
+    val a = ev.filter(col("event_type") === "click")
+    val b = ev.filter(col("event_type") === "error")
+    val (na, nb) = (a.count(), b.count())
+    val racers = Seq(a, b).map(df => Future(Snapshots.commit(spark, root, df)))
+    val versions = Await.result(Future.sequence(racers), 120.seconds)
+    assert(versions.toSet == Set(2, 3), s"committed as $versions")
+    assert(Snapshots.headVersion(spark, root) == 3)
+    assert(Snapshots.read(spark, root).count() == base.count() + na + nb)
+    // each version's own manifest is a strict superset of its parent's
+    // (the loser rebased instead of clobbering)
+    assert(Snapshots.dirsOf(spark, root, 2).toSet
+      .subsetOf(Snapshots.dirsOf(spark, root, 3).toSet))
+    // exclusive publish arbitrates: a second hand-rolled claim of an
+    // existing version must lose, whatever thread timing produced
+    assert(Snapshots.versions(spark, root) == Seq(1, 2, 3))
+  }
+
+  test("snapshots: vacuum re-runs, fails pinned readers loudly, sweeps orphans") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    val root = s"${graft.Scratch.dir}/snap_vac_rerun"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir).limit(300).cache()
+    try {
+      Snapshots.commitReplace(spark, root, ev.filter(col("event_id") % 3 === 0))
+      Snapshots.commitReplace(spark, root, ev.filter(col("event_id") % 3 <= 1))
+      Snapshots.commitReplace(spark, root, ev)
+      Snapshots.commit(spark, root, ev.limit(10))
+      // first retention pass: drop v1 only
+      assert(Snapshots.vacuum(spark, root, 2) > 0)
+      // the ADVICE regression: a SECOND vacuum with a higher floor must
+      // skip the already-truncated v1 instead of crashing on its
+      // missing manifest (daily keep-last-N runs repeatedly)
+      assert(Snapshots.vacuum(spark, root, 3) > 0)
+      assert(Snapshots.vacuum(spark, root, 3) == 0) // idempotent at the floor
+      // negative path: a reader pinned below the retention floor fails
+      // LOUDLY with the retention explanation, never a partial scan
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.read(spark, root, Some(2)).count()
+      }
+      assert(e.getMessage.contains("retention floor"), e.getMessage)
+      // kept versions unaffected
+      assert(Snapshots.read(spark, root, Some(3)).count() == 300)
+      assert(Snapshots.read(spark, root, Some(4)).count() == 310)
+      // orphan sweep: a crashed attempt's unreferenced dir goes, but
+      // only past the age horizon (a young dir may be an in-flight
+      // commit's data, written before its manifest publish)
+      ev.limit(7).write.mode("overwrite").parquet(s"$root/data/worphan")
+      assert(Snapshots.vacuumOrphans(spark, root,
+        olderThanMs = 365L * 86400 * 1000) == 0,
+        "young dirs must survive the sweep")
+      assert(Snapshots.vacuumOrphans(spark, root, olderThanMs = 0) == 1)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/data/worphan")))
+      // referenced dirs untouched — the table still reads
+      assert(Snapshots.read(spark, root).count() == 310)
+    } finally ev.unpersist()
   }
   test("compaction commit: pinned reader byte-identical, files collapse, crash heals") {
     import graft.sources.Snapshots
@@ -447,9 +531,10 @@ class RoundTripSpec extends SparkSpec {
     val before = pinned.collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val fragFiles = Snapshots.fileCount(spark, root, 2)
 
-    // crash mid-compaction: a half-written c3 dir, HEAD untouched —
-    // readers unaffected, and the real compaction heals over it
-    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/c3")
+    // crash mid-compaction: a half-written writer-unique dir with no
+    // published manifest, HEAD untouched — readers unaffected, and the
+    // real compaction lands beside it (vacuumOrphans sweeps the debris)
+    ev.limit(3).write.mode("overwrite").parquet(s"$root/data/wcrash")
     assert(Snapshots.headVersion(spark, root) == 2)
     assert(Snapshots.read(spark, root).count() == before.size)
 
@@ -571,8 +656,11 @@ class RoundTripSpec extends SparkSpec {
     // the 1→2 delta's scan lists ONLY commit 2's files — the
     // incremental consumer never re-reads old data
     val feed = Snapshots.changesBetween(spark, root, 1, 2)
+    val added = (Snapshots.dirsOf(spark, root, 2).toSet --
+      Snapshots.dirsOf(spark, root, 1)).toSeq
+    assert(added.size == 1)
     assert(feed.inputFiles.nonEmpty &&
-      feed.inputFiles.forall(_.contains("/data/c2/")),
+      feed.inputFiles.forall(_.contains(added.head)),
       s"non-delta files in scan: ${feed.inputFiles.take(3).mkString(",")}")
     // va == vb -> an empty feed, not an error
     assert(Snapshots.changesBetween(spark, root, 2, 2).count() == 0)
