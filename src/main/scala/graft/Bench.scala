@@ -25,6 +25,20 @@ import org.apache.spark.sql.SparkSession
   * overwrote the clean 58.5 s record and got judged as official).
   */
 object Bench {
+  /** Live index/fixpoint BUILD queries: declared correctness baselines
+    * whose measured cost is a one-time build (in-query LSH signatures,
+    * Lloyd chains, the components fixpoint), not the serving path —
+    * their persisted twins (s02b/s03b/s04b/s12b, the saved decision
+    * table) are the production numbers. They carry the widest
+    * run-to-run spread in the sandbox (s02: 1.4–4.5 s across clean
+    * records; d06: 2.1–4.2 s), so the record splits `core_sec` (the
+    * round-over-round regression signal) from `build_sec` — every
+    * query still runs and is reported in `queries`.
+    */
+  private[graft] val BUILD_QUERIES = Set(
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_pq", "s12_ann_ivfpq",
+    "d03_dedup_minhash_lsh", "d06_dedup_clusters", "d09_dedup_semantic")
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
@@ -135,6 +149,9 @@ object Bench {
       case (k, r) if r > 15.0 && r2map(k) >= 0.3 => k
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val buildSec = results.collect {
+      case (k, v) if v >= 0 && BUILD_QUERIES(k) => v }.sum
+    val coreSec = total - buildSec
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed2Json = failedSf2.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slJson = superlinear.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -158,7 +175,7 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
     val contended = load1 > machineCores / 2.0
     val line =
-      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","contended":$contended,"machine_cores":$machineCores,"metric":"total","unit":"sec","value":${num(total, 1)}}"""
+      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"build_queries":${BUILD_QUERIES.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"build_sec":${num(buildSec, 1)},"core_sec":${num(coreSec, 1)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","contended":$contended,"machine_cores":$machineCores,"metric":"total","unit":"sec","value":${num(total, 1)}}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Machine-readable evidence for the declared rows-only operators —
   * the gate's blind spot made checkable. The DuckDB gate hash-checks
@@ -112,6 +113,39 @@ object Evidence {
     val s11rows = run("s11_index_quality").collect()
       .map(r => r.getString(0) -> r.getAs[Double]("mean_recall")).toMap
 
+    // Strata's 100 TB path: the GK-sketch banding behind q34/c40/c41
+    // under spark.graft.approx=true, compared row-by-row against the
+    // exact NTILE on the operators' own frames — the gate always runs
+    // the exact path, so this is the ONLY machine-checked accuracy
+    // evidence for the knob StrataSpec pins structurally
+    def withApprox[T](f: => T): T =
+      try { s.conf.set("spark.graft.approx", "true"); f }
+      finally s.conf.unset("spark.graft.approx")
+    def bandAgreement(frame: DataFrame, n: Int, value: String,
+        tiebreak: String, keyCols: Seq[String]): (Double, Double) = {
+      def bands(df: DataFrame): Map[String, Int] =
+        df.collect().map(r =>
+          keyCols.map(k => r.get(r.fieldIndex(k)).toString).mkString("|") ->
+            r.getInt(r.fieldIndex("__band"))).toMap
+      val exact = bands(operators.Strata.band(s, frame, n, value, tiebreak,
+        "__band", keyCols.filterNot(Set(value, tiebreak))))
+      val approx = withApprox { bands(operators.Strata.band(s, frame, n,
+        value, tiebreak, "__band", keyCols.filterNot(Set(value, tiebreak)))) }
+      val agree = exact.count { case (k, b) => approx(k) == b }.toDouble /
+        exact.size
+      val maxShift = exact.map { case (k, b) =>
+        math.abs(approx(k) - b) }.foldLeft(0)(math.max).toDouble
+      (agree, maxShift)
+    }
+    val (q34Agree, q34Shift) = bandAgreement(
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+      10, "c_acctbal", "c_custkey", Seq("c_mktsegment", "c_custkey"))
+    val (c40Agree, c40Shift) = bandAgreement(
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      4, "n_events", "user_id", Seq("user_id"))
+
     Seq(
       Item("q15b_percentiles_approx", "approx-error",
         "max_rel_err_vs_q15",
@@ -200,7 +234,19 @@ object Evidence {
         "rerun_identical",
         if (t04a.length == t04b.length &&
           t04a.zip(t04b).forall { case (x, y) => x == y }) 1.0 else 0.0,
-        1.0, "==")
+        1.0, "=="),
+      // the approx-banding knob (NOT gate queries — the gate runs the
+      // exact path; these rows assert the 100 TB path's accuracy):
+      // per-row band agreement stays high and no row shifts by more
+      // than one adjacent band (the GK-sketch boundary-error class)
+      Item("q34_ntile_deciles.approx_banding", "approx-agreement",
+        "band_agreement_vs_exact", q34Agree, 0.90, ">="),
+      Item("q34_ntile_deciles.approx_shift", "approx-error",
+        "max_band_shift_vs_exact", q34Shift, 1.0, "<="),
+      Item("c40_case_control.approx_banding", "approx-agreement",
+        "stratum_agreement_vs_exact", c40Agree, 0.90, ">="),
+      Item("c40_case_control.approx_shift", "approx-error",
+        "max_stratum_shift_vs_exact", c40Shift, 1.0, "<=")
     )
   }
 

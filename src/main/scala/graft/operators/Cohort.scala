@@ -804,6 +804,38 @@ object Cohort {
           col("n_discharges").cast("double"), 6))
       .transform(Gate.ordered("discharge_day"))
 
+  // -- c37b: readmission over the EXPLICIT visit dimension -----------------
+  // c37's KPI re-expressed over orders-as-visit_dimension (o_orderkey =
+  // encounter_num, o_custkey = patient_num) — the i2b2-migration twin:
+  // a CRC load brings explicit encounter ids, and the readmission rule
+  // must not depend on the 30-min session derivation. Per customer, a
+  // discharge (an order) counts as readmitted when the SAME customer's
+  // next order lands within 30 days; monthly rollup (o_orderdate spans
+  // years). Same shape as c37: ONE hash(custkey) shuffle carries the
+  // lead() sequence — per-customer partitions are bounded (orders per
+  // customer, never events), so the sort parallelises at any corpus
+  // size; no self-join of visits.
+  private val C37B_READMIT_DAYS = 30
+
+  def c37b(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("readmit",
+        when(col("next_date").isNotNull &&
+          datediff(col("next_date"), col("o_orderdate"))
+            <= C37B_READMIT_DAYS, 1).otherwise(0))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("discharge_month"))
+      .agg(count(lit(1)).as("n_discharges"),
+        sum(col("readmit")).as("n_readmit_30d"))
+      .withColumn("readmit_rate",
+        round(col("n_readmit_30d").cast("double") /
+          col("n_discharges").cast("double"), 6))
+      .transform(Gate.ordered("discharge_month"))
+  }
+
   // -- c35: sessionization via Spark's native session_window ---------------
   // The API face c09's hand-rolled gap fold doesn't show: Spark's own
   // session_window aggregate (the form a Structured-Streaming
@@ -1281,6 +1313,7 @@ object Cohort {
     "c39_risk_tiers" -> (c39 _),
     "c40_case_control" -> (c40 _),
     "c37_readmission_rate" -> (c37 _),
+    "c37b_readmission_explicit" -> (c37b _),
     "c01_panel_cohort" -> (c01 _),
     "c02_temporal_sequence" -> (c02 _),
     "c03_eav_pivot" -> (c03 _),
@@ -1652,6 +1685,24 @@ object Cohort {
          | CAST(SUM(readmit) AS BIGINT) AS n_readmit_24h,
          | ROUND(CAST(SUM(readmit) AS DOUBLE) / COUNT(*), 6) AS readmit_rate
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // explicit visit dimension: the visit id is the order key and the
+    // readmission window is day-granular on o_orderdate — no session
+    // derivation anywhere (the i2b2-migration twin of c37)
+    "c37b_readmission_explicit" ->
+      s"""WITH v AS (
+         | SELECT o_custkey, o_orderkey, o_orderdate,
+         |  LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey
+         |   ORDER BY o_orderdate, o_orderkey) AS next_date
+         | FROM orders)
+         |SELECT strftime(o_orderdate, '%Y-%m') AS discharge_month,
+         | COUNT(*) AS n_discharges,
+         | CAST(SUM(CASE WHEN next_date IS NOT NULL AND
+         |   date_diff('day', o_orderdate, next_date) <= $C37B_READMIT_DAYS
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_readmit_30d,
+         | ROUND(CAST(SUM(CASE WHEN next_date IS NOT NULL AND
+         |   date_diff('day', o_orderdate, next_date) <= $C37B_READMIT_DAYS
+         |   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS readmit_rate
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical per-patient (ts, event_id) order, so the lag pairs are
     // engine-stable
     "c36_pathway_transitions" ->

@@ -291,6 +291,40 @@ object Panels {
     cohort(withEncounters(events(s, d)), c14bDef)
       .transform(Gate.ordered("user_id"))
 
+  // -- c14c: same-encounter scoping over an EXPLICIT visit dimension ------
+  // The i2b2-migration face of c14: a real CRC load ships an explicit
+  // visit_dimension table (encounter_num is DATA), not a derived
+  // sessionization. Here orders plays visit_dimension (o_orderkey =
+  // encounter_num, o_custkey = patient_num) and lineitem plays
+  // observation_fact — the SAME cohort() compile runs unchanged on a
+  // frame whose encounter_id arrives by join, with NO window/lag
+  // anywhere in the plan, proving the panel machinery independent of
+  // the visit definition (PanelsSpec crosses derived vs explicit on a
+  // frame where both agree). Panels: a returned line (l_returnflag R)
+  // with quantity >= 30 AND an accepted line (N) in the SAME order.
+  // At 100 TB the fact→visit join is a plain orderkey equi-join (AQE-
+  // splittable, co-locatable by bucketing both tables on the key).
+  val c14cDef: CohortDef = CohortDef(
+    panels = Seq(
+      Panel(Seq(Concept("R", minValue = Some(30.0)))),
+      Panel(Seq(Concept("N")))),
+    scope = EncounterScope)
+
+  /** lineitem + orders as an events-shaped fact frame carrying an
+    * EXPLICIT encounter_id (the visit id is data, not a session rule).
+    */
+  private[graft] def explicitEncounterFacts(s: SparkSession, d: String)
+      : DataFrame =
+    lineitem(s, d).select(col("l_orderkey").as("encounter_id"),
+        col("l_returnflag").as("event_type"),
+        col("l_quantity").as("value"))
+      .join(orders(s, d).select(col("o_orderkey").as("encounter_id"),
+        col("o_custkey").as("user_id")), "encounter_id")
+
+  def c14c(s: SparkSession, d: String): DataFrame =
+    cohort(explicitEncounterFacts(s, d), c14cDef)
+      .transform(Gate.ordered("user_id"))
+
   // -- c26: modifier-dimension constraints -------------------------------
 
   /** The modifier dimension as a (modifier_cd, modifier_path) frame —
@@ -576,6 +610,7 @@ object Panels {
     "c29_sql_cohort" -> (c29 _),
     "c14_panel_same_encounter" -> (c14 _),
     "c14b_panel_distinct_encounters" -> (c14b _),
+    "c14c_explicit_encounter" -> (c14c _),
     "c23_patient_set_panel" -> (c23 _),
     "c23b_saved_patient_set" -> (c23b _),
     "c23c_patient_set_algebra" -> (c23c _),
@@ -620,6 +655,23 @@ object Panels {
     // every prefix's survivor count re-derived as its own filtered
     // aggregate — the one-pass ladder must match K separate queries
     "c46_attrition_flow" -> C46_SQL,
+    // explicit visit dimension: encounter_id is the order key (data,
+    // not a session rule) — no window function anywhere
+    "c14c_explicit_encounter" ->
+      """WITH f AS (
+        | SELECT o.o_custkey AS user_id, l.l_orderkey AS encounter_id,
+        |  l.l_returnflag AS event_type, l.l_quantity AS value
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |enc AS (
+        | SELECT user_id, encounter_id,
+        |  COUNT(CASE WHEN event_type = 'R' AND value >= 30.0
+        |   THEN 1 END) AS p0,
+        |  COUNT(CASE WHEN event_type = 'N' THEN 1 END) AS p1
+        | FROM f GROUP BY 1, 2
+        | HAVING p0 >= 1 AND p1 >= 1)
+        |SELECT user_id, COUNT(*) AS n_encounters,
+        | CAST(SUM(p0) AS BIGINT) AS p0, CAST(SUM(p1) AS BIGINT) AS p1
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     "c23_patient_set_panel" -> C23_SQL,
     // the saved-set path must answer EXACTLY like the inline path
     "c23b_saved_patient_set" -> C23_SQL,

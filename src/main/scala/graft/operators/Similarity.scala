@@ -221,10 +221,17 @@ object Similarity {
 
   /** K centroids after `iters` Lloyd iterations, as (cid, c). */
   private[graft] def ivfCentroids(s: SparkSession, d: String,
-      k: Int = IVF_K, iters: Int = IVF_ITERS): DataFrame = {
-    val e = embeddings(s, d)
+      k: Int = IVF_K, iters: Int = IVF_ITERS): DataFrame =
+    ivfCentroidsOf(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")), k, iters)
+
+  /** The same Lloyd chain over ANY (vec_id, embedding) frame —
+    * [[ensureIvfIndexAppended]] trains on the base (pre-churn) corpus
+    * slice through this.
+    */
+  private[graft] def ivfCentroidsOf(e: DataFrame, k: Int, iters: Int)
+      : DataFrame = {
     // deterministic seeding: the K lowest vec_ids (TakeOrdered — no
     // assumption that the id domain is dense or zero-based)
     var cent: DataFrame = e.orderBy("vec_id").limit(k)
@@ -251,6 +258,21 @@ object Similarity {
     cent
   }
 
+  /** Multi-assignment against a FIXED centroid table: each vector's
+    * IVF_ASSIGN nearest cells, as (vec_id, cid). A pure per-vector
+    * function of (vector, centroids) — the property [[appendIvf]]
+    * rests on: assigning base-then-delta equals assigning the union.
+    */
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
+    cellScores(vecs, cent)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IVF_ASSIGN)
+      .select("vec_id", "cid")
+  }
+
   def s03(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -260,12 +282,7 @@ object Similarity {
     // re-run the full Lloyd chain over the corpus
     val cent = ivfCentroids(s, d).cache()
     // multi-assign each vector to its IVF_ASSIGN nearest cells
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
-    val cells = cellScores(e, cent)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= IVF_ASSIGN)
-      .select("vec_id", "cid")
+    val cells = assignCells(e, cent)
     // probe the NPROBE cells nearest the query (K-row centroid table ×
     // 1-row query — driver-free, broadcast both ways)
     val probed = broadcast(cent
@@ -306,16 +323,70 @@ object Similarity {
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("score").desc, col("cid"))
-      cellScores(e, s.table(centT))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= IVF_ASSIGN)
-        .select("vec_id", "cid")
+      assignCells(e, s.table(centT))
         .write.mode("overwrite")
         .bucketBy(nb, "cid").sortBy("cid")
         .option("path", s"$scratch/ivf_cells/${sanitize(d)}_b$nb")
         .saveAsTable(cellsT)
+    }
+    (cellsT, centT)
+  }
+
+  // -- IVF append: CDC for the vector side --------------------------------
+  // ensureIvfIndex is build-once; a churning corpus must not rebuild
+  // from scratch while LSH and the passage anchors already have append
+  // paths. appendIvf assigns DELTA vectors to the EXISTING centroids
+  // and appends their rows to the bucketed cells table — centroids stay
+  // FIXED (appends don't retrain a quantizer; cell geometry decays only
+  // under distribution drift, which s11's recall monitor owns — s14's
+  // documented stance). Because assignment is a pure per-vector
+  // function of (vector, centroids), append ≡ rebuild-at-fixed-
+  // centroids EXACTLY (SimilaritySpec proves cells-table equality), and
+  // the bucketed layout is preserved (Spark validates the bucket spec
+  // on append), so candidate joins stay exchange-free after any number
+  // of appends. At 100 TB a nightly delta pays |delta| × K scoring +
+  // one bucketed append — never a corpus rescan or a Lloyd retrain.
+  private[graft] val APP_DELTA_MOD = 4L // delta slice: vec_id % 4 == 3
+
+  /** Append delta vectors to an existing persisted IVF index (fixed
+    * centroids, bucket-preserving cells append).
+    */
+  def appendIvf(s: SparkSession, cellsT: String, centT: String,
+      delta: DataFrame): Unit =
+    assignCells(delta.select(col("vec_id"), col("embedding")),
+      s.table(centT))
+      .write.mode("append")
+      .bucketBy(graft.GraftConf.indexBuckets(s), "cid").sortBy("cid")
+      .saveAsTable(cellsT)
+
+  /** Build-if-absent the APPENDED-lifecycle index: centroids trained on
+    * the base (pre-churn) three quarters of the corpus, base assigned
+    * at build time, the remaining quarter arriving later via
+    * [[appendIvf]] — the nightly-churn shape, kept as a SEPARATE index
+    * so the shared s03b/s13/s14 index stays untouched. s11's `ivf_app`
+    * leg monitors its recall over the FULL probe panel.
+    */
+  private[graft] def ensureIvfIndexAppended(s: SparkSession, d: String)
+      : (String, String) = {
+    val nb = graft.GraftConf.indexBuckets(s)
+    val cellsT = s"graft_ivf_app_cells_${sanitize(d)}_b$nb"
+    val centT = s"graft_ivf_app_cent_${sanitize(d)}"
+    if (!s.catalog.tableExists(cellsT)) {
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % APP_DELTA_MOD =!= APP_DELTA_MOD - 1)
+      if (!s.catalog.tableExists(centT))
+        ivfCentroidsOf(base, IVF_K, IVF_ITERS).write.mode("overwrite")
+          .option("path", s"$scratch/ivf_app_cent/${sanitize(d)}")
+          .saveAsTable(centT)
+      assignCells(base, s.table(centT))
+        .write.mode("overwrite")
+        .bucketBy(nb, "cid").sortBy("cid")
+        .option("path", s"$scratch/ivf_app_cells/${sanitize(d)}_b$nb")
+        .saveAsTable(cellsT)
+      appendIvf(s, cellsT, centT,
+        e.filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1))
     }
     (cellsT, centT)
   }
@@ -1020,9 +1091,15 @@ object Similarity {
   // arithmetic is an integer hit-count per probe divided once.
   def s11(s: SparkSession, d: String): DataFrame = {
     val exact = s05(s, d).select(col("q_id"), col("vec_id"))
+    // ivf_app: the appended-lifecycle index (base build + appendIvf
+    // delta) monitored by the SAME report — recall decay after churn
+    // is exactly what this monitor exists to catch
     val legs = Seq(
       "lsh" -> s05b(s, d).select(col("q_id"), col("vec_id")),
-      "ivf" -> ivfKnnJoin(s, d).select(col("q_id"), col("vec_id")))
+      "ivf" -> ivfKnnJoin(s, d, ensureIvfIndex(s, d))
+        .select(col("q_id"), col("vec_id")),
+      "ivf_app" -> ivfKnnJoin(s, d, ensureIvfIndexAppended(s, d))
+        .select(col("q_id"), col("vec_id")))
     legs.map { case (name, approx) =>
       val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
@@ -1042,9 +1119,12 @@ object Similarity {
     * probe generalized): per-probe nearest cells from the tiny
     * broadcast centroid table, candidates from the persisted cells,
     * exact re-rank — the same three stages, one plan for all probes.
+    * Parameterized over the index tables so the monitor covers the
+    * shared index AND the appended-lifecycle one.
     */
-  private def ivfKnnJoin(s: SparkSession, d: String): DataFrame = {
-    val (cellsT, centT) = ensureIvfIndex(s, d)
+  private def ivfKnnJoin(s: SparkSession, d: String,
+      index: (String, String)): DataFrame = {
+    val (cellsT, centT) = index
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("cid"))
     val probed = probeFrame(s, d)

@@ -147,6 +147,39 @@ class PanelsSpec extends SparkSpec {
     assert(Panels.cohort(f, raw).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("cohort() is visit-definition independent: derived == explicit when they agree") {
+    import spark.implicits._
+    // a frame whose 30-min sessionization induces EXACTLY the visits
+    // the explicit encounter_id column records (gaps within a visit
+    // < 30 min, between visits > 30 min) — the i2b2-migration claim:
+    // swapping the derived rule for a real visit_dimension changes
+    // nothing about what the panel compiler computes
+    val f = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 150.0, 1L),
+      (1L, 2L, Timestamp.valueOf("2024-01-01 12:10:00"), "click", 1.0, 1L),
+      (1L, 3L, Timestamp.valueOf("2024-01-01 14:00:00"), "purchase", 150.0, 2L),
+      (2L, 4L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 150.0, 1L),
+      (2L, 5L, Timestamp.valueOf("2024-01-02 12:00:00"), "click", 1.0, 2L),
+      (3L, 6L, Timestamp.valueOf("2024-01-01 09:00:00"), "click", 1.0, 1L),
+      (3L, 7L, Timestamp.valueOf("2024-01-01 09:20:00"), "purchase", 150.0, 1L)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value", "encounter_id")
+    val cd = CohortDef(Seq(
+      Panel(Seq(Concept("purchase", minValue = Some(100.0)))),
+      Panel(Seq(Concept("click")))), scope = EncounterScope)
+    val explicit = Panels.cohort(f, cd)
+      .collect().map(_.toSeq).toSet
+    val derived = Panels.cohort(
+      Panels.withEncounters(f.drop("encounter_id")), cd)
+      .collect().map(_.toSeq).toSet
+    assert(explicit == derived, s"explicit $explicit vs derived $derived")
+    assert(explicit.map(_.head) == Set(1L, 3L))
+  }
+
+  test("c14c explicit-encounter plan carries no window (visit id is data)") {
+    val plan = Panels.c14c(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"session derivation leaked in:\n$plan")
+  }
+
   test("c14 encounter-scope cohort is a subset of its patient-scope twin") {
     val enc = Panels.c14(spark, sfDir).collect().map(_.getLong(0)).toSet
     val pat = Panels.cohort(Tables.events(spark, sfDir),
