@@ -49,6 +49,17 @@ class PlanHygieneSpec extends SparkSpec {
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "p02_multimodal_ann")
 
+  test("Bench classification sets name only registered queries") {
+    // a typo'd name in BUILD_QUERIES / QUADRATIC_ORACLES would silently
+    // stop classifying that query (core_sec absorbs it, the superlinear
+    // alarm re-fires on the declared quadratic) — pin membership
+    val registered = SparkEntry.queries.keySet
+    assert((Bench.BUILD_QUERIES -- registered).isEmpty,
+      s"unknown BUILD_QUERIES: ${Bench.BUILD_QUERIES -- registered}")
+    assert((Bench.QUADRATIC_ORACLES -- registered).isEmpty,
+      s"unknown QUADRATIC_ORACLES: ${Bench.QUADRATIC_ORACLES -- registered}")
+  }
+
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
