@@ -58,6 +58,25 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** Minimal JSON string escape, shared by every bench artifact writer:
+    * exception messages routinely carry newlines, backslashes (Windows
+    * paths, regexes) and control characters from Spark stack traces —
+    * any of which invalidates a hand-assembled JSON line.
+    */
+  private[graft] def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
   /** The bench_last.json overwrite decision, pure for testing.
     *
     * The r6 gate (refuse only when 1-min load > cores/2) proved too
@@ -135,8 +154,14 @@ object Bench {
         // sf>=10 scale legs set SPARK_GRAFT_RUNS=1 — a single timed
         // run after warm-up — so a 190-query 10 GB pass stays tractable
         val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+        // LOWER median: for even run counts (RUNS=2, the ratio legs'
+        // noise-floor option) this is the min — the standard robust
+        // choice for timings, where noise is one-sided (contention
+        // only ever adds time); for odd counts it is the median as
+        // before
         val runs = Seq.fill(nRuns)(once()).flatten
-        val med = if (runs.size == nRuns) runs.sorted.apply(runs.size / 2)
+        val med = if (runs.size == nRuns)
+            runs.sorted.apply((runs.size - 1) / 2)
           else { recordFailure(name); -1.0 }
         name -> med
       }
@@ -163,6 +188,16 @@ object Bench {
     val (superlinearDecl, superlinear) = ratios.collect {
       case (k, r) if r > 15.0 && r2map(k) >= 0.3 => k
     }.partition(QUADRATIC_ORACLES)
+    // ratios whose BASELINE leg is under the noise floor are annotated
+    // as such: at RUNS=1 a 0.1 s query's ratio is dominated by per-query
+    // fixed overhead jitter (the r12 sf10 leg reported c45 at 0.42 —
+    // a "speedup" on 10x data that was pure noise), so the scaling
+    // curve's consumers must read these names as unmeasured, not as
+    // sub-linear evidence
+    val ratioNoiseFloor = 0.3
+    val ratioNoisy = ratios.collect {
+      case (k, _) if r2map(k) >= 0 && r2map(k) < ratioNoiseFloor => k
+    }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val buildSec = results.collect {
       case (k, v) if v >= 0 && BUILD_QUERIES(k) => v }.sum
@@ -176,8 +211,10 @@ object Bench {
       .mkString("{", ",", "}")
     // superlinear only appears when the two-SF run actually happened —
     // an empty list must mean "checked, none found", never "skipped"
+    val noisyJson = ratioNoisy.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val sf2Json = if (results2.nonEmpty)
-      s""""queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"superlinear":$slJson,"superlinear_declared":$slDeclJson,"""
+      s""""queries_sf2":${json(results2)},"sf2":"$sf2Dir","failed_sf2":$failed2Json,"scale_ratio":$ratiosJson,"superlinear":$slJson,"superlinear_declared":$slDeclJson,"ratio_noise_floor_sec":${num(ratioNoiseFloor, 1)},"ratio_noisy":$noisyJson,"""
       else """"scale_check":"skipped","""
     // Key order matters: the driver records only the LAST 2000 chars of
     // output, so the big per-query maps go FIRST and the headline

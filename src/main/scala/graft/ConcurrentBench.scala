@@ -121,8 +121,11 @@ object ConcurrentBench {
     val concurrentFailed = streams.flatMap(_._3)
     val streamsJson = streams.map { case (name, secs, _) =>
       "\"" + name + "\":" + num(secs) }.mkString("{", ",", "}")
+    // full JSON escaping (Bench.jstr): failure messages carry Spark
+    // stack-trace text — newlines/backslashes/control chars — which a
+    // quote-only replace would let corrupt the artifact
     def arr(xs: Seq[String]) =
-      xs.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
+      xs.map(Bench.jstr).mkString("[", ",", "]")
     val line =
       s"""{"sf":"$sfDir","n_streams":$nStreams,"n_queries":${all.size},""" +
         s""""serial_sum_sec":${num(serialSum)},""" +
@@ -140,6 +143,9 @@ object ConcurrentBench {
     java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
-    if (concurrentFailed.nonEmpty || serialFailed.nonEmpty) sys.exit(1)
+    // warm failures gate too: a query that cannot even build its
+    // indexes serially is a broken leg, not a warm-up footnote
+    if (concurrentFailed.nonEmpty || serialFailed.nonEmpty ||
+        warmFailures.nonEmpty) sys.exit(1)
   }
 }

@@ -371,6 +371,8 @@ object Similarity {
     val nb = graft.GraftConf.indexBuckets(s)
     val cellsT = s"graft_ivf_app_cells_${sanitize(d)}_b$nb"
     val centT = s"graft_ivf_app_cent_${sanitize(d)}"
+    def delta(e: DataFrame) =
+      e.filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1)
     if (!s.catalog.tableExists(cellsT)) {
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -385,8 +387,21 @@ object Similarity {
         .bucketBy(nb, "cid").sortBy("cid")
         .option("path", s"$scratch/ivf_app_cells/${sanitize(d)}_b$nb")
         .saveAsTable(cellsT)
+      appendIvf(s, cellsT, centT, delta(e))
+    } else if (s.table(cellsT)
+        .filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1)
+        .isEmpty) {
+      // REPAIR the crash window between the base-table create and the
+      // delta append: Spark's append commit is all-or-nothing (staged
+      // files publish at job commit), so a killed run leaves the delta
+      // slice either fully present or fully absent — absent means the
+      // guard above would otherwise skip it FOREVER, serving an index
+      // silently missing a quarter of the corpus. Presence of the
+      // slice is the publish marker; absent → idempotent re-append.
       appendIvf(s, cellsT, centT,
-        e.filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1))
+        delta(embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id"), col("embedding"))))
     }
     (cellsT, centT)
   }

@@ -5,6 +5,21 @@ import graft.Tables._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A replace-form commit (commitReplace / a compaction attempt) lost
+  * its CAS race: a concurrent commit landed after this writer read the
+  * base version, so the pre-computed replacement state no longer
+  * reflects the table — blindly re-stamping it at the next version
+  * would silently DROP the interloper's rows (the lost-update bug this
+  * exception exists to prevent; Delta raises the same class of
+  * conflict for concurrent metadata changes). Callers that can
+  * recompute from the new head (compact does, internally) retry;
+  * callers that cannot (a CDC merge built from a specific base) must
+  * surface the conflict to whoever owns the merge semantics.
+  */
+final class SnapshotConflictException(msg: String)
+  extends RuntimeException(msg)
 
 /** Snapshot-isolated append commits with time travel — the lakehouse
   * table contract (Iceberg/Delta's core idea, re-derived minimally) a
@@ -36,6 +51,23 @@ import org.apache.spark.sql.functions._
   * [[headVersion]]'s forward probe makes that benign. This is
   * deletePatients' tombstone discipline applied to whole-table
   * versioning, plus the multi-writer safety a lakehouse needs.
+  *
+  * Scale of the METADATA itself (the thousand-commit story): every
+  * manifest is SELF-CONTAINED — the full dir list, not an action delta
+  * — so any version resolves from ONE manifest read; there is no log
+  * replay to checkpoint away (Delta needs periodic checkpoint files
+  * precisely because its log is deltas; writing the checkpoint every
+  * commit is affordable here because a manifest is a dir list, not a
+  * file list — [[commitManaged]] bounds the dirs). HEAD is the
+  * `_last_checkpoint`-style pointer: monotonic, self-healing (a probe
+  * that advances rewrites it), re-verified by [[vacuum]] before it
+  * truncates history — head resolution stays O(1) filesystem ops
+  * amortized at any commit count. Appends carry a SCHEMA CONTRACT:
+  * each manifest pins the committed StructType; an append merges
+  * against it (same-name columns must keep their type — loud
+  * rejection, never a silent fork) and readers scan with the pinned
+  * schema, so old versions keep their own narrower shape with zero
+  * footer-merge cost.
   */
 object Snapshots {
 
@@ -52,16 +84,62 @@ object Snapshots {
     */
   def headVersion(s: SparkSession, root: String): Int = {
     val f = fs(s, root)
-    val hint =
-      if (!f.exists(headPath(root))) 0
-      else {
-        val in = f.open(headPath(root))
-        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-        finally in.close()
-      }
+    val hint = readHint(f, root)
     var v = hint
     while (f.exists(new Path(s"$root/manifests/v${v + 1}.json"))) v += 1
+    // SELF-HEALING pointer (the `_last_checkpoint` discipline): a hint
+    // left stale by a crash between publish and advance, or by an older
+    // concurrent advance landing last, would tax EVERY future probe by
+    // the gap — rewrite it to the probed head so resolution stays O(1)
+    // amortized however many thousands of commits the table accretes.
+    // Best-effort: a read-only caller without write permission still
+    // resolves, just without repairing the hint.
+    if (v > hint)
+      try advanceHead(s, f, root, v) catch { case _: Throwable => () }
     v
+  }
+
+  /** The persisted HEAD hint (0 when absent or unreadable). A hint of
+    * 0 is always SAFE — the probe just walks from the start — so a
+    * read that races a concurrent overwriting rename (on Hadoop's
+    * checksummed local fs the data file and its .crc sidecar move in
+    * two steps, so a mid-rename reader can see a checksum mismatch)
+    * retries briefly and then degrades to the full probe instead of
+    * failing the read path.
+    */
+  private def readHint(f: FileSystem, root: String): Int = {
+    val hf = hintFs(f)
+    var attempts = 0
+    while (true) {
+      try {
+        if (!hf.exists(headPath(root))) return 0
+        val in = hf.open(headPath(root))
+        val txt =
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        return if (txt.isEmpty) 0 else txt.toInt
+      } catch {
+        case _: java.io.IOException | _: NumberFormatException =>
+          attempts += 1
+          if (attempts >= 3) return 0
+          Thread.sleep(5L * attempts)
+      }
+    }
+    0 // unreachable
+  }
+
+  /** HEAD is the one MUTABLE file in the layout, so its IO must bypass
+    * Hadoop's ChecksumFileSystem on local disks: an overwriting rename
+    * there moves the data file and its .crc sidecar in TWO steps, and a
+    * concurrent reader in the window sees new bytes verified against
+    * the old checksum (a spurious ChecksumException under exactly the
+    * write-heavy contention OCC is for). Immutable files (manifests,
+    * data) never hit this — they are written once and linked, never
+    * overwritten.
+    */
+  private def hintFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
 
   /** Writer-unique suffix for data/sidecar dirs and tmp files — two
@@ -75,38 +153,71 @@ object Snapshots {
     * the commit point, CAS-retried on contention (the parent state is
     * re-read per attempt, so a losing writer rebases on the winner's).
     */
-  def commit(s: SparkSession, root: String, df: DataFrame): Int =
+  def commit(s: SparkSession, root: String, df: DataFrame): Int = {
     // an append extends the PARENT MANIFEST (not "dirs 1..v" by
     // convention — a delete commit contributes no data dir, a replace
     // swapped the set) and carries its deletion vectors forward: new
     // files can't be referenced by any DV (sidecars name (file, row)
     // pairs), and rows already deleted must STAY deleted
-    commitWith(s, root, df,
-      (v, dataDir) => dirsOf(s, root, v - 1) :+ dataDir,
-      v => dvDirsOf(s, root, v - 1))
+    val dataDir = writeData(s, root, df, None)
+    retryCommit(s, root) { v =>
+      // the schema contract rebases per attempt too: the parent the
+      // loser merges against is the RACE WINNER's committed schema
+      val merged = schemaOf(s, root, v - 1)
+        .fold(df.schema)(p => mergeSchemas(p, df.schema))
+      (dirsOf(s, root, v - 1) :+ dataDir, dvDirsOf(s, root, v - 1),
+        Some(merged))
+    }
+  }
 
   /** Commit `df` as the next snapshot whose manifest lists ONLY the new
     * data dir — the REPLACE form the manifest design anticipated: each
     * version is a full materialized state (st12's CDC merge), not an
-    * append. Same write-once-then-CAS discipline; pinned readers of
-    * older versions still resolve their own manifests' dirs, which a
-    * replace never touches.
+    * append. Same write-once discipline, but the CAS is SINGLE-SHOT: a
+    * replacement is computed FROM a specific base state, so losing the
+    * race to any concurrent commit means the replacement is stale —
+    * re-stamping it at the next version would silently drop the
+    * winner's rows (the lost-update an append's rebase loop cannot
+    * have, because an append re-reads the parent manifest per
+    * attempt). The loser's never-referenced data dir is removed and
+    * [[SnapshotConflictException]] raised; the caller re-derives from
+    * the new head and retries ([[compact]] does exactly that).
     */
   def commitReplace(s: SparkSession, root: String, df: DataFrame): Int =
-    commitWith(s, root, df, (_, dataDir) => Seq(dataDir), _ => Seq.empty)
+    replaceAt(s, root, headVersion(s, root), df, None)
 
-  private def commitWith(s: SparkSession, root: String, df: DataFrame,
-      dirsFor: (Int, String) => Seq[String], dvsFor: Int => Seq[String],
-      maxRecordsPerFile: Option[Long] = None): Int = {
-    // the expensive data write happens ONCE, outside the CAS loop: the
-    // dir name carries no version, so a lost race re-stamps only the
-    // manifest. A crashed attempt leaves an unreferenced, invisible
-    // dir (vacuumOrphans' job), never a half-visible table.
+  /** Publish `df` as version `base`+1 replacing all prior state, iff
+    * the table is still at `base`. Package-private so specs can force
+    * the conflict path deterministically.
+    */
+  private[graft] def replaceAt(s: SparkSession, root: String, base: Int,
+      df: DataFrame, maxRecordsPerFile: Option[Long]): Int = {
+    val dataDir = writeData(s, root, df, maxRecordsPerFile)
+    if (tryPublishManifest(s, root, base + 1, Seq(dataDir), Seq.empty,
+        Some(df.schema))) base + 1
+    else {
+      // this dir was never referenced by any manifest: safe to drop
+      // eagerly instead of waiting out vacuumOrphans' age horizon
+      fs(s, root).delete(new Path(dataDir), true)
+      throw new SnapshotConflictException(
+        s"replace commit at $root lost the race for v${base + 1}: a " +
+          s"concurrent commit landed after this writer read v$base — " +
+          "re-derive the replacement from the new head and retry")
+    }
+  }
+
+  /** The one data write of any commit: ONCE, outside the CAS loop —
+    * the dir name carries no version, so a lost append race re-stamps
+    * only the manifest. A crashed attempt leaves an unreferenced,
+    * invisible dir (vacuumOrphans' job), never a half-visible table.
+    */
+  private def writeData(s: SparkSession, root: String, df: DataFrame,
+      maxRecordsPerFile: Option[Long]): String = {
     val dataDir = s"$root/data/w${token()}"
     val w = df.write.mode("overwrite")
     maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
       .parquet(dataDir)
-    retryCommit(s, root)(v => (dirsFor(v, dataDir), dvsFor(v)))
+    dataDir
   }
 
   /** The optimistic-concurrency loop shared by every commit form
@@ -117,12 +228,13 @@ object Snapshots {
     * the parent state (the rebase), and retries at the next version.
     */
   private def retryCommit(s: SparkSession, root: String)
-      (manifestFor: Int => (Seq[String], Seq[String])): Int = {
+      (manifestFor: Int => (Seq[String], Seq[String], Option[StructType]))
+      : Int = {
     var attempts = 0
     while (true) {
       val v = headVersion(s, root) + 1
-      val (dirs, dvs) = manifestFor(v)
-      if (tryPublishManifest(s, root, v, dirs, dvs)) return v
+      val (dirs, dvs, schema) = manifestFor(v)
+      if (tryPublishManifest(s, root, v, dirs, dvs, schema)) return v
       attempts += 1
       require(attempts < 64,
         s"commit contention at $root: lost $attempts CAS races")
@@ -137,15 +249,20 @@ object Snapshots {
     * true. On success the HEAD hint advances (best-effort).
     */
   private def tryPublishManifest(s: SparkSession, root: String, v: Int,
-      dirs: Seq[String], dvs: Seq[String]): Boolean = {
+      dirs: Seq[String], dvs: Seq[String],
+      schema: Option[StructType]): Boolean = {
     val f = fs(s, root)
     def arr(ps: Seq[String]) = ps.map(p => "\"" + p + "\"").mkString(", ")
     // manifest = explicit dir list (not "1..v" by convention) so a
     // compaction/replace commit can swap file sets freely; "dvs" lists
     // deletion-vector sidecars (absent = none, so every pre-DV
-    // manifest keeps parsing)
+    // manifest keeps parsing); "schema" pins the committed StructType
+    // (base64 of its canonical JSON — keeps the manifest grammar flat;
+    // absent on pre-contract manifests, which keep parsing)
+    val schemaField =
+      schema.fold("")(sc => s""", "schema": "${encodeSchema(sc)}"""")
     val manifest =
-      s"""{"version": $v, "dirs": [${arr(dirs)}], "dvs": [${arr(dvs)}]}"""
+      s"""{"version": $v, "dirs": [${arr(dirs)}], "dvs": [${arr(dvs)}]$schemaField}"""
     val mTmp = new Path(s"$root/manifests/v$v.json.tmp-${token()}")
     val mFin = new Path(s"$root/manifests/v$v.json")
     writeFile(f, mTmp, manifest)
@@ -181,11 +298,23 @@ object Snapshots {
     * headVersion's probe finds it.
     */
   private def advanceHead(s: SparkSession, f: FileSystem, root: String,
-      v: Int): Unit = {
-    val hTmp = new Path(s"$root/HEAD.tmp-${token()}")
-    writeFile(f, hTmp, v.toString)
-    renameOver(s, f, hTmp, headPath(root))
-  }
+      v: Int): Unit =
+    // MONOTONIC: re-read before writing so a slower writer's older
+    // advance (the documented stale-hint source) is usually dropped
+    // here instead of landing last. The check-then-rename window
+    // remains (HEAD is a hint, not the commit point) — headVersion's
+    // self-heal and vacuum's pre-truncation re-verification close the
+    // only path where a stale hint could strand readers.
+    if (readHint(f, root) < v) {
+      val hf = hintFs(f)
+      val hTmp = new Path(s"$root/HEAD.tmp-${token()}")
+      writeFile(hf, hTmp, v.toString)
+      renameOver(s, hf, hTmp, headPath(root))
+      // a pre-raw-IO root may carry a stale .HEAD.crc sidecar that
+      // would fail any checksummed reader — retire it
+      val crc = new Path(s"$root/.HEAD.crc")
+      if (hf.exists(crc)) hf.delete(crc, false)
+    }
 
   /** Atomic overwriting rename. FileContext carries the OVERWRITE
     * rename option the FileSystem API lacks; fall back to
@@ -194,7 +323,17 @@ object Snapshots {
     */
   private def renameOver(s: SparkSession, f: FileSystem, src: Path,
       dst: Path): Unit =
-    try {
+    if (f.getUri.getScheme == "file")
+      // POSIX rename(2): one atomic syscall, no sidecar second step —
+      // FileContext's local binding is ChecksumFs, whose OVERWRITE
+      // rename moves data then crc (two steps a concurrent reader can
+      // land between)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else try {
       org.apache.hadoop.fs.FileContext
         .getFileContext(dst.toUri, s.sparkContext.hadoopConfiguration)
         .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -218,7 +357,16 @@ object Snapshots {
       : DataFrame = {
     val v = version.getOrElse(headVersion(s, root))
     require(v > 0, s"no snapshot at $root")
-    val base = s.read.parquet(dirsOf(s, root, v): _*)
+    // the manifest's committed schema IS the read schema: a pinned
+    // reader sees exactly what its version committed (dirs written
+    // before a later column existed surface it as null), and the scan
+    // never pays a mergeSchema footer sweep — at 100 TB schema comes
+    // from one manifest read, not a million file footers. Pre-contract
+    // manifests (no schema field) fall back to footer inference.
+    val dirs = dirsOf(s, root, v)
+    def scan(): DataFrame = schemaOf(s, root, v)
+      .fold(s.read)(sc => s.read.schema(sc)).parquet(dirs: _*)
+    val base = scan()
     val dvs = dvDirsOf(s, root, v)
     if (dvs.isEmpty) base
     else {
@@ -228,7 +376,7 @@ object Snapshots {
       // the scan side stays a plain pruned/pushed-down parquet scan.
       val cols = base.columns.map(col)
       minusDvs(s,
-        s.read.parquet(dirsOf(s, root, v): _*)
+        scan()
           .select(cols :+ col("_metadata.file_path").as("_graft_fp")
             :+ col("_metadata.row_index").as("_graft_ri"): _*),
         dvs, "_graft_fp", "_graft_ri")
@@ -287,8 +435,11 @@ object Snapshots {
       minusDvs(s, scan, dvs, "file_path", "row_index")
         .filter(cond).select("file_path", "row_index")
         .write.mode("overwrite").parquet(dvDir)
+      // a delete changes no columns: the parent's committed schema
+      // carries forward verbatim
       if (tryPublishManifest(s, root, head + 1,
-          dirsOf(s, root, head), dvs :+ dvDir)) return head + 1
+          dirsOf(s, root, head), dvs :+ dvDir,
+          schemaOf(s, root, head))) return head + 1
       // lost the CAS race: this sidecar was computed against a
       // superseded head — discard it and recompute against the new
       // state (a concurrent replace/compact can remap (file, row)
@@ -326,6 +477,50 @@ object Snapshots {
     val in = f.open(mp)
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
+
+  /** The schema a version's manifest committed (None on v0 and on
+    * pre-contract manifests).
+    */
+  private[graft] def schemaOf(s: SparkSession, root: String, v: Int)
+      : Option[StructType] =
+    if (v == 0) None
+    else stringOf(manifestOf(s, root, v), "schema").map(b64 =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+        .asInstanceOf[StructType])
+
+  private def encodeSchema(sc: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(sc.json.getBytes("UTF-8"))
+
+  /** THE append compatibility rule: columns shared with the committed
+    * schema must keep their exact type (a silent type fork would make
+    * the same column read differently per file — rejected loudly; a
+    * deliberate type change is a rewrite, i.e. [[commitReplace]]);
+    * columns new to the table append. The merged schema becomes the
+    * new committed contract, so an old pinned reader keeps its own
+    * version's narrower schema while HEAD readers see the union.
+    */
+  private[graft] def mergeSchemas(parent: StructType, next: StructType)
+      : StructType = {
+    parent.foreach { pf =>
+      next.find(_.name == pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"incompatible append: column '${pf.name}' is committed as " +
+            s"${pf.dataType.simpleString} but the append carries " +
+            s"${nf.dataType.simpleString} — a type change is a rewrite " +
+            "(commitReplace), not an append")
+      }
+    }
+    val known = parent.fieldNames.toSet
+    StructType(parent.fields ++ next.fields.filterNot(f => known(f.name)))
+  }
+
+  /** The quoted string value of a flat manifest key (None when the
+    * key is absent — optional fields stay backward compatible).
+    */
+  private def stringOf(manifest: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(manifest).map(_.group(1))
 
   /** The quoted strings of the named JSON array (the manifest grammar
     * is ours and flat, so a keyed scan is exact).
@@ -391,12 +586,49 @@ object Snapshots {
     */
   def compact(s: SparkSession, root: String, clusterBy: Seq[String],
       maxRecordsPerFile: Long = 1000000): Int = {
-    val cur = read(s, root)
-    val clustered =
-      if (clusterBy.isEmpty) cur.coalesce(s.sparkContext.defaultParallelism)
-      else cur.repartition(clusterBy.map(col): _*)
-    commitWith(s, root, clustered, (_, dataDir) => Seq(dataDir),
-      _ => Seq.empty, Some(maxRecordsPerFile))
+    var attempts = 0
+    while (true) {
+      // read PINNED at the base the CAS will assert, so the rewrite is
+      // byte-equivalent to exactly that version; losing the race means
+      // a concurrent commit changed the state this rewrite no longer
+      // carries — recompute FROM THE NEW HEAD and retry (deleteWhere's
+      // discipline; never re-stamp the stale file set, which would
+      // drop the interloper's rows)
+      val base = headVersion(s, root)
+      val cur = read(s, root, Some(base))
+      val clustered =
+        if (clusterBy.isEmpty) cur.coalesce(s.sparkContext.defaultParallelism)
+        else cur.repartition(clusterBy.map(col): _*)
+      try return replaceAt(s, root, base, clustered, Some(maxRecordsPerFile))
+      catch {
+        case e: SnapshotConflictException =>
+          attempts += 1
+          if (attempts >= 16) throw new SnapshotConflictException(
+            s"compaction at $root lost $attempts CAS races: ${e.getMessage}")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Append with BOUNDED table metadata — the maintenance policy a
+    * thousand-commit table needs folded into one call: commit the
+    * append, then, when the manifest's dir list has grown past
+    * `maxDirs`, fold the history into one clustered dir via [[compact]].
+    * Keeps read planning O(maxDirs) and the manifest O(maxDirs) bytes
+    * forever (RoundTripSpec drives ~200 commits and asserts both),
+    * while HEAD's self-healing hint keeps version resolution O(1) —
+    * together the flat-cost visibility story PostgreSQL MVCC gives the
+    * reference for free. The compaction is maintenance, not the commit:
+    * if it loses every CAS race to concurrent writers, the append —
+    * already durable — stands, and a later managed commit re-triggers
+    * the fold.
+    */
+  def commitManaged(s: SparkSession, root: String, df: DataFrame,
+      maxDirs: Int = 16): Int = {
+    val v = commit(s, root, df)
+    if (dirsOf(s, root, v).size <= maxDirs) v
+    else try compact(s, root, Seq.empty)
+    catch { case _: SnapshotConflictException => v }
   }
 
   /** VACUUM — truncate history below `keepFrom`: delete every data dir
@@ -416,6 +648,21 @@ object Snapshots {
     require(1 <= keepFrom && keepFrom <= head,
       s"keepFrom $keepFrom outside committed range 1..$head at $root")
     val f = fs(s, root)
+    // headVersion's probe walks CONSECUTIVE manifests forward from the
+    // hint; truncating manifests below keepFrom while the hint lags
+    // below keepFrom-1 would leave the probe stranded at a vacuumed
+    // version (every later read/commit resolving a dead head). So:
+    // repair the hint to the probed head FIRST (headVersion above
+    // already self-heals; this re-assert closes the crashed-advance
+    // case), then re-read and REFUSE to truncate past what the
+    // persisted hint can anchor — an older concurrent advance landing
+    // in the window aborts the vacuum, never strands the table.
+    advanceHead(s, f, root, head)
+    val hint = readHint(f, root)
+    require(hint >= keepFrom - 1,
+      s"vacuum aborted at $root: persisted HEAD hint $hint cannot anchor " +
+        s"the manifest probe once v<$keepFrom are truncated — rerun " +
+        "(a concurrent stale HEAD advance landed mid-vacuum)")
     val kept = (keepFrom to head).flatMap(v =>
       dirsOf(s, root, v) ++ dvDirsOf(s, root, v)).toSet
     // RE-RUNNABLE (a retention policy runs daily): versions a prior

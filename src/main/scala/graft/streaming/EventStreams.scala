@@ -1006,34 +1006,69 @@ object EventStreams {
   // file sets and are not tailable (src19's refusal, here by
   // contract): tail append-only roots.
 
-  /** The snapshot root as a streaming source. New append commits land
-    * whole immutable files under writer-unique data/ dirs, which the
-    * globbed file source discovers and logs exactly once per
-    * checkpoint. (Tail only roots with clean commit histories: a
-    * crashed attempt's never-published orphan dir would match the glob
-    * until Snapshots.vacuumOrphans sweeps it.)
+  /** The snapshot root as a raw streaming source — a directory-glob
+    * file stream over data/. HARD CONTRACT (why [[drainChangeFeed]] is
+    * the committed-only path and this is not): the glob sees FILES, not
+    * commits — a crashed attempt's never-published orphan dir, or an
+    * in-flight writer's staged files written before its manifest
+    * publish, match the glob and would be emitted downstream even
+    * though they may never appear in (or later be vacuumed from) the
+    * table. Tail a root this way ONLY when it is single-writer, its
+    * writer never crashed mid-commit (or Snapshots.vacuumOrphans swept
+    * before the tail started), and no replace/delete commits occur.
+    * Consumers that need the stream to equal the committed table use
+    * [[drainChangeFeed]], which resolves from manifests.
     */
   def changeFeedStream(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.readStream.schema(schema).parquet(s"$root/data/*")
 
-  /** Drain everything committed-but-unseen into `outDir` (AvailableNow
-    * + the exactly-once parquet sink), then return. Each call ships
-    * only commits the checkpoint hasn't logged — the nightly-consumer
-    * loop (p03's cadence) is just repeated calls.
+  /** Drain everything committed-but-unshipped into `outDir`, resolved
+    * from MANIFESTS — never a directory glob, so never-committed bytes
+    * (orphan dirs of crashed attempts, an in-flight writer's staged
+    * files) are invisible by construction: a file ships iff a manifest
+    * references it. Exactly-once without a separate offset store: each
+    * append version's delta lands under `outDir/delta_v<n>` via a
+    * staged write + rename publish (the table's own exclusive-publish
+    * discipline), so the output directory IS the ledger — a re-run
+    * skips shipped versions, a crash between stage and publish leaves
+    * only a swept .tmp dir. Replace/delete commits in the range are
+    * refused loudly by changesBetween (their logical change is not a
+    * file-add feed). Single drain consumer per outDir; the
+    * nightly-consumer loop (p03's cadence) is just repeated calls.
+    * `checkpointDir` is unused (kept for call-site compatibility —
+    * offsets live in outDir).
     */
   def drainChangeFeed(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       checkpointDir: String): Unit = {
-    val q = changeFeedStream(s, root, schema)
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val f = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(out)
+    // debris of a previous crashed drain (single-consumer contract)
+    f.listStatus(out).filter(_.getPath.getName.startsWith(".tmp_v"))
+      .foreach(st => f.delete(st.getPath, true))
+    val head = Snapshots.headVersion(s, root)
+    (1 to head).foreach { v =>
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/delta_v$v")
+      if (!f.exists(dst)) {
+        val delta = Snapshots.changesBetween(s, root, v - 1, v)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$outDir/.tmp_v${v}_${java.util.UUID.randomUUID.toString.take(8)}")
+        if (delta.isEmpty) f.mkdirs(tmp) // data-free commit: marker dir
+        else delta.write.mode("overwrite").parquet(tmp.toString)
+        require(f.rename(tmp, dst) || f.exists(dst),
+          s"change-feed publish $tmp -> $dst failed")
+      }
+    }
   }
+
+  /** Read everything [[drainChangeFeed]] has shipped to `outDir`. */
+  def readDrained(s: SparkSession, outDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema)
+      .option("basePath", outDir)
+      .parquet(s"$outDir/delta_v*")
 
   /** Gate face: three deterministic ten-day append commits (src19's
     * slices), drained through the streaming tail into a parquet sink,
@@ -1063,7 +1098,7 @@ object EventStreams {
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     fs.delete(new org.apache.hadoop.fs.Path(cp), true)
     drainChangeFeed(s, root, ev.schema, out, cp)
-    s.read.schema(ev.schema).parquet(out)
+    readDrained(s, out, ev.schema)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))

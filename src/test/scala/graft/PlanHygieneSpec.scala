@@ -60,6 +60,36 @@ class PlanHygieneSpec extends SparkSpec {
       s"unknown QUADRATIC_ORACLES: ${Bench.QUADRATIC_ORACLES -- registered}")
   }
 
+  test("bench artifacts carry no UNDECLARED superlinear scaler") {
+    // a scale-leg artifact whose "superlinear" list names a query
+    // outside the pinned QUADRATIC_ORACLES set is either a real
+    // unintended quadratic (a bug to fix) or an artifact generated
+    // under a stale classification (regenerate it) — both must fail
+    // the suite, not wait for a judge to read the JSON
+    val dir = new java.io.File("docs")
+    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("bench") && f.getName.endsWith(".json"))
+    def arrayOf(json: String, key: String): Seq[String] = {
+      val k = json.indexOf("\"" + key + "\":[")
+      if (k < 0) Nil
+      else {
+        val start = json.indexOf('[', k)
+        val end = json.indexOf(']', start)
+        "\"([^\"]+)\"".r.findAllMatchIn(json.substring(start, end + 1))
+          .map(_.group(1)).toSeq
+      }
+    }
+    val offenders = arts.toSeq.flatMap { f =>
+      val json = scala.io.Source.fromFile(f).mkString
+      (arrayOf(json, "superlinear") ++ arrayOf(json, "superlinear_declared"))
+        .filterNot(Bench.QUADRATIC_ORACLES)
+        .map(q => s"${f.getName}: $q")
+    }
+    assert(offenders.isEmpty,
+      "undeclared superlinear scalers in bench artifacts:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -776,4 +776,297 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root3).count() == ev.count())
     ev.unpersist()
   }
+
+  test("snapshots: stale replace raises conflict; appended rows survive") {
+    import graft.sources.{Snapshots, SnapshotConflictException}
+    import org.apache.spark.sql.functions.col
+    val root = s"${graft.Scratch.dir}/snap_conflict"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir).limit(300).cache()
+    try {
+      val a = ev.filter(col("event_id") % 3 === 0)
+      val b = ev.filter(col("event_id") % 3 === 1)
+      assert(Snapshots.commit(spark, root, a) == 1)
+      // a replace derived from v1 ... while an append lands v2 first
+      val base = Snapshots.headVersion(spark, root)
+      assert(Snapshots.commit(spark, root, b) == 2)
+      // the ADVICE-high lost-update scenario: pre-fix, the stale
+      // replace would blindly retry at v3 with its v1-derived file set
+      // and silently drop b's committed rows — now it must CONFLICT
+      val e = intercept[SnapshotConflictException] {
+        Snapshots.replaceAt(spark, root, base, a.limit(5), None)
+      }
+      assert(e.getMessage.contains("lost the race"), e.getMessage)
+      // nothing was lost or half-committed
+      assert(Snapshots.headVersion(spark, root) == 2)
+      assert(Snapshots.read(spark, root).count() == a.count() + b.count())
+      // the loser removed its never-referenced data dir eagerly: no
+      // orphan remains even at a zero age horizon
+      assert(Snapshots.vacuumOrphans(spark, root, olderThanMs = 0) == 0)
+      // a replace derived from the CURRENT head still commits
+      assert(Snapshots.commitReplace(spark, root,
+        Snapshots.read(spark, root)) == 3)
+      assert(Snapshots.read(spark, root).count() == a.count() + b.count())
+    } finally ev.unpersist()
+  }
+
+  test("snapshots: appends racing compactions lose no rows (lost-update)") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = s"${graft.Scratch.dir}/snap_compact_race"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir).limit(90).cache()
+    try {
+      assert(Snapshots.commit(spark, root,
+        ev.filter(col("event_id") % 9 === 0)) == 1)
+      // writer thread: 8 appends; maintenance thread: 3 compactions
+      // interleaved — every compaction that loses its CAS race to an
+      // append must REBASE on the new head (re-read + rewrite), so the
+      // final state carries every appended row whatever the timing
+      val appender = Future {
+        (1 to 8).foreach { i =>
+          Snapshots.commit(spark, root, ev.filter(col("event_id") % 9 === i))
+        }
+      }
+      val compactor = Future {
+        (1 to 3).foreach { _ =>
+          Thread.sleep(150)
+          Snapshots.compact(spark, root, Seq.empty)
+        }
+      }
+      Await.result(Future.sequence(Seq(appender, compactor)), 180.seconds)
+      // all 9 slices present: no append's rows were dropped by a
+      // concurrently-committing compaction
+      assert(Snapshots.read(spark, root).count() == ev.count())
+      assert(Snapshots.headVersion(spark, root) == 12)
+    } finally ev.unpersist()
+  }
+
+  test("snapshots schema contract: pinned narrow, merged head, fork rejected") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = s"${graft.Scratch.dir}/snap_schema"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    assert(Snapshots.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag")) == 1)
+    // an append ADDING a column widens the committed contract
+    assert(Snapshots.commit(spark, root,
+      Seq((3L, 1.5)).toDF("id", "score")) == 2)
+    // old pinned reader keeps its own version's narrower schema
+    assert(Snapshots.read(spark, root, Some(1)).columns.toSeq ==
+      Seq("id", "tag"))
+    // head reader sees the merged contract, late columns null on old dirs
+    val head = Snapshots.read(spark, root)
+    assert(head.columns.toSeq == Seq("id", "tag", "score"))
+    assert(head.filter(col("id") === 1L && col("score").isNull).count() == 1)
+    assert(head.filter(col("id") === 3L && col("tag").isNull
+      && col("score") === 1.5).count() == 1)
+    // a TYPE FORK on a shared column is rejected loudly, nothing
+    // half-commits (silently dropping/mangling a column is the failure
+    // mode this contract exists to prevent)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, root, Seq(("x", "y")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("incompatible append"), e.getMessage)
+    assert(Snapshots.headVersion(spark, root) == 2)
+    assert(Snapshots.read(spark, root).count() == 3)
+    // a REPLACE rewrites the contract outright (the documented path for
+    // a type change); pinned history keeps its own schemas
+    assert(Snapshots.commitReplace(spark, root,
+      Seq(("x", 9L)).toDF("id", "n")) == 3)
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "n"))
+    assert(Snapshots.read(spark, root, Some(2)).columns.toSeq ==
+      Seq("id", "tag", "score"))
+    // deletes carry the contract forward untouched
+    Snapshots.commit(spark, root, Seq(("y", 1L)).toDF("id", "n"))
+    assert(Snapshots.deleteWhere(spark, root, col("n") === 9L) == 5)
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "n"))
+    assert(Snapshots.read(spark, root).count() == 1)
+  }
+
+  test("snapshots: stale HEAD hint self-heals; vacuum repairs before truncating") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    val root = s"${graft.Scratch.dir}/snap_stale_head"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, sfDir).limit(60).cache()
+    // raw java.nio: HEAD is checksum-free by design (see Snapshots'
+    // hintFs) — a checksummed create here would plant a .crc sidecar
+    // the production raw renames deliberately never maintain
+    def writeHead(v: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/HEAD"),
+        v.getBytes("UTF-8"))
+    def readHead(): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/HEAD")), "UTF-8").trim
+    try {
+      (0 until 6).foreach(i =>
+        Snapshots.commit(spark, root, ev.filter(col("event_id") % 6 === i)))
+      // a hint lagging >=2 (crash after publish before advance, twice
+      // over — or an older concurrent advance landing last): the probe
+      // still resolves AND repairs the pointer, so the gap is paid once,
+      // not on every future resolution
+      writeHead("2")
+      assert(Snapshots.headVersion(spark, root) == 6)
+      assert(readHead() == "6", "probe must self-heal the HEAD hint")
+      // the ADVICE-medium gap: stale hint + vacuum past it used to
+      // strand every reader (probe stops at a truncated manifest).
+      // vacuum now re-anchors HEAD before truncating
+      writeHead("1")
+      // (dropped-dir count is 0 here: append lineage shares every dir
+      // with HEAD — the vacuum's work is the manifest truncation)
+      assert(Snapshots.vacuum(spark, root, 5) == 0)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$root/manifests/v4.json")), "manifests below the floor truncate")
+      assert(readHead() == "6")
+      assert(Snapshots.headVersion(spark, root) == 6)
+      assert(Snapshots.read(spark, root).count() == ev.count())
+      assert(Snapshots.commit(spark, root, ev.limit(1)) == 7)
+    } finally ev.unpersist()
+  }
+
+  test("snapshots: 200-commit managed history keeps metadata flat") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = s"${graft.Scratch.dir}/snap_longhist"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    // ~200 micro-commits with the maintenance policy folded in — the
+    // thousand-commit table in miniature. Flatness is asserted
+    // STRUCTURALLY (bounded dir list, bounded manifest bytes, fresh
+    // O(1) HEAD pointer), which is what makes commit latency and read
+    // planning flat at ANY commit count; wall-clock medians are checked
+    // against a generous bound only to catch an accidental O(N) rescan.
+    val maxDirs = 12
+    val times = (1 to 200).map { i =>
+      val t0 = System.nanoTime()
+      Snapshots.commitManaged(spark, root,
+        Seq(i).toDF("batch").coalesce(1), maxDirs)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val head = Snapshots.headVersion(spark, root)
+    assert(head >= 200, s"200 appends (+folds) must all land, head=$head")
+    // bounded read planning: the manifest's dir list never exceeds the
+    // policy bound (+1 for the append that triggers the next fold)
+    assert(Snapshots.dirsOf(spark, root, head).size <= maxDirs + 1)
+    // bounded metadata: the head manifest is O(maxDirs) bytes, not O(N)
+    val mLen = fsys.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$root/manifests/v$head.json")).getLen
+    assert(mLen < 8192, s"head manifest grew to $mLen bytes")
+    // O(1) resolution: the HEAD pointer is FRESH after arbitrary
+    // commits — the next headVersion pays one hint read + one probe
+    val in = fsys.open(new org.apache.hadoop.fs.Path(s"$root/HEAD"))
+    val hint = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    assert(hint == head.toString, s"HEAD hint $hint vs head $head")
+    // no row ever lost across ~200 commits and ~15 folds
+    val st = Snapshots.read(spark, root)
+    assert(st.count() == 200)
+    assert(st.agg(org.apache.spark.sql.functions.countDistinct(col("batch")))
+      .head.getLong(0) == 200)
+    // pinned readers below and above any fold still resolve
+    assert(Snapshots.read(spark, root, Some(3)).count() == 3)
+    assert(Snapshots.read(spark, root, Some(head - 1)).count() >= 199)
+    // generous latency guard: an O(N)-manifest implementation shows a
+    // multiple-of-N drift by commit 200; flat metadata stays near-flat
+    val (early, late) = (times.slice(10, 60), times.takeRight(50))
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    assert(med(late) < med(early) * 8 + 50,
+      f"commit latency drifted: early ${med(early)}%.0f ms -> late ${med(late)}%.0f ms")
+    // vacuum composes with the folded history: truncate below head-3,
+    // everything kept resolves, below fails loudly, commits continue
+    assert(Snapshots.vacuum(spark, root, head - 3) > 0)
+    assert(Snapshots.headVersion(spark, root) == head)
+    assert(Snapshots.read(spark, root).count() == 200)
+    assert(Snapshots.read(spark, root, Some(head - 3)).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(3)).count()
+    }
+    assert(e.getMessage.contains("retention floor"), e.getMessage)
+    assert(Snapshots.commitManaged(spark, root,
+      Seq(201).toDF("batch").coalesce(1), maxDirs) > head)
+    assert(Snapshots.read(spark, root).count() == 201)
+  }
+
+  test("snapshots OCC across PROCESSES: both JVMs' commits land, none lost") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = s"${graft.Scratch.dir}/snap_crossproc"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tmp = Files.createTempDirectory("occ_race")
+    val ready = s"$tmp/ready"; val start = s"$tmp/start"
+    val log = new java.io.File(s"$tmp/child.log")
+    val n = 10
+    // a SECOND JVM (plain java -cp over the same classes + Spark jars,
+    // sharing nothing with this session but the filesystem) races the
+    // same root: the exclusive manifest link must arbitrate across
+    // process boundaries — the actual two-drivers-one-lake deployment
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath +
+      ":/opt/spark/jars/*"
+    val opens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin, "-Xmx2g") ++ opens ++
+      Seq("-cp", cp, "graft.OccRace", root, "child", n.toString,
+        ready, start)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!Files.exists(Paths.get(ready)) &&
+        System.currentTimeMillis() < deadline && proc.isAlive)
+        Thread.sleep(50)
+      assert(Files.exists(Paths.get(ready)),
+        s"child JVM never came up:\n${scala.io.Source.fromFile(log).mkString.takeRight(2000)}")
+      Files.write(Paths.get(start), "go".getBytes("UTF-8"))
+      (1 to n).foreach { i =>
+        Snapshots.commit(spark, root,
+          Seq(("parent", i)).toDF("writer", "seq").coalesce(1))
+      }
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(proc.exitValue() == 0,
+        s"child failed:\n${scala.io.Source.fromFile(log).mkString.takeRight(2000)}")
+      // every commit from both processes landed as its own version,
+      // no version double-assigned, no row lost
+      assert(Snapshots.headVersion(spark, root) == 2 * n)
+      val st = Snapshots.read(spark, root)
+      assert(st.count() == 2 * n)
+      val perWriter = st.groupBy(col("writer")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perWriter == Map("parent" -> n.toLong, "child" -> n.toLong),
+        s"per-writer counts: $perWriter")
+      // each writer's sequence complete — a lost CAS retry never
+      // dropped or duplicated a commit
+      assert(st.groupBy(col("writer"))
+        .agg(org.apache.spark.sql.functions.countDistinct(col("seq")).as("d"))
+        .filter(col("d") =!= n).count() == 0)
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
 }

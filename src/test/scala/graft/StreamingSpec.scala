@@ -894,18 +894,18 @@ class StreamingSpec extends SparkSpec {
     Snapshots.commit(spark, root, ev.filter(col("ts") < cut)
       .filter(col("event_id") % 2 =!= 0))
     EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
-    val n2 = spark.read.schema(ev.schema).parquet(out).count()
+    val n2 = EventStreams.readDrained(spark, out, ev.schema).count()
     assert(n2 == ev.filter(col("ts") < cut).count())
     // a third commit lands; the SAME checkpoint drains only its rows
     Snapshots.commit(spark, root, ev.filter(col("ts") >= cut))
     EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
-    val after = spark.read.schema(ev.schema).parquet(out)
+    val after = EventStreams.readDrained(spark, out, ev.schema)
     assert(after.count() == ev.count(), "tail lost or duplicated rows")
     // and nothing pre-cut was re-shipped: every event_id exactly once
     assert(after.groupBy(col("event_id")).count()
       .filter(col("count") > 1).count() == 0)
     // a drain with nothing new ships nothing (idempotent consumer loop)
     EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
-    assert(spark.read.schema(ev.schema).parquet(out).count() == ev.count())
+    assert(EventStreams.readDrained(spark, out, ev.schema).count() == ev.count())
   }
 }
