@@ -235,6 +235,17 @@ object Evidence {
         if (t04a.length == t04b.length &&
           t04a.zip(t04b).forall { case (x, y) => x == y }) 1.0 else 0.0,
         1.0, "=="),
+      // streamed-append ≡ batch-append: st16's three legs (batch,
+      // common, streamed) must agree on BOTH counts — the semi-join
+      // ("common") equaling both sides is set equality of the cells
+      // tables, i.e. the streaming maintenance path reproduced the
+      // batch append exactly
+      Item("st16_stream_index_maintenance", "twin-equality",
+        "streamed_equals_batch_cells", {
+          val legs = run("st16_stream_index_maintenance").collect()
+            .map(r => (r.getLong(1), r.getLong(2))).toSet
+          if (legs.size == 1) 1.0 else 0.0
+        }, 1.0, "=="),
       // the approx-banding knob (NOT gate queries — the gate runs the
       // exact path; these rows assert the 100 TB path's accuracy):
       // per-row band agreement stays high and no row shifts by more

@@ -1137,7 +1137,7 @@ object Similarity {
     * Parameterized over the index tables so the monitor covers the
     * shared index AND the appended-lifecycle one.
     */
-  private def ivfKnnJoin(s: SparkSession, d: String,
+  private[graft] def ivfKnnJoin(s: SparkSession, d: String,
       index: (String, String)): DataFrame = {
     val (cellsT, centT) = index
     val w = org.apache.spark.sql.expressions.Window

@@ -1227,6 +1227,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_index_maintenance" -> (IndexMaintenance.st16 _),
     "st15_stream_cdc_deletes" -> (st15 _),
     "st14_stream_eras" -> (st14 _),
     "st13_stream_change_feed" -> (st13 _),

@@ -356,7 +356,7 @@ class RelationalSpec extends SparkSpec {
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
       "c20_report_incremental", "s10_mmr_rerank", "s11_index_quality",
       "s12_ann_ivfpq", "s12b_ann_ivfpq_prebuilt", "s13_ann_filtered_ivf",
-      "s14_ann_tombstones")
+      "s14_ann_tombstones", "st16_stream_index_maintenance")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -877,6 +877,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st16 streamed IVF maintenance equals batch append; replay is a no-op") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexMaintenance
+    import spark.implicits._
+    // the proven batch-appended index (base 3/4 assigned at build, the
+    // churn quarter appended once) is the twin the STREAM must equal
+    val (appCells, appCent) = Similarity.ensureIvfIndexAppended(spark, sfDir)
+    val nb = GraftConf.indexBuckets(spark)
+    val streamT = s"graft_ivf_stream_spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val mod = Similarity.APP_DELTA_MOD
+    Similarity.assignCells(
+      e.filter(col("vec_id") % mod =!= mod - 1), spark.table(appCent))
+      .write.bucketBy(nb, "cid").sortBy("cid").saveAsTable(streamT)
+    // the churn quarter arrives over TWO micro-batches through the real
+    // foreachBatch sink
+    val delta = e.filter(col("vec_id") % mod === mod - 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val cp = java.nio.file.Files.createTempDirectory("st16cp").toString
+    val q = IndexMaintenance.ivfMaintenanceSink(spark,
+      input.toDF().toDF("vec_id", "embedding"), streamT, appCent, cp)
+    try {
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // cells-table EQUALITY with the batch twin: assignment is a pure
+    // per-vector function of (vector, centroids), so however the delta
+    // was sliced into batches the index must come out identical
+    def cells(t: String): Set[(Long, Int)] = spark.table(t)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cells(streamT) == cells(appCells),
+      "streamed-append index diverged from the batch-appended twin")
+    // a replayed batchId (restart recovery) must change nothing
+    val before = spark.table(streamT).count()
+    assert(!IndexMaintenance.appendIvfBatch(spark, streamT, appCent, 0L,
+      e.filter(col("vec_id") % mod === mod - 1)),
+      "ledger must skip an already-applied batchId")
+    assert(spark.table(streamT).count() == before)
+    // retrieval quality holds over the STREAMED index: the same
+    // recall monitor s11 runs over ivf_app, pointed at the streamed
+    // cells — appends must not cost recall vs the exact answer
+    val exact = Similarity.s05(spark, sfDir).select("q_id", "vec_id")
+    val approx = Similarity.ivfKnnJoin(spark, sfDir, (streamT, appCent))
+      .select("q_id", "vec_id")
+    val hit = exact.join(approx, Seq("q_id", "vec_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.3, s"streamed-index recall $recall below the floor")
+    spark.sql(s"DROP TABLE $streamT")
+  }
+
   test("st13 tail: second drain ships ONLY the new commit, union exact") {
     import graft.sources.Snapshots
     import graft.streaming.EventStreams

@@ -23,6 +23,22 @@ import pyarrow.parquet as pq
 SF = float(sys.argv[1])
 OUT = sys.argv[2]
 SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+# --zipf (optional 5th token or anywhere): skew join/group keys with a
+# Zipf(1.5) popularity law instead of uniform — the skew-resilience leg.
+# lineitem.l_suppkey and events.user_id become hot-key columns where the
+# top key holds a double-digit percent of all rows (what a hot hospital
+# site / hot user looks like at 100 TB); everything else is identical,
+# so the same queries run on both variants and only the key distribution
+# differs.
+ZIPF = "--zipf" in sys.argv
+
+def zipf_keys(n_rows, n_keys):
+    """Zipf(1.5) ranks mapped onto a deterministic key permutation, so
+    hot keys are scattered over the id domain (not key 0..k)."""
+    r = rng.zipf(1.5, n_rows)
+    r = np.minimum(r, n_keys) - 1  # ranks 0..n_keys-1
+    perm = np.random.default_rng(SEED + 7).permutation(n_keys)
+    return perm[r].astype(np.int64)
 os.makedirs(OUT, exist_ok=True)
 rng = np.random.default_rng(SEED)
 
@@ -119,7 +135,8 @@ write("orders", {
 write("lineitem", {
     "l_orderkey": rng.integers(0, N_ORD, N_LI).astype(np.int64),
     "l_partkey": rng.integers(0, N_PART, N_LI).astype(np.int64),
-    "l_suppkey": rng.integers(0, N_SUPP, N_LI).astype(np.int64),
+    "l_suppkey": zipf_keys(N_LI, N_SUPP) if ZIPF
+        else rng.integers(0, N_SUPP, N_LI).astype(np.int64),
     "l_linenumber": rng.integers(1, 8, N_LI).astype(np.int32),
     "l_quantity": rng.integers(1, 51, N_LI).astype(np.float64),
     "l_extendedprice": np.round(rng.uniform(900, 105000, N_LI), 2),
@@ -135,7 +152,8 @@ ev_ts = (EPOCH_2024 * DAY_US + rng.integers(0, 31 * DAY_US, N_EV)).astype("int64
 write("events", {
     "event_id": np.arange(N_EV, dtype=np.int64),
     "ts": ts_col(ev_ts),
-    "user_id": rng.integers(0, N_USER, N_EV).astype(np.int64),
+    "user_id": zipf_keys(N_EV, N_USER) if ZIPF
+        else rng.integers(0, N_USER, N_EV).astype(np.int64),
     "event_type": np.array(["view", "click", "purchase", "signup",
                             "error"])[rng.integers(0, 5, N_EV)],
     "value": np.round(rng.exponential(50.0, N_EV), 2),
