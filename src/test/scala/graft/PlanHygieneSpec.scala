@@ -58,6 +58,8 @@ class PlanHygieneSpec extends SparkSpec {
       s"unknown BUILD_QUERIES: ${Bench.BUILD_QUERIES -- registered}")
     assert((Bench.QUADRATIC_ORACLES -- registered).isEmpty,
       s"unknown QUADRATIC_ORACLES: ${Bench.QUADRATIC_ORACLES -- registered}")
+    assert((Bench.SUPERLINEAR_DECLARED -- registered).isEmpty,
+      s"unknown SUPERLINEAR_DECLARED: ${Bench.SUPERLINEAR_DECLARED -- registered}")
   }
 
   test("bench artifacts carry no UNDECLARED superlinear scaler") {
@@ -82,7 +84,7 @@ class PlanHygieneSpec extends SparkSpec {
     val offenders = arts.toSeq.flatMap { f =>
       val json = scala.io.Source.fromFile(f).mkString
       (arrayOf(json, "superlinear") ++ arrayOf(json, "superlinear_declared"))
-        .filterNot(Bench.QUADRATIC_ORACLES)
+        .filterNot(Bench.SUPERLINEAR_DECLARED)
         .map(q => s"${f.getName}: $q")
     }
     assert(offenders.isEmpty,
