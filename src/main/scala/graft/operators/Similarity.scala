@@ -353,8 +353,17 @@ object Similarity {
     */
   def appendIvf(s: SparkSession, cellsT: String, centT: String,
       delta: DataFrame): Unit =
-    assignCells(delta.select(col("vec_id"), col("embedding")),
-      s.table(centT))
+    appendIvfAssigned(s, cellsT,
+      assignCells(delta.select(col("vec_id"), col("embedding")),
+        s.table(centT)))
+
+  /** The physical cells append for rows ALREADY assigned (vec_id, cid)
+    * — the shared tail of [[appendIvf]] and the crash-replay dedup
+    * paths, which pre-assign so they can anti-join what's present.
+    */
+  private[graft] def appendIvfAssigned(s: SparkSession, cellsT: String,
+      assigned: DataFrame): Unit =
+    assigned
       .write.mode("append")
       .bucketBy(graft.GraftConf.indexBuckets(s), "cid").sortBy("cid")
       .saveAsTable(cellsT)
@@ -388,20 +397,40 @@ object Similarity {
         .option("path", s"$scratch/ivf_app_cells/${sanitize(d)}_b$nb")
         .saveAsTable(cellsT)
       appendIvf(s, cellsT, centT, delta(e))
-    } else if (s.table(cellsT)
-        .filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1)
-        .isEmpty) {
+    } else {
       // REPAIR the crash window between the base-table create and the
-      // delta append: Spark's append commit is all-or-nothing (staged
-      // files publish at job commit), so a killed run leaves the delta
-      // slice either fully present or fully absent — absent means the
-      // guard above would otherwise skip it FOREVER, serving an index
-      // silently missing a quarter of the corpus. Presence of the
-      // slice is the publish marker; absent → idempotent re-append.
-      appendIvf(s, cellsT, centT,
-        delta(embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-          .select(col("vec_id"), col("embedding"))))
+      // delta append: a killed run can leave the delta slice absent
+      // (crash before the append job committed) or PARTIAL
+      // (FileOutputCommitter publishes task outputs sequentially at
+      // job commit, so a driver crash mid-commit publishes a prefix of
+      // the task files) — either way the build-once guard above would
+      // otherwise skip it FOREVER, serving an index silently missing
+      // up to a quarter of the corpus. The invariant checked is the
+      // same one st16 uses: the slice's row count must equal the
+      // expected assignment count; on mismatch, re-append ONLY the
+      // missing (vec_id, cid) rows (anti-join, so repair never dupes a
+      // partially-published vector). Expected-empty corpora skip — no
+      // delta means nothing to repair, not an append to re-run per
+      // ensure call. The happy-path check is counts only (a pruned
+      // vec_id scan of the delta slice on each side — never a
+      // re-assignment): assignCells emits exactly min(IVF_ASSIGN, K)
+      // rows per vector, so expected = deltaVecs × perVec; the
+      // delta × centroids scoring runs only when repair is needed.
+      val deltaVecs = delta(embeddings(s, d)).select(col("vec_id")).count()
+      val perVec = math.min(IVF_ASSIGN.toLong, s.table(centT).count())
+      val expected = deltaVecs * perVec
+      val have = s.table(cellsT)
+        .filter(col("vec_id") % APP_DELTA_MOD === APP_DELTA_MOD - 1)
+      if (expected > 0 && have.count() != expected) {
+        val assigned = assignCells(
+          delta(embeddings(s, d)
+            .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+            .select(col("vec_id"), col("embedding"))),
+          s.table(centT))
+        val missing = assigned.join(have.select(col("vec_id"), col("cid")),
+          Seq("vec_id", "cid"), "left_anti")
+        if (!missing.isEmpty) appendIvfAssigned(s, cellsT, missing)
+      }
     }
     (cellsT, centT)
   }

@@ -95,7 +95,13 @@ object Snapshots {
     // Best-effort: a read-only caller without write permission still
     // resolves, just without repairing the hint.
     if (v > hint)
-      try advanceHead(s, f, root, v) catch { case _: Throwable => () }
+      try advanceHead(s, f, root, v) catch {
+        // best-effort ONLY for expected repair failures: interruption
+        // re-flags the thread (the read still resolves), and fatal
+        // errors (OOM, linkage) propagate instead of being swallowed
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
     v
   }
 
@@ -162,8 +168,14 @@ object Snapshots {
     val dataDir = writeData(s, root, df, None)
     retryCommit(s, root) { v =>
       // the schema contract rebases per attempt too: the parent the
-      // loser merges against is the RACE WINNER's committed schema
+      // loser merges against is the RACE WINNER's committed schema. A
+      // PRE-CONTRACT parent (manifest without a schema key) anchors on
+      // the schema its data actually reads as — otherwise the first
+      // post-upgrade append would pin the contract as its own schema,
+      // silently narrowing away columns (and bypassing the type-fork
+      // check) for every HEAD reader after it.
       val merged = schemaOf(s, root, v - 1)
+        .orElse(inferredSchemaOf(s, root, v - 1))
         .fold(df.schema)(p => mergeSchemas(p, df.schema))
       (dirsOf(s, root, v - 1) :+ dataDir, dvDirsOf(s, root, v - 1),
         Some(merged))
@@ -452,6 +464,20 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Oldest version whose manifest is still resolvable — the retention
+    * floor [[vacuum]] leaves behind (head+1 when nothing is committed).
+    * Incremental consumers anchor on this: a delta for v needs BOTH
+    * v-1 and v resolvable, so the oldest drainable version is floor+1
+    * (or 1 while the floor is still 1 — v0 is the synthetic empty
+    * bootstrap manifest).
+    */
+  private[graft] def oldestVersion(s: SparkSession, root: String): Int = {
+    val f = fs(s, root)
+    val head = headVersion(s, root)
+    (1 to head).find(v => f.exists(new Path(s"$root/manifests/v$v.json")))
+      .getOrElse(head + 1)
+  }
+
   /** The data dirs a version's manifest lists (v0 = the empty table —
     * the bootstrap anchor for [[changesBetween]]).
     */
@@ -477,6 +503,17 @@ object Snapshots {
     val in = f.open(mp)
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
+
+  /** Schema anchor for a PRE-CONTRACT parent (manifest without a
+    * schema key): inferred ONCE from the version's committed data via
+    * [[read]] (footer inference — pre-contract tables are small legacy
+    * tables by definition; every contract-era commit pays one manifest
+    * read instead). v0 and dir-less parents have no data to anchor.
+    */
+  private def inferredSchemaOf(s: SparkSession, root: String, v: Int)
+      : Option[StructType] =
+    if (v == 0 || dirsOf(s, root, v).isEmpty) None
+    else Some(read(s, root, Some(v)).schema)
 
   /** The schema a version's manifest committed (None on v0 and on
     * pre-contract manifests).

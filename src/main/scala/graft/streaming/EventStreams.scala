@@ -1038,6 +1038,19 @@ object EventStreams {
     * nightly-consumer loop (p03's cadence) is just repeated calls.
     * `checkpointDir` is unused (kept for call-site compatibility —
     * offsets live in outDir).
+    *
+    * RETENTION interaction: [[Snapshots.vacuum]] truncates manifests
+    * below its keepFrom, and a delta for v resolves from manifests
+    * v-1 AND v — so a consumer must drain again BEFORE the retention
+    * floor passes its last shipped version. The scan therefore anchors
+    * on the ledger (last shipped + 1) instead of blindly starting at
+    * v1, and a consumer that fell behind the floor — or a FRESH
+    * consumer pointed at an already-vacuumed root — is refused with
+    * the recovery path spelled out (bootstrap via a full read, then
+    * mark the feed caught-up to head) rather than crashing opaquely in
+    * the manifest probe. The dir ledger cannot distinguish a vacuumed
+    * root whose history was re-appended from the original history;
+    * pair a vacuum policy with a drain cadence shorter than retention.
     */
   def drainChangeFeed(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
@@ -1049,7 +1062,17 @@ object EventStreams {
     f.listStatus(out).filter(_.getPath.getName.startsWith(".tmp_v"))
       .foreach(st => f.delete(st.getPath, true))
     val head = Snapshots.headVersion(s, root)
-    (1 to head).foreach { v =>
+    val shipped = f.listStatus(out).map(_.getPath.getName)
+      .filter(_.matches("delta_v\\d+")).map(_.stripPrefix("delta_v").toInt)
+    val from = if (shipped.isEmpty) 1 else shipped.max + 1
+    val floor = Snapshots.oldestVersion(s, root)
+    require(from > floor || floor <= 1,
+      s"change feed at $root is truncated below v$floor (vacuumed): " +
+        s"this consumer needs delta v$from, whose parent manifest is " +
+        "gone — bootstrap with a full Snapshots.read at HEAD, ship it " +
+        "as the consumer's new base, and resume draining from there " +
+        "(then drain more often than the retention policy vacuums)")
+    (from to head).foreach { v =>
       val dst = new org.apache.hadoop.fs.Path(s"$outDir/delta_v$v")
       if (!f.exists(dst)) {
         val delta = Snapshots.changesBetween(s, root, v - 1, v)

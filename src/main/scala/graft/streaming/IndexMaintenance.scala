@@ -30,10 +30,20 @@ import org.apache.spark.sql.functions._
   * ledger can never silently swallow appends into a fresh index (the
   * exact failure a Scratch-side ledger had — the session catalog is
   * per-JVM, tables rebuild per session, but Scratch persists). The
-  * marker lands AFTER the append commits — the crash window between
-  * them re-appends once on replay, the same stage-then-verify class as
-  * ensureIvfIndexAppended's repair; Spark's append job commit is
-  * all-or-nothing, so a crash mid-append never half-applies.
+  * done marker lands AFTER the append commits, so a crash between them
+  * leaves the batch applied but unmarked; to keep that window
+  * exactly-once (not at-least-once-with-duplicates) every attempt
+  * first drops an INTENT marker, and a replay that finds intent
+  * without done takes the dedup path — it re-assigns the batch and
+  * anti-joins the (vec_id, cid) rows already in the cells table before
+  * appending only what's missing. The anti-join keys on (vec_id, cid),
+  * not vec_id alone, because the bucketed write re-clusters a vector's
+  * IVF_ASSIGN rows by cid across task files — a driver crash mid
+  * job-commit (FileOutputCommitter publishes task outputs
+  * sequentially) can leave a vector partially assigned, and vec_id
+  * presence alone would mask the missing cells. The common no-crash
+  * path stays one blind append; the cells-table (vec_id, cid) scan is
+  * paid only on the replay-after-crash path.
   */
 object IndexMaintenance {
 
@@ -45,17 +55,31 @@ object IndexMaintenance {
 
   /** Idempotent micro-batch append into a persisted IVF index: apply
     * `delta` under `batchId` unless that id already applied. Returns
-    * true iff the batch was applied now.
+    * true iff the batch was applied (or repaired) now. Intent/done
+    * marker pair per the object doc: intent-without-done means a prior
+    * attempt crashed after (possibly partially) committing its append,
+    * so that replay appends only the (vec_id, cid) rows still missing.
     */
   def appendIvfBatch(s: SparkSession, cellsT: String, centT: String,
       batchId: Long, delta: DataFrame): Boolean = {
-    val m = marker(s, cellsT, batchId)
-    val f = m.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(m)) false
+    val done = marker(s, cellsT, batchId)
+    val f = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(done)) false
     else {
-      Similarity.appendIvf(s, cellsT, centT,
-        delta.select(col("vec_id"), col("embedding")))
-      f.mkdirs(m)
+      val intent = new Path(done.getParent, s"b$batchId.intent")
+      val rows = delta.select(col("vec_id"), col("embedding"))
+      if (f.exists(intent)) {
+        val missing = Similarity.assignCells(rows, s.table(centT))
+          .join(s.table(cellsT).select(col("vec_id"), col("cid")),
+            Seq("vec_id", "cid"), "left_anti")
+        if (!missing.isEmpty)
+          Similarity.appendIvfAssigned(s, cellsT, missing)
+      } else {
+        f.mkdirs(intent)
+        Similarity.appendIvf(s, cellsT, centT, rows)
+      }
+      f.mkdirs(done) // done BEFORE intent cleanup: the inverse order
+      f.delete(intent, true) // re-opens the crash window it closes
       true
     }
   }

@@ -894,6 +894,48 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 1)
   }
 
+  test("snapshots: pre-contract parent anchors on inferred schema, never narrows") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // strip the schema key in place — manifests publish via hard link,
+    // so v<n>.json carries no .crc sidecar and a raw edit stays readable
+    def stripSchema(root: String, v: Int): Unit = {
+      val p = java.nio.file.Paths.get(s"$root/manifests/v$v.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(txt.contains("\"schema\""))
+      java.nio.file.Files.write(p,
+        txt.replaceAll(""", "schema": "[^"]*"""", "").getBytes("UTF-8"))
+    }
+    val root = s"${graft.Scratch.dir}/snap_precontract"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    assert(Snapshots.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag")) == 1)
+    stripSchema(root, 1) // a table committed before the schema contract
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "tag"))
+    // the first post-upgrade append carries FEWER columns: the pinned
+    // contract must be the UNION with what the parent's files hold —
+    // pinning df.schema here silently dropped `tag` for HEAD readers
+    assert(Snapshots.commit(spark, root, Seq(3L).toDF("id")) == 2)
+    val head = Snapshots.read(spark, root)
+    assert(head.columns.toSeq == Seq("id", "tag"),
+      s"pre-contract append narrowed the table to ${head.columns.toSeq}")
+    assert(head.filter(col("id") === 1L && col("tag") === "a").count() == 1)
+    assert(head.filter(col("id") === 3L && col("tag").isNull).count() == 1)
+    // and a type fork against pre-contract data is refused, not pinned
+    val root2 = s"${graft.Scratch.dir}/snap_precontract2"
+    fsys.delete(new org.apache.hadoop.fs.Path(root2), true)
+    Snapshots.commit(spark, root2, Seq((1L, "a")).toDF("id", "tag"))
+    stripSchema(root2, 1)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, root2, Seq(("x", "y")).toDF("id", "tag"))
+    }
+    assert(e.getMessage.contains("incompatible append"), e.getMessage)
+    assert(Snapshots.read(spark, root2).count() == 1)
+  }
+
   test("snapshots: stale HEAD hint self-heals; vacuum repairs before truncating") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions.col

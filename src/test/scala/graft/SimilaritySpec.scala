@@ -398,6 +398,69 @@ class SimilaritySpec extends SparkSpec {
         Similarity.APP_DELTA_MOD - 1).count() > 0)
   }
 
+  test("ensureIvfIndexAppended repairs a PARTIAL delta publish; empty delta skips") {
+    import org.apache.spark.sql.functions.col
+    // a private corpus copy so the shared sfDir index stays untouched
+    val base = s"${graft.Scratch.dir}/ivf_repair_corpus"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Tables.embeddings(spark, sfDir).write.parquet(s"$base/embeddings.parquet")
+    val (cellsT, centT) = Similarity.ensureIvfIndexAppended(spark, base)
+    val want = spark.table(cellsT).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val mod = Similarity.APP_DELTA_MOD
+    // simulate the FileOutputCommitter-v1 prefix: the delta append's
+    // job commit published only SOME task files (here: even cids —
+    // split vectors included), then the writer died. The old isEmpty
+    // guard accepted this as fully published forever.
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(cellsT))
+      .location.toString
+    val partial = spark.table(cellsT)
+      .filter(col("vec_id") % mod =!= mod - 1 || col("cid") % 2 === 0)
+      .collect()
+    spark.sql(s"DROP TABLE $cellsT") // external: dir survives the drop
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    assert(partial.length < want.size)
+    spark.createDataFrame(spark.sparkContext.parallelize(partial.toSeq, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(GraftConf.indexBuckets(spark), "cid").sortBy("cid")
+      .option("path", loc).saveAsTable(cellsT)
+    // repair: the count invariant fails, ONLY the missing rows append
+    val (cellsT2, _) = Similarity.ensureIvfIndexAppended(spark, base)
+    assert(cellsT2 == cellsT)
+    val got = spark.table(cellsT).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == want.size && got.toSet == want,
+      "repair must complete the partial slice without duplicating")
+    // empty-delta corpus (no vec_id % mod == mod-1 rows): ensure is
+    // build-once and repeat calls run NO append at all — the file set
+    // stays byte-identical (the old guard re-ran an empty append per
+    // call)
+    val base2 = s"${graft.Scratch.dir}/ivf_repair_nodelta"
+    fs.delete(new org.apache.hadoop.fs.Path(base2), true)
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") % mod =!= mod - 1)
+      .write.parquet(s"$base2/embeddings.parquet")
+    val (cellsT3, _) = Similarity.ensureIvfIndexAppended(spark, base2)
+    val n3 = spark.table(cellsT3).count()
+    def files(t: String): Set[String] = {
+      val l = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      fs.listStatus(new org.apache.hadoop.fs.Path(l)).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").toSet
+    }
+    val before = files(cellsT3)
+    Similarity.ensureIvfIndexAppended(spark, base2)
+    Similarity.ensureIvfIndexAppended(spark, base2)
+    assert(files(cellsT3) == before, "empty delta must not re-append")
+    assert(spark.table(cellsT3).count() == n3)
+  }
+
   test("s10 mmrSelect stops cleanly when every remaining score is NaN") {
     // a zero-norm vector makes every cosine NaN; NaN compares false
     // against everything, so no candidate can ever win — the guard

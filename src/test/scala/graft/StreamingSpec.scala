@@ -961,4 +961,105 @@ class StreamingSpec extends SparkSpec {
     EventStreams.drainChangeFeed(spark, root, ev.schema, out, cp)
     assert(EventStreams.readDrained(spark, out, ev.schema).count() == ev.count())
   }
+
+  test("appendIvfBatch crash window: intent-without-done replay dedups exactly") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexMaintenance
+    import org.apache.spark.sql.functions.col
+    val (_, appCent) = Similarity.ensureIvfIndexAppended(spark, sfDir)
+    val nb = GraftConf.indexBuckets(spark)
+    val streamT =
+      s"graft_ivf_crash_spec_${java.util.UUID.randomUUID.toString.take(8)}"
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val mod = Similarity.APP_DELTA_MOD
+    val base = e.filter(col("vec_id") % mod =!= mod - 1)
+    val delta = e.filter(col("vec_id") % mod === mod - 1)
+    def build(partial: Boolean): String = {
+      if (spark.catalog.tableExists(streamT)) spark.sql(s"DROP TABLE $streamT")
+      val rows =
+        if (partial)
+          // the FileOutputCommitter-v1 prefix: the delta's append job
+          // crashed mid job-commit, publishing only some task files —
+          // including SPLIT vectors (one of a vec's 2 cells present)
+          Similarity.assignCells(base, spark.table(appCent)).union(
+            Similarity.assignCells(delta, spark.table(appCent))
+              .filter(col("cid") % 2 === 0))
+        else Similarity.assignCells(base, spark.table(appCent))
+      rows.write.bucketBy(nb, "cid").sortBy("cid").saveAsTable(streamT)
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(streamT))
+        .location.toString
+    }
+    val want = Similarity.assignCells(e, spark.table(appCent))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def got(): Array[(Long, Int)] = spark.table(streamT)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val fs = new org.apache.hadoop.fs.Path(graft.Scratch.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CRASH SHAPE 1: delta append fully committed, done marker lost —
+    // the replay must apply NOTHING new (the old code re-appended the
+    // whole batch here, silently duplicating every row)
+    val loc1 = build(partial = false)
+    Similarity.appendIvf(spark, streamT, appCent, delta)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$loc1/_graft_ledger/b7.intent"))
+    assert(IndexMaintenance.appendIvfBatch(spark, streamT, appCent, 7L, delta))
+    assert(got().length == want.size && got().toSet == want,
+      "full-commit replay must not duplicate")
+    // the replay marked done: a second replay is a plain ledger skip
+    assert(!IndexMaintenance.appendIvfBatch(spark, streamT, appCent, 7L, delta))
+    // CRASH SHAPE 2: PARTIAL delta publish + lost done marker — the
+    // replay must complete exactly the missing (vec_id, cid) rows
+    val loc2 = build(partial = true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$loc2/_graft_ledger/b9.intent"))
+    assert(IndexMaintenance.appendIvfBatch(spark, streamT, appCent, 9L, delta))
+    assert(got().length == want.size && got().toSet == want,
+      "partial-publish replay must complete without duplicating")
+    // CRASH SHAPE 3: intent dropped, nothing applied — everything lands
+    val loc3 = build(partial = false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$loc3/_graft_ledger/b11.intent"))
+    assert(IndexMaintenance.appendIvfBatch(spark, streamT, appCent, 11L, delta))
+    assert(got().length == want.size && got().toSet == want)
+    spark.sql(s"DROP TABLE $streamT")
+  }
+
+  test("change feed drain honors the retention floor after vacuum") {
+    import graft.sources.Snapshots
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.col
+    val base = s"${graft.Scratch.dir}/drainvac"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/root"
+    val ev = Tables.events(spark, sfDir).limit(80).cache()
+    try {
+      (0 until 4).foreach(i =>
+        Snapshots.commit(spark, root, ev.filter(col("event_id") % 4 === i)))
+      val out1 = s"$base/out1"
+      EventStreams.drainChangeFeed(spark, root, ev.schema, out1, "")
+      assert(EventStreams.readDrained(spark, out1, ev.schema).count()
+        == ev.count())
+      // retention passes: v1/v2 manifests truncate, then history grows
+      Snapshots.vacuum(spark, root, 3)
+      Snapshots.commit(spark, root, ev.limit(5))
+      // an up-to-date consumer keeps draining across the vacuum
+      EventStreams.drainChangeFeed(spark, root, ev.schema, out1, "")
+      assert(EventStreams.readDrained(spark, out1, ev.schema).count()
+        == ev.count() + 5)
+      // a FRESH consumer pointed at the vacuumed root is refused with
+      // the recovery path, not an opaque manifest-probe crash
+      val e1 = intercept[IllegalArgumentException] {
+        EventStreams.drainChangeFeed(spark, root, ev.schema, s"$base/out2", "")
+      }
+      assert(e1.getMessage.contains("truncated below"), e1.getMessage)
+      // a consumer whose last shipped version fell below the floor too
+      val out3 = s"$base/out3"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out3/delta_v1"))
+      val e2 = intercept[IllegalArgumentException] {
+        EventStreams.drainChangeFeed(spark, root, ev.schema, out3, "")
+      }
+      assert(e2.getMessage.contains("truncated below"), e2.getMessage)
+    } finally ev.unpersist()
+  }
 }
