@@ -724,7 +724,8 @@ object RoundTrip {
     "src14_layout_panel" -> (src14 _),
     "src15_snapshot_travel" -> (Snapshots.src15 _),
     "src17_compaction_snapshot" -> (Snapshots.src17 _),
-    "src20_deletion_vectors" -> (Snapshots.src20 _)
+    "src20_deletion_vectors" -> (Snapshots.src20 _),
+    "src21_snapshot_merge" -> (Snapshots.src21 _)
   )
 
   /** Round-trip fidelity means the oracle is simply the original table. */
@@ -760,6 +761,10 @@ object RoundTrip {
     // from the raw table: the DV anti-join must remove exactly the
     // predicate's rows
     "src20_deletion_vectors" -> Snapshots.deletionVectorOracle,
+    // pinned pre-merge state + the merged state both re-derived from
+    // the raw table: one commit must replace matched keys and insert
+    // the rest, losing/duplicating nothing
+    "src21_snapshot_merge" -> Snapshots.mergeOracle,
     // the layout changes the plan, never the answer: c01's oracle
     "src14_layout_panel" ->
       graft.operators.Cohort.oracle("c01_panel_cohort"),

@@ -464,6 +464,71 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** MERGE INTO — latest-wins upsert as ONE atomic commit: table rows
+    * whose merge key appears in `source` are deleted via a
+    * deletion-vector sidecar (merge-on-read: no data file rewrites),
+    * and the whole `source` appends as a new data dir — BOTH listed by
+    * the same manifest publish, so a reader sees the pre-merge or the
+    * fully-merged state, never an intermediate. That single commit
+    * point is what a deleteWhere-then-commit pair cannot give: a crash
+    * between the two leaves matched rows deleted with their
+    * replacements never landed, and a concurrent reader in the window
+    * sees the table with the matched rows simply GONE. Matched →
+    * replace, not-matched → insert (the Delta/Iceberg MERGE in its
+    * latest-wins form — [[RoundTrip.src08]] is the read-time view of
+    * the same rule, [[commitReplace]] the full-rewrite form). The
+    * source must carry at most one row per key (both would survive the
+    * merge — refused loudly, src08's documented contract). The CAS
+    * retry recomputes the sidecar against the new head (a concurrent
+    * compaction remaps (file, row) positions); the data dir is written
+    * ONCE, outside the loop. At 100 TB: cost = one key-column scan of
+    * the table (pruned to the merge keys + _metadata) + |source|
+    * written — never a table rewrite; Catalyst broadcasts the source
+    * key set when it's small (the nightly-delta case).
+    */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      s"mergeInto source carries duplicate keys on (${keyCols.mkString(", ")})" +
+        " — latest-wins needs at most one source row per key")
+    val dataDir = writeData(s, root, source, None)
+    val f = fs(s, root)
+    var attempts = 0
+    while (true) {
+      val head = headVersion(s, root)
+      require(head > 0, s"no snapshot at $root — bootstrap with commit()")
+      val dvs = dvDirsOf(s, root, head)
+      val dvDir = s"$root/dv/w${token()}"
+      // matched rows = semi-join of the live table (earlier sidecars
+      // anti-joined out, so an already-deleted row never double-
+      // records) against the source keys, pruned to keys + positions
+      val keys = source.select(keyCols.map(col): _*).distinct()
+      val scan = s.read.parquet(dirsOf(s, root, head): _*)
+        .select(col("_metadata.file_path").as("file_path")
+          +: col("_metadata.row_index").as("row_index")
+          +: keyCols.map(col): _*)
+      minusDvs(s, scan, dvs, "file_path", "row_index")
+        .join(keys, keyCols, "left_semi")
+        .select("file_path", "row_index")
+        .write.mode("overwrite").parquet(dvDir)
+      // same contract rule as commit(): merge against the parent's
+      // committed (or, pre-contract, inferred) schema
+      val merged = schemaOf(s, root, head)
+        .orElse(inferredSchemaOf(s, root, head))
+        .fold(source.schema)(p => mergeSchemas(p, source.schema))
+      if (tryPublishManifest(s, root, head + 1,
+          dirsOf(s, root, head) :+ dataDir, dvs :+ dvDir, Some(merged)))
+        return head + 1
+      f.delete(new Path(dvDir), true)
+      attempts += 1
+      require(attempts < 64,
+        s"mergeInto contention at $root: lost $attempts CAS races")
+    }
+    -1 // unreachable
+  }
+
   /** Oldest version whose manifest is still resolvable — the retention
     * floor [[vacuum]] leaves behind (head+1 when nothing is committed).
     * Incremental consumers anchor on this: a delta for v needs BOTH
@@ -925,5 +990,65 @@ object Snapshots {
        |SELECT 4, COUNT(*), COUNT(DISTINCT user_id) FROM events
        | WHERE NOT (user_id % 7 = $SRC20_MOD7)
        |  AND NOT (event_type = 'error' AND user_id % 5 = $SRC20_MOD5)
+       |ORDER BY version""".stripMargin
+
+  // -- src21: MERGE INTO, the gate face ------------------------------------
+  // Base = orders missing the %10==3 keys; the merge source carries the
+  // %10∈{3,7} keys re-priced and re-statused — so one merge exercises
+  // BOTH arms: %10==7 matched (replace via DV), %10==3 not-matched
+  // (insert). The pinned pre-merge version must read back untouched.
+  private val SRC21_INS = 3L // source keys absent from the base → insert
+  private val SRC21_UPD = 7L // source keys present in the base → replace
+
+  private def src21Source(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") % 10 === SRC21_INS ||
+        col("o_orderkey") % 10 === SRC21_UPD)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("o_orderstatus", lit("U"))
+
+  private[graft] def buildSrc21(s: SparkSession, d: String): String = {
+    val root = s"${graft.Scratch.dir}/src21_snap/${graft.Scratch.tag(d)}"
+    if (headVersion(s, root) != 2) {
+      fs(s, root).delete(new Path(root), true)
+      commit(s, root, orders(s, d).filter(col("o_orderkey") % 10 =!= SRC21_INS))
+      mergeInto(s, root, src21Source(s, d), Seq("o_orderkey"))
+    }
+    root
+  }
+
+  def src21(s: SparkSession, d: String): DataFrame = {
+    val root = buildSrc21(s, d)
+    Seq(1, 2).map { v =>
+      read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"),
+          count(when(col("o_orderstatus") === "U", 1)).as("n_merged"))
+        .select(lit(v).cast("int").as("version"), col("n_rows"),
+          col("n_keys"), col("sum_price"), col("n_merged"))
+    }.reduce(_ unionByName _)
+      .transform(Gate.ordered("version"))
+  }
+
+  val mergeOracle: String =
+    s"""SELECT 1 AS version, COUNT(*) AS n_rows,
+       | COUNT(DISTINCT o_orderkey) AS n_keys,
+       | ${graft.Det.sqlDsum("o_totalprice")} AS sum_price,
+       | COUNT(CASE WHEN o_orderstatus = 'U' THEN 1 END) AS n_merged
+       |FROM orders WHERE o_orderkey % 10 != $SRC21_INS
+       |UNION ALL
+       |SELECT 2, COUNT(*), COUNT(DISTINCT o_orderkey),
+       | ${graft.Det.sqlDsum("o_totalprice")},
+       | COUNT(CASE WHEN o_orderstatus = 'U' THEN 1 END)
+       |FROM (
+       |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+       |   'U' AS o_orderstatus
+       |  FROM orders
+       |  WHERE o_orderkey % 10 IN ($SRC21_INS, $SRC21_UPD)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+       |  WHERE o_orderkey % 10 NOT IN ($SRC21_INS, $SRC21_UPD)
+       |)
        |ORDER BY version""".stripMargin
 }

@@ -968,6 +968,82 @@ object EventStreams {
       })
       .start()
 
+  // ---------------------------------------------------------------- st17
+  // The CDC sink AT SCALE: st12 proves the exactly-once version rule
+  // but re-merges the FULL state per micro-batch (its own scale note —
+  // honest for the gate corpus, a rewrite-per-batch at 100 TB). st17
+  // is the same rule landed through Snapshots.mergeInto instead:
+  // matched keys die by deletion-vector sidecar, the batch appends,
+  // ONE manifest publish — per-batch cost is the delta's size plus a
+  // key-column scan of the table, never a rewrite of state that
+  // didn't change. In-batch duplicates reduce by the SAME `better`
+  // comparator first (mergeInto's one-row-per-key contract); ACROSS
+  // batches the feed must be per-key in-order (the compacted-topic
+  // contract) — a late batch carrying an older version would win by
+  // arrival. Out-of-order feeds belong on st12's comparator path.
+
+  /** Idempotent merge-on-read micro-batch commit: exactly-once by the
+    * version == batchId + 1 rule (HEAD past it → replay, absorbed).
+    * Returns the version in effect after the call.
+    */
+  private[graft] def mergeCdcBatch(s: SparkSession, root: String,
+      batchId: Long, delta: DataFrame): Int = {
+    import s.implicits._
+    val head = Snapshots.headVersion(s, root)
+    if (head >= batchId + 1) head // replay: already committed, absorb
+    else {
+      require(head == batchId,
+        s"CDC merge expects HEAD == $batchId, found $head: snapshot " +
+          "root and stream checkpoint have diverged (single-writer " +
+          "invariant violated or root wiped with checkpoint kept)")
+      val reduced = delta.as[Upd]
+        .groupByKey(_.o_orderkey)
+        .reduceGroups((a: Upd, b: Upd) => if (better(b, a)) b else a)
+        .map(_._2)
+        .toDF()
+      if (head == 0) Snapshots.commit(s, root, reduced)
+      else Snapshots.mergeInto(s, root, reduced, Seq("o_orderkey"))
+    }
+  }
+
+  /** Continuous merge-on-read CDC into the versioned table. */
+  def mergeCdcSink(s: SparkSession, updates: Dataset[Upd], root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[Upd], batchId: Long) => {
+        mergeCdcBatch(batch.sparkSession, root, batchId, batch.toDF()); ()
+      })
+      .start()
+
+  /** Gate face: st12's three deterministic CDC batches landed through
+    * mergeCdcBatch — the converged table must STILL be src08's answer
+    * (same oracle by reference), now reached without ever rewriting
+    * unchanged state. Build-once per sf dir; batch 0 is re-driven to
+    * prove replay absorption.
+    */
+  def st17(s: SparkSession, d: String): DataFrame = {
+    val root = s"${graft.Scratch.dir}/st17_cdc/${graft.Scratch.tag(d)}"
+    val delta = graft.sources.RoundTrip.src08Delta(s, d)
+    val batches = Seq(
+      graft.sources.RoundTrip.src08Base(s, d),
+      delta.filter(col("o_orderkey") % 20 === 0),
+      delta.filter(col("o_orderkey") % 20 =!= 0))
+    if (Snapshots.headVersion(s, root) != batches.length) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mergeCdcBatch(s, root, i.toLong, withUpdHash(b))
+      }
+      // a crash-replayed batch commits nothing (exactly-once rule)
+      mergeCdcBatch(s, root, 0L, withUpdHash(batches.head))
+    }
+    Snapshots.read(s, root)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .transform(Gate.ordered("o_orderkey"))
+  }
+
   /** Gate face: the src08 feed as three deterministic CDC batches
     * (base, then the delta split by key parity) committed through the
     * SAME commitCdcBatch, final HEAD read back through the manifest
@@ -1256,6 +1332,7 @@ object EventStreams {
     "st13_stream_change_feed" -> (st13 _),
     "st11_stream_spike" -> (st11 _),
     "st12_stream_snapshot_cdc" -> (st12 _),
+    "st17_stream_merge_cdc" -> (st17 _),
     "st01_stream_window" -> (st01 _),
     "st02_stream_dedup_sessions" -> (st02 _),
     "st03_stream_attribution_join" -> (st03 _),
@@ -1308,6 +1385,10 @@ object EventStreams {
     // the converged CDC table IS src08's — oracle by reference, the
     // snapshot machinery must not change a single row
     "st12_stream_snapshot_cdc" ->
+      graft.sources.RoundTrip.oracle("src08_upsert_latest"),
+    // the merge-on-read sink converges to the SAME src08 answer —
+    // oracle by reference; only the landing cost changed, never a row
+    "st17_stream_merge_cdc" ->
       graft.sources.RoundTrip.oracle("src08_upsert_latest"),
     // the funnel fold IS c10's window formulation (see st09 doc) — the
     // oracle is c10's, verbatim by reference, so they cannot fork

@@ -894,6 +894,51 @@ class RoundTripSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 1)
   }
 
+  test("snapshots MERGE: one commit replaces matched + inserts new, pinned intact") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = s"${graft.Scratch.dir}/snap_merge"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double)] =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(Snapshots.commit(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "tag", "v")) == 1)
+    val src = Seq((2L, "B", 200.0), (9L, "i", 90.0)).toDF("id", "tag", "v")
+    assert(Snapshots.mergeInto(spark, root, src, Seq("id")) == 2)
+    val want = Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0),
+      (9L, "i", 90.0))
+    assert(rows(Snapshots.read(spark, root)) == want)
+    // the pinned pre-merge version reads back untouched
+    assert(rows(Snapshots.read(spark, root, Some(1))) ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // re-merging the same source converges on the same state
+    // (latest-wins: the replay replaces its own rows)
+    assert(Snapshots.mergeInto(spark, root, src, Seq("id")) == 3)
+    assert(rows(Snapshots.read(spark, root)) == want)
+    // duplicate source keys would BOTH survive — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, root,
+        Seq((5L, "x", 1.0), (5L, "y", 2.0)).toDF("id", "tag", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(Snapshots.headVersion(spark, root) == 3)
+    // a merge commit is deletes + adds at once: the file-add change
+    // feed must refuse the range, not mis-ship it
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 1, 2)
+    }
+    assert(e2.getMessage.contains("delete"), e2.getMessage)
+    // compaction materializes the merged state and purges the sidecars
+    Snapshots.compact(spark, root, Seq.empty)
+    assert(rows(Snapshots.read(spark, root)) == want)
+    assert(Snapshots.dvDirsOf(spark, root,
+      Snapshots.headVersion(spark, root)).isEmpty)
+  }
+
   test("snapshots: pre-contract parent anchors on inferred schema, never narrows") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions.col

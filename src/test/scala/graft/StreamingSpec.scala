@@ -726,6 +726,62 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(v1 == wantV1)
   }
+  test("st17 merge-on-read CDC: exactly-once across kill + replay, no rewrite") {
+    import spark.implicits._
+    import org.apache.commons.io.FileUtils
+    import graft.sources.Snapshots
+    val baseDir = "/root/repo/target/roundtrip/st17_chaos"
+    val (feed, root, ckpt) = (s"$baseDir/feed", s"$baseDir/root", s"$baseDir/ckpt")
+    FileUtils.deleteQuietly(new java.io.File(baseDir))
+    def updRows(df: org.apache.spark.sql.DataFrame): Seq[EventStreams.Upd] =
+      EventStreams.withUpdHash(df).as[EventStreams.Upd].collect().toSeq
+    val base = updRows(graft.sources.RoundTrip.src08Base(spark, sfDir))
+    val delta = updRows(graft.sources.RoundTrip.src08Delta(spark, sfDir))
+    def mkQuery() = EventStreams.mergeCdcSink(spark,
+      spark.readStream.schema(spark.createDataset(base).schema).parquet(feed)
+        .as[EventStreams.Upd], root, ckpt)
+    // batch 0 commits as version 1, the query is KILLED; the delta
+    // arrives with a full base replay; the restart merges it as ONE
+    // batch -> version 2 (in-batch dups reduced by the comparator)
+    spark.createDataset(base).write.mode("overwrite").parquet(feed)
+    val q1 = mkQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Snapshots.headVersion(spark, root) == 1)
+    spark.createDataset(delta ++ base).write.mode("append").parquet(feed)
+    val q2 = mkQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snapshots.headVersion(spark, root) == 2,
+      "kill + restart must yield exactly one version per micro-batch")
+    // a stale batch replayed against the table is absorbed
+    val v = EventStreams.mergeCdcBatch(spark, root, 0L,
+      spark.createDataset(base).toDF())
+    assert(v == 2 && Snapshots.headVersion(spark, root) == 2)
+    // MERGE-ON-READ, not a rewrite: v2 still lists v1's data dirs and
+    // carries a deletion-vector sidecar (st12's replace would swap the
+    // file set and carry none)
+    assert(Snapshots.dirsOf(spark, root, 1).toSet
+      .subsetOf(Snapshots.dirsOf(spark, root, 2).toSet),
+      "merge commit must keep the parent's data files")
+    assert(Snapshots.dvDirsOf(spark, root, 2).nonEmpty,
+      "merge commit must record matched rows as deletion vectors")
+    // the converged HEAD is src08's table, row for row
+    val got = Snapshots.read(spark, root)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = graft.sources.RoundTrip.src08(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // version 1 pinned: the base generation's own merge, untouched
+    val v1 = Snapshots.read(spark, root, Some(1))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val wantV1 = base.groupBy(_.o_orderkey).map { case (_, rs) =>
+      val b = rs.reduce((a, x) => if (EventStreams.better(x, a)) x else a)
+      (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
+    }.toSet
+    assert(v1 == wantV1)
+  }
+
   test("st11 spike geometry follows spark.graft.spike.* (non-default proven)") {
     import org.apache.spark.sql.functions.{col, expr}
     try {
