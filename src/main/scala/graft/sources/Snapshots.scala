@@ -529,6 +529,70 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Versioned MERGE — [[mergeInto]] for OUT-OF-ORDER feeds: a matched
+    * target row is replaced only when the source row wins by
+    * `versionCol` (ties go to the source: an equal-version replay
+    * re-applies idempotently — convergent, and a genuinely conflicting
+    * equal-version pair is the feed's own ambiguity, resolved
+    * deterministically); a source row that LOSES to the live row is
+    * dropped entirely, so a late replay of older history cannot
+    * clobber newer state — the resurrection bug st15 documents, closed
+    * at the table layer instead of by the in-order-feed contract plain
+    * mergeInto (and st17) rely on. The table must be key-unique (any
+    * table maintained by merges from a key-unique base is). Unlike
+    * mergeInto, the winning-rows data dir depends on the head it was
+    * computed against, so it is (re)written inside the CAS loop and a
+    * loser's dir is deleted with its sidecar — still |source|-sized
+    * work per attempt, never a table rewrite.
+    */
+  def mergeIntoVersioned(s: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], versionCol: String): Int = {
+    require(keyCols.nonEmpty, "mergeIntoVersioned needs a key column")
+    require(!keyCols.contains(versionCol),
+      s"'$versionCol' cannot be both merge key and version")
+    require(source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      s"mergeIntoVersioned source carries duplicate keys on " +
+        s"(${keyCols.mkString(", ")}) — reduce to the max-$versionCol " +
+        "row per key first")
+    val f = fs(s, root)
+    var attempts = 0
+    while (true) {
+      val head = headVersion(s, root)
+      require(head > 0, s"no snapshot at $root — bootstrap with commit()")
+      val dvs = dvDirsOf(s, root, head)
+      val scan = s.read.parquet(dirsOf(s, root, head): _*)
+        .select(col("_metadata.file_path").as("file_path")
+          +: col("_metadata.row_index").as("row_index")
+          +: col(versionCol).as("_tgt_v")
+          +: keyCols.map(col): _*)
+      val live = minusDvs(s, scan, dvs, "file_path", "row_index")
+      val matched = live.join(
+        source.select(keyCols.map(col) :+ col(versionCol).as("_src_v"): _*),
+        keyCols)
+      val dvDir = s"$root/dv/w${token()}"
+      matched.filter(col("_src_v") >= col("_tgt_v"))
+        .select("file_path", "row_index")
+        .write.mode("overwrite").parquet(dvDir)
+      val losers = matched.filter(col("_src_v") < col("_tgt_v"))
+        .select(keyCols.map(col): _*)
+      val dataDir = writeData(s, root,
+        source.join(losers, keyCols, "left_anti"), None)
+      val merged = schemaOf(s, root, head)
+        .orElse(inferredSchemaOf(s, root, head))
+        .fold(source.schema)(p => mergeSchemas(p, source.schema))
+      if (tryPublishManifest(s, root, head + 1,
+          dirsOf(s, root, head) :+ dataDir, dvs :+ dvDir, Some(merged)))
+        return head + 1
+      f.delete(new Path(dvDir), true)
+      f.delete(new Path(dataDir), true)
+      attempts += 1
+      require(attempts < 64,
+        s"mergeIntoVersioned contention at $root: lost $attempts CAS races")
+    }
+    -1 // unreachable
+  }
+
   /** Oldest version whose manifest is still resolvable — the retention
     * floor [[vacuum]] leaves behind (head+1 when nothing is committed).
     * Incremental consumers anchor on this: a delta for v needs BOTH

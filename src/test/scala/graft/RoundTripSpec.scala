@@ -939,6 +939,43 @@ class RoundTripSpec extends SparkSpec {
       Snapshots.headVersion(spark, root)).isEmpty)
   }
 
+  test("snapshots versioned MERGE: out-of-order replay cannot clobber newer state") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = s"${graft.Scratch.dir}/snap_vmerge"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    def rows(): Set[(Long, String, Long)] = Snapshots.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Snapshots.commit(spark, root,
+      Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("id", "tag", "v"))
+    // the in-order leg: newer versions replace, new keys insert
+    Snapshots.mergeIntoVersioned(spark, root,
+      Seq((2L, "B", 7L), (3L, "c", 7L)).toDF("id", "tag", "v"),
+      Seq("id"), "v")
+    val want = Set((1L, "a", 5L), (2L, "B", 7L), (3L, "c", 7L))
+    assert(rows() == want)
+    // OUT-OF-ORDER replay: older versions for live keys must be
+    // dropped (no resurrection), genuinely new keys still insert
+    Snapshots.mergeIntoVersioned(spark, root,
+      Seq((2L, "old", 6L), (3L, "older", 1L), (4L, "d", 2L))
+        .toDF("id", "tag", "v"), Seq("id"), "v")
+    assert(rows() == want + ((4L, "d", 2L)),
+      "an older replayed version clobbered newer state")
+    // equal-version re-apply converges (replay idempotence)
+    Snapshots.mergeIntoVersioned(spark, root,
+      Seq((2L, "B", 7L)).toDF("id", "tag", "v"), Seq("id"), "v")
+    assert(rows() == want + ((4L, "d", 2L)))
+    // duplicate source keys refused (reduce-first contract)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeIntoVersioned(spark, root,
+        Seq((9L, "x", 1L), (9L, "y", 2L)).toDF("id", "tag", "v"),
+        Seq("id"), "v")
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+  }
+
   test("snapshots: pre-contract parent anchors on inferred schema, never narrows") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions.col
