@@ -1301,7 +1301,84 @@ object Cohort {
       .transform(Gate.ordered("day", "c_mktsegment", "c_nationkey"))
   }
 
+  // -- c50: weighted comorbidity score (Charlson/Elixhauser shape) --------
+  // The risk-adjustment index every outcomes report needs: each concept
+  // PRESENT for a patient in the lookback window contributes its fixed
+  // weight ONCE (presence, not count — three error events score like
+  // one), the per-patient weight sum is banded, and the report is the
+  // band census. The i2b2 face is a weighted concept panel over
+  // observation_fact; the weights here stand in for a published index's
+  // condition weights. Plan: one pruned fact scan → per-user concept
+  // SET (collect_set dedups inside the partial aggregate — ONE user_id
+  // shuffle for presence semantics) → in-row weight fold → band census
+  // moving one row per user. All-integer arithmetic.
+  private[graft] val C50_WEIGHTS: Seq[(String, Int)] =
+    Seq("error" -> 3, "purchase" -> 2, "signup" -> 2, "click" -> 1,
+      "view" -> 1)
+
+  def c50(s: SparkSession, d: String): DataFrame = {
+    def weight(x: Column) = C50_WEIGHTS.tail.foldLeft(
+      when(x === C50_WEIGHTS.head._1, lit(C50_WEIGHTS.head._2))) {
+      case (acc, (t, w)) => acc.when(x === t, lit(w))
+    }.otherwise(lit(0))
+    events(s, d)
+      // a 2-day lookback: long windows saturate (every patient shows
+      // every concept → one band), short ones spread the census across
+      // all three bands at every shipped SF
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-17").cast("timestamp"))
+      // ONE user_id shuffle: collect_set dedups concepts inside the
+      // partial aggregate (presence, not count), the weight sum folds
+      // over the ≤|vocabulary| set in-row — no separate DISTINCT pass
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("concepts"))
+      .select(aggregate(col("concepts"), lit(0),
+        (acc, x) => acc + weight(x)).as("score"))
+      .select(when(col("score") <= 3, "low")
+        .when(col("score") <= 6, "moderate")
+        .otherwise("high").as("band"), col("score"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("score")).as("sum_score"))
+      .transform(Gate.ordered("band"))
+  }
+
+  // -- c51: seasonal-naive forecast backtest (capacity planning) ----------
+  // The ED census forecast the reference's monthly report implies but
+  // never computes: tomorrow's load ≈ the average of the SAME WEEKDAY's
+  // counts over the trailing weeks (the seasonal-naive baseline every
+  // forecasting bake-off starts from). Backtested on the final week:
+  // per (event_type, day) the 3-prior-same-weekday mean vs the actual.
+  // Plan: one daily-count aggregate, then a window per (event_type,
+  // weekday) ordered by day — the frame moves over ~30 rows per
+  // partition no matter the SF (days, not events), so the window is
+  // scale-free; the integer prior-sum is exact and the single division
+  // is the one rounded step. 100 TB note: the only full-data pass is
+  // the daily rollup (map-side partial); everything after runs on
+  // |days|×|concepts| rows.
+  def c51(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("actual"))
+      // materialize the weekday ONCE: a per-withColumn dayofweek(...)
+      // re-derivation reads as a different partition key, splitting the
+      // two frames into two Window operators with an Exchange between
+      .withColumn("dow", dayofweek(to_date(col("day"))))
+    val w = Window.partitionBy(col("event_type"), col("dow"))
+      .orderBy(col("day")).rowsBetween(-3, -1)
+    daily
+      .withColumn("sum_prev3", sum(col("actual")).over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === 3 && col("day") >= "2024-01-24")
+      .select(col("day"), col("event_type"), col("actual"),
+        col("sum_prev3"),
+        round(col("sum_prev3") / 3.0, 2).as("forecast"))
+      .transform(Gate.ordered("day", "event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c50_comorbidity_score" -> (c50 _),
+    "c51_seasonal_forecast" -> (c51 _),
     "c49_pdc_adherence" -> (c49 _),
     "c48_cell_suppression" -> (c48 _),
     "c47_logrank" -> (c47 _),
@@ -1426,6 +1503,49 @@ object Cohort {
        | FROM e GROUP BY 1, 2, 3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // presence-not-count weighting: the DISTINCT collapses repeats
+    // before the CASE weights sum, exactly the Spark side's distinct →
+    // weight-sum → band census; all arithmetic integer
+    "c50_comorbidity_score" -> {
+      val cases = C50_WEIGHTS
+        .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
+      s"""WITH pres AS (
+         | SELECT DISTINCT user_id, event_type FROM events
+         | WHERE ts >= TIMESTAMP '2024-01-15'
+         |  AND ts < TIMESTAMP '2024-01-17'),
+         |sc AS (
+         | SELECT user_id,
+         |  SUM(CASE event_type $cases ELSE 0 END) AS score
+         | FROM pres GROUP BY 1)
+         |SELECT CASE WHEN score <= 3 THEN 'low'
+         |  WHEN score <= 6 THEN 'moderate' ELSE 'high' END AS band,
+         | COUNT(*) AS n_users, CAST(SUM(score) AS BIGINT) AS sum_score
+         |FROM sc GROUP BY 1 ORDER BY band""".stripMargin
+    },
+    // same daily rollup + same-weekday trailing frame; the weekday
+    // keys differ numerically between engines (Sunday = 1 vs 0) but
+    // only partition IDENTITY matters, and the one division is the
+    // same exactly-rounded 2-decimal step on both sides
+    "c51_seasonal_forecast" ->
+      """WITH daily AS (
+        | SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS actual
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT day, event_type, actual,
+        |  CAST(SUM(actual) OVER (
+        |   PARTITION BY event_type, dayofweek(CAST(day AS DATE))
+        |   ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |   AS BIGINT) AS sum_prev3,
+        |  COUNT(*) OVER (
+        |   PARTITION BY event_type, dayofweek(CAST(day AS DATE))
+        |   ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |   AS n_prev
+        | FROM daily)
+        |SELECT day, event_type, actual, sum_prev3,
+        | ROUND(sum_prev3 / 3.0, 2) AS forecast
+        |FROM w WHERE n_prev = 3 AND day >= '2024-01-24'
+        |ORDER BY day, event_type""".stripMargin,
     // same gap-merge rule: day-distinct occurrences, LAG gap test,
     // running-sum era ids, era rollup — every era hash-checked
     "c44_condition_eras" ->

@@ -704,7 +704,105 @@ object RoundTrip {
       .orderBy("event_type")
   }
 
+  // -- src22: SCD Type-2 dimension maintenance ----------------------------
+  // The warehouse-load move src08's latest-wins upsert deliberately
+  // loses: a Type-2 dimension keeps EVERY attribute version with its
+  // validity interval, so facts join to the attributes as they were AT
+  // THE TIME (the reference's patient/provider dimensions age the same
+  // way — the CRC star schema stamps update/download dates for it).
+  // One update feed applied at D1 to a current-as-of-D0 dimension:
+  //  - matched + attribute-identical → untouched (NOT closed — the
+  //    classic SCD2 bug this spec pins both ways),
+  //  - matched + changed → the old row closes (valid_to = D1), a new
+  //    current row opens,
+  //  - unmatched feed key → inserted as new-current.
+  // Plan shape: ONE key equi-join (full outer, so it sort-merges —
+  // Spark cannot broadcast either side of a full outer — and stays
+  // AQE-splittable) and ONE in-row explode of the ≤2 result rows; no
+  // second scan, no window.
+  // The feed is derived deterministically from the dimension itself so
+  // the oracle can rebuild it as a CTE: every 4th key arrives in the
+  // feed (half of those unchanged — the no-op arm), every 20th changes
+  // segment, every 100th also ships a brand-new key.
+  private[graft] val SCD2_D0 = "2024-01-01"
+  private[graft] val SCD2_D1 = "2024-02-01"
+
+  /** The deterministic update feed: (k, seg, bal) derived from the
+    * dimension. keys %4==0 are matched (of which %8!=0 carry IDENTICAL
+    * attributes — must stay open); %20==0 move to a new segment;
+    * %100==0 additionally spawn a new key (k+1000000).
+    */
+  private[graft] def scd2Feed(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    c.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 20 === 0, "premium")
+          .otherwise(col("c_mktsegment")).as("seg"),
+        when(col("c_custkey") % 8 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("bal"))
+      .unionByName(
+        c.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("new_market").as("seg"), lit(0.0).as("bal")))
+  }
+
+  def src22(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val j = base.join(scd2Feed(s, d), col("c_custkey") === col("k"),
+      "full_outer")
+    val matched = col("k").isNotNull && col("c_custkey").isNotNull
+    val changed = matched &&
+      (col("seg") =!= col("c_mktsegment") || col("bal") =!= col("c_acctbal"))
+    val inserted = col("c_custkey").isNull
+    // ≤2 history rows per joined row, built in-row: the D0 row (absent
+    // for inserts) and the D1 row (present only for changes/inserts)
+    val oldRow = when(col("c_custkey").isNotNull, struct(
+      col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("acctbal"), lit(SCD2_D0).as("valid_from"),
+      when(changed, lit(SCD2_D1)).as("valid_to"),
+      (!changed).as("is_current")))
+    val newRow = when(changed || inserted, struct(
+      col("k").as("key"), col("seg").as("segment"),
+      col("bal").as("acctbal"), lit(SCD2_D1).as("valid_from"),
+      lit(null.asInstanceOf[String]).as("valid_to"),
+      lit(true).as("is_current")))
+    j.select(explode(filter(array(oldRow, newRow),
+        r => r.isNotNull)).as("r"))
+      .select(col("r.*"))
+      .transform(Gate.ordered("key", "valid_from"))
+  }
+
+  private[graft] val scd2Oracle: String =
+    s"""WITH feed AS (
+       | SELECT c_custkey AS k,
+       |  CASE WHEN c_custkey % 20 = 0 THEN 'premium'
+       |   ELSE c_mktsegment END AS seg,
+       |  CASE WHEN c_custkey % 8 = 0 THEN c_acctbal + 100.0
+       |   ELSE c_acctbal END AS bal
+       | FROM customer WHERE c_custkey % 4 = 0
+       | UNION ALL
+       | SELECT c_custkey + 1000000, 'new_market', 0.0
+       | FROM customer WHERE c_custkey % 100 = 0)
+       |SELECT c.c_custkey AS key, c.c_mktsegment AS segment,
+       | c.c_acctbal AS acctbal, '$SCD2_D0' AS valid_from,
+       | CASE WHEN f.k IS NOT NULL
+       |   AND (f.seg <> c.c_mktsegment OR f.bal <> c.c_acctbal)
+       |  THEN '$SCD2_D1' END AS valid_to,
+       | (f.k IS NULL
+       |  OR (f.seg = c.c_mktsegment AND f.bal = c.c_acctbal))
+       |  AS is_current
+       |FROM customer c LEFT JOIN feed f ON f.k = c.c_custkey
+       |UNION ALL
+       |SELECT f.k, f.seg, f.bal, '$SCD2_D1', NULL, TRUE
+       |FROM feed f LEFT JOIN customer c ON c.c_custkey = f.k
+       |WHERE c.c_custkey IS NULL
+       | OR f.seg <> c.c_mktsegment OR f.bal <> c.c_acctbal
+       |ORDER BY 1, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src22_scd2_dimension" -> (src22 _),
     "src18_zorder_layout" -> (src18 _),
     "src19_change_feed" -> (Snapshots.src19 _),
     "src16_sorted_layout" -> (src16 _),
@@ -730,6 +828,10 @@ object RoundTrip {
 
   /** Round-trip fidelity means the oracle is simply the original table. */
   val oracle: Map[String, String] = Map(
+    // the feed rebuilt as a CTE from the dimension itself; both sides
+    // must agree on which matched rows are attribute-identical (stay
+    // open) vs changed (close + reopen) vs brand-new (insert-current)
+    "src22_scd2_dimension" -> scd2Oracle,
     // the z-ordered copy must answer the 2-D box exactly like the raw
     // table — the layout changes pruning, never a row
     "src18_zorder_layout" -> {

@@ -787,4 +787,55 @@ class CohortSpec extends SparkSpec {
     val chi = (sumO1 - sumE1) * (sumO1 - sumE1) / sumV
     assert(math.abs(chi - r.getDouble(5)) < 1e-2, s"chi2 $chi vs ${r.getDouble(5)}")
   }
+
+  test("c50 weights presence once per concept and bands the census") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-17 00:00:00")
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .filter(r => !r.getTimestamp(2).before(ts0) &&
+        r.getTimestamp(2).before(ts1))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val w = Cohort.C50_WEIGHTS.toMap
+    // presence, not count: DISTINCT concepts per user before weighting
+    val scores = evs.distinct.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(x => w(x._2)).sum }
+    def band(s: Int) =
+      if (s <= 3) "low" else if (s <= 6) "moderate" else "high"
+    val expect = scores.values.groupBy(band)
+      .map { case (b, ss) => b -> (ss.size.toLong, ss.sum.toLong) }
+    val got = Cohort.c50(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"$got vs $expect")
+    // a repeat-heavy user must score like a single occurrence: at
+    // sf0.001 every user repeats at least one concept in the window
+    assert(evs.length > evs.distinct.length,
+      "window has no repeats - the presence rule is untested")
+  }
+
+  test("c51 forecast is the trailing same-weekday mean, final week only") {
+    val df = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val daily = Tables.events(spark, sfDir)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Cohort.c51(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(0), df)
+      assert(!day.isBefore(java.time.LocalDate.parse("2024-01-24", df)))
+      val tp = r.getString(1)
+      assert(r.getLong(2) == daily((tp, day)))
+      // the trailing frame is the three SAME-WEEKDAY predecessors,
+      // never the three previous calendar days
+      val prev3 = (1 to 3).map(k => daily.getOrElse((tp, day.minusWeeks(k)), 0L)).sum
+      assert(r.getLong(3) == prev3, s"$tp $day: ${r.getLong(3)} vs $prev3")
+      val fc = (BigDecimal(prev3) / 3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == fc, s"$tp $day: ${r.getDouble(4)} vs $fc")
+    }
+    // backtest coverage: exactly the final 7 days x every concept seen
+    assert(rows.map(_.getString(0)).distinct.length == 7)
+  }
 }

@@ -1193,4 +1193,46 @@ class RoundTripSpec extends SparkSpec {
         .filter(col("d") =!= n).count() == 0)
     } finally if (proc.isAlive) proc.destroyForcibly()
   }
+
+  test("src22 SCD2: unchanged stay open, changes close+reopen, inserts") {
+    val dim = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val hist = RoundTrip.src22(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    // classify every dimension key independently and check its history
+    dim.foreach { case (k, (seg, bal)) =>
+      val inFeed = k % 4 == 0
+      val fSeg = if (k % 20 == 0) "premium" else seg
+      val fBal = if (k % 8 == 0) bal + 100.0 else bal
+      val changed = inFeed && (fSeg != seg || fBal != bal)
+      val rows = hist(k).sortBy(_.getString(3))
+      if (!changed) {
+        // matched-but-identical (and untouched) keys keep ONE open row
+        // — the classic SCD2 bug is closing these
+        assert(rows.length == 1 && rows(0).getBoolean(5) &&
+          rows(0).isNullAt(4), s"key $k: $rows")
+        assert(rows(0).getString(1) == seg && rows(0).getDouble(2) == bal)
+      } else {
+        assert(rows.length == 2, s"key $k: ${rows.length} rows")
+        val (old, nw) = (rows(0), rows(1))
+        assert(!old.getBoolean(5) && old.getString(4) == RoundTrip.SCD2_D1
+          && old.getString(1) == seg && old.getDouble(2) == bal)
+        assert(nw.getBoolean(5) && nw.isNullAt(4) &&
+          nw.getString(1) == fSeg && nw.getDouble(2) == fBal)
+      }
+    }
+    // inserts: exactly the %100 keys, one new-current row each
+    val inserts = hist.keySet.diff(dim.keySet)
+    assert(inserts == dim.keySet.filter(_ % 100 == 0).map(_ + 1000000L))
+    inserts.foreach { k =>
+      val rows = hist(k)
+      assert(rows.length == 1 && rows(0).getBoolean(5) &&
+        rows(0).getString(1) == "new_market" &&
+        rows(0).getString(3) == RoundTrip.SCD2_D1)
+    }
+    // both change arms non-vacuous at this SF
+    assert(dim.keySet.exists(k => k % 4 == 0 && k % 8 != 0 && k % 20 != 0))
+    assert(dim.keySet.exists(_ % 8 == 0))
+  }
 }

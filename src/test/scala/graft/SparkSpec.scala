@@ -18,6 +18,11 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // mirror the driver mains' data-proportional shuffle width (see
+      // Bench) so every spec runs under the production AQE geometry —
+      // at spec scale the coalescer collapses it right back to ~1
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "64")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
