@@ -37,6 +37,7 @@ object Bench {
     */
   private[graft] val BUILD_QUERIES = Set(
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_pq", "s12_ann_ivfpq",
+    "s15_ann_sq8",
     "d03_dedup_minhash_lsh", "d06_dedup_clusters", "d09_dedup_semantic")
 
   /** Declared QUADRATIC oracle baselines: d05's candidate stage is

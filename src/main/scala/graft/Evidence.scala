@@ -212,6 +212,16 @@ object Evidence {
         "equals_s12",
         rowsEqual(run("s12b_ann_ivfpq_prebuilt"), run("s12_ann_ivfpq")),
         1.0, "=="),
+      // SQ8's per-dimension quantization error is bounded by step/2 ≈
+      // 0.002 per coordinate, so its candidate ranking tracks the exact
+      // dots far tighter than the codebook families — floor 0.9
+      Item("s15_ann_sq8", "recall",
+        "recall_at_10_vs_s01", recall(topIds(run("s15_ann_sq8")), s01top),
+        0.9, ">="),
+      Item("s15b_ann_sq8_prebuilt", "twin-equality",
+        "equals_s15",
+        rowsEqual(run("s15b_ann_sq8_prebuilt"), run("s15_ann_sq8")),
+        1.0, "=="),
       Item("s05b_knn_join_lsh", "recall",
         "mean_recall_at_10_vs_s05", s05bMean, 0.7, ">="),
       Item("s13_ann_filtered_ivf", "recall",

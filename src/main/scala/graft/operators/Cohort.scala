@@ -1376,7 +1376,43 @@ object Cohort {
       .transform(Gate.ordered("day", "event_type"))
   }
 
+  // -- c52: concept co-exposure overlap (the DDI-surveillance shape) ------
+  // The interval-overlap query drug-safety surveillance runs on drug
+  // eras (which concept PAIRS are active simultaneously, in how many
+  // patients, for how long): c44's gap-bridged eras, self-joined WITHIN
+  // each patient on interval overlap. The self-join's key is user_id —
+  // one shuffle of the already-aggregated era frame (user×concept×era
+  // rows, orders of magnitude smaller than events), and the per-key
+  // expansion is bounded by (eras per patient)², a constant governed by
+  // the concept vocabulary — never a corpus-wide range join. Overlap
+  // days are exact integer datediffs; the one divide (mean overlap) is
+  // the single rounded step.
+  def c52(s: SparkSession, d: String): DataFrame = {
+    val eras = c44Core(s, d).select(col("user_id"), col("event_type"),
+      col("era_start_day").as("st"), col("era_end_day").as("en"))
+    val a = eras.toDF("user_id", "type_a", "st_a", "en_a")
+    val b = eras.toDF("user_id", "type_b", "st_b", "en_b")
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b") &&
+        col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
+      .select(col("user_id"), col("type_a"), col("type_b"),
+        (datediff(least(col("en_a"), col("en_b")),
+          greatest(col("st_a"), col("st_b"))) + 1).as("overlap_days"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_episodes"),
+        sum(col("overlap_days").cast("bigint")).as("total_overlap_days"),
+        max(col("overlap_days")).as("max_overlap_days"))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        col("n_episodes"), col("total_overlap_days"),
+        col("max_overlap_days"),
+        round(col("total_overlap_days").cast("double") / col("n_episodes"),
+          6).as("mean_overlap_days"))
+      .transform(Gate.ordered("type_a", "type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c52_coexposure_overlap" -> (c52 _),
     "c50_comorbidity_score" -> (c50 _),
     "c51_seasonal_forecast" -> (c51 _),
     "c49_pdc_adherence" -> (c49 _),
@@ -1548,6 +1584,28 @@ object Cohort {
         |ORDER BY day, event_type""".stripMargin,
     // same gap-merge rule: day-distinct occurrences, LAG gap test,
     // running-sum era ids, era rollup — every era hash-checked
+    // same era CTEs, self-joined within patient on interval overlap;
+    // integer day arithmetic, one rounded divide
+    "c52_coexposure_overlap" ->
+      s"""WITH $C44_CTES,
+         |ov AS (
+         | SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+         |  date_diff('day',
+         |   GREATEST(a.era_start_day, b.era_start_day),
+         |   LEAST(a.era_end_day, b.era_end_day)) + 1 AS overlap_days
+         | FROM eras a JOIN eras b ON a.user_id = b.user_id
+         |  AND a.event_type < b.event_type
+         |  AND a.era_start_day <= b.era_end_day
+         |  AND b.era_start_day <= a.era_end_day)
+         |SELECT type_a, type_b,
+         | COUNT(DISTINCT user_id) AS n_users,
+         | COUNT(*) AS n_episodes,
+         | CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days,
+         | MAX(overlap_days) AS max_overlap_days,
+         | ROUND(CAST(SUM(overlap_days) AS DOUBLE) / COUNT(*), 6)
+         |  AS mean_overlap_days
+         |FROM ov GROUP BY 1, 2
+         |ORDER BY type_a, type_b""".stripMargin,
     "c44_condition_eras" ->
       s"""WITH $C44_CTES
          |SELECT user_id, event_type, era_seq, n_active_days, n_facts,

@@ -709,7 +709,44 @@ object Relational {
         col("n_orders"))
       .orderBy("c_mktsegment")
 
+  // -- q41: market-basket association rules (top co-purchased pairs) ------
+  // Frequent-itemset mining's pair stage (A-priori at k=2): baskets are
+  // orders, items the DISTINCT parts in them. In-basket pair expansion
+  // is a self-equi-join on the basket key — ONE shuffle of the 2-column
+  // (basket, item) projection, work bounded by Σ basket_size² (Poisson
+  // basket sizes, never all-pairs over the catalog), support counts
+  // map-side-combined, top-20 via TakeOrderedAndProject. Confidence and
+  // lift then need single-item supports for just those 20 pairs: the
+  // 20-row frame BROADCASTS into the item-support table (never the
+  // reverse — the catalog is 20M parts at sf100), and the basket total
+  // rides a 1-row cross. All counts integer-exact; one rounded divide
+  // per measure, mirrored operand-for-operand by the oracle.
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val itemSup = li.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+    val nb = broadcast(li.select(countDistinct(col("basket")).as("n_baskets")))
+    val top = li.toDF("basket", "item_a")
+      .join(li.toDF("basket", "item_b"), "basket")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .orderBy(col("sup_ab").desc, col("item_a"), col("item_b"))
+      .limit(20)
+    val withA = itemSup.toDF("item_a", "sup_a").join(broadcast(top), "item_a")
+    itemSup.toDF("item_b", "sup_b").join(broadcast(withA), "item_b")
+      .crossJoin(nb)
+      .select(col("item_a"), col("item_b"), col("sup_ab"),
+        round(col("sup_ab").cast("double") / col("sup_a"), 6).as("conf_a_b"),
+        round(col("sup_ab").cast("double") / col("sup_b"), 6).as("conf_b_a"),
+        round(col("sup_ab").cast("double") * col("n_baskets") /
+          (col("sup_a") * col("sup_b")), 6).as("lift"))
+      .transform(Gate.ordered("item_a", "item_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_basket_rules" -> (q41 _),
     "q37_regression_trend" -> (q37 _),
     "q38_iqr_outliers" -> (q38 _),
     "q39_value_windows" -> (q39 _),
@@ -755,6 +792,28 @@ object Relational {
   private val REV = "l_extendedprice * (1 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    // integer supports end-to-end; the three rule measures are single
+    // divides of exact BIGINTs in the identical operand order, and the
+    // top-20 boundary is tie-broken (sup_ab DESC, item_a, item_b) on
+    // both engines
+    "q41_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |ic AS (SELECT item, COUNT(*) AS sup FROM li GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM li),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  COUNT(*) AS sup_ab
+        | FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        | GROUP BY 1, 2
+        | ORDER BY sup_ab DESC, item_a, item_b LIMIT 20)
+        |SELECT item_a, item_b, sup_ab,
+        | ROUND(CAST(sup_ab AS DOUBLE) / ia.sup, 6) AS conf_a_b,
+        | ROUND(CAST(sup_ab AS DOUBLE) / ib.sup, 6) AS conf_b_a,
+        | ROUND(CAST(sup_ab AS DOUBLE) * nb.n_baskets
+        |  / (ia.sup * ib.sup), 6) AS lift
+        |FROM p JOIN ic ia ON ia.item = p.item_a
+        | JOIN ic ib ON ib.item = p.item_b CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
     // q16's discipline: exact decimal/integer moment sums, then the
     // slope/intercept/r² arithmetic in the SAME double formula order
     "q37_regression_trend" ->

@@ -1373,7 +1373,115 @@ object Similarity {
     ivfPqSearch(s, d, s.table(centT), s.table(rcentT), s.table(codesT))
   }
 
+  // -- s15: scalar-quantized (SQ8) ANN ------------------------------------
+  // The third compression family production vector stores ship next to
+  // IVF and PQ (faiss ScalarQuantizer QT_8bit, Lucene/Elasticsearch
+  // int8 vectors, Milvus IVF_SQ8): per-DIMENSION affine quantization.
+  // Train = ONE aggregate pass collecting min/max per dimension (128
+  // doubles, broadcast — no Lloyd iterations, unlike PQ/IVF); encode =
+  // round((x−mn)/step) into 0..255 — 64 bytes/vector, 4x smaller than
+  // float32, and the approximate score is a true per-dimension dot, so
+  // error comes only from the quantization step, never codebook fit.
+  // Query: dot(x̂, q) = Σ mn_i·q_i + Σ code_i·(step_i·q_i); the first
+  // term is identical for every corpus row — dropped, ranks unchanged —
+  // so the scan scores int codes against a broadcast 64-entry
+  // dequant-projected LUT (fixed-order double sum, deterministic on any
+  // partitioning), takes top-CAND via TakeOrderedAndProject (no full
+  // sort, no shuffle), and the exact re-rank touches only CAND real
+  // vectors. At 100 TB the only corpus-wide pass reads the 64-byte
+  // codes column; train/encode amortize across queries via s15b.
+  private val SQ_CAND = 100
+
+  /** Per-dimension (mn, step) arrays as a 1-row broadcast frame. min and
+    * max are order-independent, so the stats — and therefore the codes —
+    * are partitioning-deterministic.
+    */
+  private[graft] def sqStats(vecs: DataFrame): DataFrame = {
+    val perDim = vecs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      // a constant dimension gets a tiny non-zero step: every value
+      // quantizes to code 0 and the affine decode stays well-defined
+      .select(col("dim"), col("mn"),
+        (greatest(col("mx") - col("mn"), lit(1e-12)) / 255.0).as("step"))
+    broadcast(perDim.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          p => p.getField("mn")).as("mn"),
+        transform(array_sort(collect_list(struct(col("dim"), col("step")))),
+          p => p.getField("step")).as("step")))
+  }
+
+  /** Encode: (vec_id, codes array<int>, each 0..255) — per-row affine
+    * rounding against the broadcast stats, deterministic everywhere.
+    */
+  private[graft] def sqEncode(vecs: DataFrame, stats: DataFrame): DataFrame =
+    vecs.crossJoin(stats)
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${DIM - 1}), i -> CAST(least(255.0D,
+           | greatest(0.0D, round((CAST(embedding[i] AS DOUBLE) - mn[i])
+           |   / step[i], 0))) AS INT))""".stripMargin).as("codes"))
+
+  /** Approximate-score + exact re-rank tail shared by s15 and s15b. */
+  private def sqSearch(s: SparkSession, d: String, codes: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val lut = broadcast(queryVec(s, d).crossJoin(stats)
+      .select(zip_with(col("step"), col("qv"),
+        (st, q) => st * q.cast("double")).as("lut")))
+    val candidates = codes
+      .filter(col("vec_id") =!= QUERY_VEC)
+      .crossJoin(lut)
+      .select(col("vec_id"), dotFixed("codes", "lut", DIM).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(SQ_CAND)
+      .select("vec_id")
+    rerank(s, d, candidates)
+  }
+
+  def s15(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val stats = sqStats(e).cache()
+    sqSearch(s, d, sqEncode(e, stats), stats)
+  }
+
+  // -- s15b: SQ8 over the PERSISTED codes table ---------------------------
+  // Train/encode paid once; a query reads the 1-row stats table and the
+  // vec_id-bucketed int-codes table — no min/max pass, no Generate, no
+  // corpus-embedding scan before the re-rank (asserted in
+  // SimilaritySpec).
+  def ensureSqIndex(s: SparkSession, d: String): (String, String) = {
+    val nb = graft.GraftConf.indexBuckets(s)
+    val codesT = s"graft_sq_codes_${sanitize(d)}_b$nb"
+    val statsT = s"graft_sq_stats_${sanitize(d)}"
+    if (!s.catalog.tableExists(codesT)) {
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      // stats ALWAYS rewritten alongside the codes — codes encoded
+      // against fresh stats must never serve with stale persisted ones
+      // (same one-artifact rule as s12b's residual codebook)
+      sqStats(e).write.mode("overwrite")
+        .option("path", s"$scratch/sq_stats/${sanitize(d)}")
+        .saveAsTable(statsT)
+      sqEncode(e, broadcast(s.table(statsT))).write.mode("overwrite")
+        .bucketBy(nb, "vec_id").sortBy("vec_id")
+        .option("path", s"$scratch/sq_codes/${sanitize(d)}_b$nb")
+        .saveAsTable(codesT)
+    }
+    (codesT, statsT)
+  }
+
+  def s15b(s: SparkSession, d: String): DataFrame = {
+    val (codesT, statsT) = ensureSqIndex(s, d)
+    sqSearch(s, d, s.table(codesT), broadcast(s.table(statsT)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_ann_sq8" -> (s15 _),
+    "s15b_ann_sq8_prebuilt" -> (s15b _),
     "s12_ann_ivfpq" -> (s12 _),
     "s12b_ann_ivfpq_prebuilt" -> (s12b _),
     "s01_ann_bruteforce" -> (s01 _),

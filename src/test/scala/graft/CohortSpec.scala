@@ -838,4 +838,52 @@ class CohortSpec extends SparkSpec {
     // backtest coverage: exactly the final 7 days x every concept seen
     assert(rows.map(_.getString(0)).distinct.length == 7)
   }
+
+  test("c52 co-exposure equals a driver-side overlap recompute over c44's eras") {
+    // independent truth: pairwise interval overlap in plain Scala over
+    // the era frame (already spec'd against its own oracle)
+    val eras = Cohort.c44(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        java.time.LocalDate.parse(r.getAs[String]("era_start")),
+        java.time.LocalDate.parse(r.getAs[String]("era_end")))
+    }
+    val overlaps = scala.collection.mutable.ArrayBuffer
+      .empty[((String, String), (Long, Long))]
+    eras.groupBy(_._1).foreach { case (u, es) =>
+      for (a <- es; b <- es)
+        if (a._2 < b._2 && !a._3.isAfter(b._4) && !b._3.isAfter(a._4)) {
+          val st = if (a._3.isAfter(b._3)) a._3 else b._3
+          val en = if (a._4.isBefore(b._4)) a._4 else b._4
+          val ov = java.time.temporal.ChronoUnit.DAYS.between(st, en) + 1
+          overlaps += (((a._2, b._2), (u, ov)))
+        }
+    }
+    val want = overlaps.groupBy(_._1).map { case (k, xs) =>
+      val vals = xs.map(_._2)
+      k -> ((vals.map(_._1).distinct.size.toLong, vals.size.toLong,
+        vals.map(_._2).sum, vals.map(_._2).max))
+    }
+    val got = Cohort.c52(spark, sfDir).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_episodes"),
+          r.getAs[Long]("total_overlap_days"),
+          r.getAs[Int]("max_overlap_days").toLong,
+          r.getAs[Double]("mean_overlap_days"))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (nu, ne, tot, mx)) =>
+      val g = got(k)
+      assert((g._1, g._2, g._3, g._4) == ((nu, ne, tot, mx)), s"$k: $g")
+      val mean = BigDecimal(tot.toDouble / ne)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g._5 == mean, s"$k mean: ${g._5} vs $mean")
+    }
+    // the overlap predicate actually discriminates: some same-user
+    // cross-type era pair must NOT overlap at this SF
+    val byUser = eras.groupBy(_._1)
+    val nonOverlapping = byUser.values.exists(es =>
+      es.exists(a => es.exists(b => a._2 < b._2 &&
+        (a._3.isAfter(b._4) || b._3.isAfter(a._4)))))
+    assert(nonOverlapping, "every era pair overlaps - predicate untested")
+  }
 }

@@ -43,10 +43,12 @@ class PlanHygieneSpec extends SparkSpec {
     // candidates come from the cid equi-join (spec-asserted)
     "s14_ann_tombstones", // s03b's 1-row query × K-centroid probe; the
     // tombstone exclusion itself is a broadcast ANTI join, never a loop
+    "s15_ann_sq8", "s15b_ann_sq8_prebuilt", // 1-row stats/LUT crosses
     "c47_logrank", // two 1-row broadcasts (censoring horizon, group
     // sizes) crossed into user- and single-row frames
     "c49_pdc_adherence", // 1-row assessment-window broadcast
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
+    "q41_basket_rules", // 1-row basket-total broadcast
     "p02_multimodal_ann")
 
   test("Bench classification sets name only registered queries") {

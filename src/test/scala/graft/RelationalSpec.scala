@@ -344,6 +344,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q41 basket rules equal a driver-side recompute of support/conf/lift") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val itemSup = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val pairSup = li.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val is: Seq[Long] = items.map(_._2).sorted.toSeq
+      for { a <- is; b <- is if a < b } yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top = pairSup.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val got = Relational.q41(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("sup_ab"),
+        r.getAs[Double]("conf_a_b"), r.getAs[Double]("conf_b_a"),
+        r.getAs[Double]("lift"))
+    }.toMap
+    assert(got.keySet == top.map(_._1).toSet)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    top.foreach { case ((a, b), n) =>
+      val g = got((a, b))
+      assert(g._1 == n, s"($a,$b): ${g._1} vs $n")
+      assert(g._2 == r6(n.toDouble / itemSup(a)))
+      assert(g._3 == r6(n.toDouble / itemSup(b)))
+      assert(g._4 == r6(n.toDouble * nBaskets / (itemSup(a) * itemSup(b))))
+    }
+    // the rank-20 boundary actually cut something (the tie rule matters)
+    assert(pairSup.size > 20, "fewer than 21 pairs - the top-k is untested")
+  }
+
   test("every query has a matching oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("d03_dedup_minhash_lsh", "d03b_dedup_lsh_prebuilt",
@@ -356,7 +386,8 @@ class RelationalSpec extends SparkSpec {
       "c06b_los_percentiles_approx", "q29b_column_profile_approx",
       "c20_report_incremental", "s10_mmr_rerank", "s11_index_quality",
       "s12_ann_ivfpq", "s12b_ann_ivfpq_prebuilt", "s13_ann_filtered_ivf",
-      "s14_ann_tombstones", "st16_stream_index_maintenance")
+      "s14_ann_tombstones", "s15_ann_sq8", "s15b_ann_sq8_prebuilt",
+      "st16_stream_index_maintenance")
     assert(missing.subsetOf(rowsOnly), s"undocumented rows-only: ${missing -- rowsOnly}")
   }
 }

@@ -558,4 +558,48 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("graft_ivfpq_codes"), "must read the persisted codes")
     assert(plan.contains("graft_ivf_cent"), "must read the shared centroids")
   }
+
+  test("s15 SQ8 ANN: recall@10 >= 0.9, byte-range codes, deterministic") {
+    val exact = Similarity.s01(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val run1 = Similarity.s15(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    // per-coordinate quantization error <= step/2 ~ 0.002: candidate
+    // ranking tracks the exact dots far tighter than the codebook
+    // families (measured 1.0 at sf0.001/sf0.01)
+    val recall = (exact & run1.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+    // min/max stats + fixed-order sums: a re-run is bit-identical
+    val run2 = Similarity.s15(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    assert(run1.sameElements(run2))
+    // re-ranked cosines are the exact ones where s01 also returns them
+    val exactCos = Similarity.s01(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    run1.foreach { case (id, c) =>
+      exactCos.get(id).foreach(ec => assert(ec == c)) }
+  }
+
+  test("s15b prebuilt SQ8 equals s15; codes in 0..255, no Generate in-plan") {
+    val live = Similarity.s15(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val pre = Similarity.s15b(spark, sfDir)
+    val rows = pre.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.sameElements(live), s"prebuilt=${rows.toSeq} live=${live.toSeq}")
+    // one codes row per vector, every code a byte
+    val (codesT, _) = Similarity.ensureSqIndex(spark, sfDir)
+    val codes = spark.table(codesT)
+    assert(codes.count() == Tables.embeddings(spark, sfDir).count())
+    import org.apache.spark.sql.functions.{array_max, array_min, col, max, min}
+    val mm = codes.agg(min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi")).collect()(0)
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255, mm.toString)
+    // no min/max training pass, no Generate; the scored scan is the
+    // persisted int-codes table, vectors touched only in the re-rank
+    val plan = pre.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Generate"), s"stats re-derived in-query:\n$plan")
+    assert(plan.contains("graft_sq_codes"), "must read the persisted codes")
+    assert(plan.contains("graft_sq_stats"), "must read the persisted stats")
+  }
 }
