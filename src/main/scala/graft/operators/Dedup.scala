@@ -1028,6 +1028,81 @@ object Dedup {
       .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
+  // -- d15: blocked record linkage (entity resolution) -------------------
+  // The patient-matching capability every clinical DWH needs at intake:
+  // link a DIRTY registry feed (typos) back to the master table without
+  // an all-pairs fuzzy join. The feed is derived deterministically from
+  // `customer` in-query (the src22/scd2Feed precedent): ~1/3 of rows get
+  // one substituted digit, ~1/11 are corrupted beyond repair (digit
+  // string reversed), the rest arrive verbatim.
+  //
+  // Blocking is a MASK NEIGHBORHOOD (the SymSpell/d04-pigeonhole move):
+  // every name is exploded into 9 variants, each with one digit position
+  // masked; two equal-length names within substitution-distance 1 are
+  // IDENTICAL under the mask at their differing position, so the
+  // (maskpos, masked) equi-join finds every true candidate with zero
+  // false negatives — provably lossless for this error model, and since
+  // all names here are length-18, every levenshtein<=1 pair IS a
+  // substitution pair. Exact Levenshtein (integer, engine-exact) runs
+  // only inside the tiny collision buckets; best match per feed row is
+  // a partial-aggregatable min(struct(dist, key)) — no window, no sort.
+  //
+  // Scale shape: two scans + 9x explode on each side (repartitioned up
+  // front: AQE can't see explode amplification), ONE equi-join shuffle
+  // on (maskpos, masked) whose buckets hold only near-equal names, one
+  // pair-distinct, one agg. At 100 TB this is linear in rows — the
+  // naive fuzzy join it replaces is quadratic per blocking key.
+
+  /** The dirty-feed derivation — ONE definition spliced verbatim into
+    * both the Spark plan (expr) and the DuckDB oracle. No line BEGINS
+    * with `||`: this string is re-spliced into a stripMargin oracle
+    * template, which would eat the first pipe of a line-leading concat.
+    */
+  private[graft] val D15_FEED_SQL: String =
+    """CASE WHEN c_custkey % 11 = 7
+      |   THEN 'Customer#' || reverse(substring(c_name, 10))
+      |  WHEN c_custkey % 3 = 1
+      |   THEN substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)) ||
+      |    CAST((CAST(substring(c_name, 10 + CAST(c_custkey % 9 AS INT),
+      |         1) AS INT) + 1 + CAST(c_custkey % 8 AS INT)) % 10 AS STRING) ||
+      |    substring(c_name, 11 + CAST(c_custkey % 9 AS INT))
+      |  ELSE c_name END""".stripMargin
+
+  /** 9 masked variants of a length-18 name (digit position i blanked). */
+  private def d15Masks(name: String): String =
+    s"transform(sequence(0, 8), i -> concat(substring($name, 1, 9 + i)," +
+      s" '_', substring($name, 11 + i)))"
+
+  private def d15Exploded(df: DataFrame, idCol: String, nameCol: String)
+      : DataFrame =
+    df.select(col(idCol), col(nameCol),
+      posexplode(expr(d15Masks(nameCol))).as(Seq("i", "mk")))
+
+  def d15(s: SparkSession, d: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val feed = customer(s, d).repartition(par, col("c_custkey"))
+      .select(col("c_custkey").as("f_id"), expr(D15_FEED_SQL).as("f_name"))
+    val reg = customer(s, d).repartition(par, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+    val cand = d15Exploded(feed, "f_id", "f_name")
+      .join(d15Exploded(reg, "c_custkey", "c_name"), Seq("i", "mk"))
+      .select("f_id", "f_name", "c_custkey", "c_name").distinct()
+    val best = cand
+      .select(col("f_id"),
+        levenshtein(col("f_name"), col("c_name")).cast("int").as("dist"),
+        col("c_custkey"))
+      .filter(col("dist") <= 1)
+      .groupBy(col("f_id"))
+      .agg(min(struct(col("dist"), col("c_custkey"))).as("m"))
+      .select(col("f_id"), col("m.c_custkey").as("match_key"),
+        col("m.dist").as("dist"))
+    feed.select(col("f_id")).join(best, Seq("f_id"), "left")
+      .select(col("f_id"), col("match_key"), col("dist"),
+        when(col("dist") === 0, "exact").when(col("dist") === 1, "fuzzy")
+          .otherwise("none").as("match_type"))
+      .transform(Gate.ordered("f_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_ngram_jaccard" -> (d02 _),
@@ -1046,7 +1121,8 @@ object Dedup {
     "d11_dedup_savings" -> (d11 _),
     "d12_dedup_canonical_quality" -> (d12 _),
     "d13_cross_source_dup" -> (d13 _),
-    "d14_threshold_curve" -> (d14 _)
+    "d14_threshold_curve" -> (d14 _),
+    "d15_record_linkage" -> (d15 _)
   )
 
   /** Shared oracle fragment: distinct doc 3-gram shingles as rows. */
@@ -1169,6 +1245,34 @@ object Dedup {
        |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the identical feed derivation (D15_FEED_SQL verbatim), the same
+    // 9-mask neighborhood blocking (LATERAL i = Spark's posexplode), the
+    // same integer-Levenshtein verify, argmin via ROW_NUMBER on the
+    // identical (dist, key) order
+    "d15_record_linkage" ->
+      s"""WITH feed AS (SELECT c_custkey AS f_id,
+         |  $D15_FEED_SQL AS f_name FROM customer),
+         |fm AS (SELECT f_id, f_name, i,
+         |  substring(f_name, 1, 9 + i) || '_' || substring(f_name, 11 + i)
+         |   AS mk
+         | FROM feed, LATERAL (SELECT unnest(range(0, 9)) AS i) r),
+         |cm AS (SELECT c_custkey, c_name, i,
+         |  substring(c_name, 1, 9 + i) || '_' || substring(c_name, 11 + i)
+         |   AS mk
+         | FROM customer, LATERAL (SELECT unnest(range(0, 9)) AS i) r),
+         |cand AS (SELECT DISTINCT f.f_id, f.f_name, c.c_custkey, c.c_name
+         | FROM fm f JOIN cm c ON f.i = c.i AND f.mk = c.mk),
+         |best AS (SELECT f_id, c_custkey AS match_key,
+         |  CAST(levenshtein(f_name, c_name) AS INT) AS dist,
+         |  ROW_NUMBER() OVER (PARTITION BY f_id
+         |   ORDER BY levenshtein(f_name, c_name), c_custkey) AS rk
+         | FROM cand WHERE levenshtein(f_name, c_name) <= 1)
+         |SELECT f.f_id, b.match_key, b.dist,
+         | CASE WHEN b.dist = 0 THEN 'exact' WHEN b.dist = 1 THEN 'fuzzy'
+         |  ELSE 'none' END AS match_type
+         |FROM feed f LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         | USING (f_id)
+         |ORDER BY f_id""".stripMargin,
     "d01_dedup_exact" ->
       s"""SELECT content_hash, keep_id, n_copies
          |FROM $D01_GROUPS_SQL g ORDER BY keep_id""".stripMargin,

@@ -741,7 +741,61 @@ object TextAnalysis {
       .transform(Gate.ordered("doc_id"))
   }
 
+  // -- t23: per-source distribution drift (PSI + exact-rational chi²) ----
+  // Drift monitoring for a multi-source ingest: each source's document-
+  // length distribution against the corpus-wide baseline over FIXED
+  // width-90 bins (fixed bins, not quantiles, so the score is comparable
+  // across runs and needs no global sort). PSI = Σ (p−q)·ln(p/q) — the
+  // population-stability score monitoring teams alarm on — plus
+  // chi² = Σ (p−q)²/q, the rational-arithmetic companion whose terms
+  // involve no transcendental. Laplace-smoothed (+0.5/bin) so empty
+  // bins contribute finite terms on both engines.
+  //
+  // Scale shape: ONE corpus scan reduced map-side to (source, bin)
+  // counts — everything downstream is arithmetic on a |sources|×8
+  // frame. The bin grid comes from explode(sequence(..)) on the
+  // per-source totals (no cross join), the 8-row corpus baseline and
+  // the 1-row total ride broadcasts. At 100 TB this is the cheapest
+  // possible drift monitor: cost == one pruned scan of (source,
+  // n_chars).
+  private val T23_BIN_W = 90
+  private val T23_NBINS = 8
+  private val T23_ALARM = 0.25
+
+  def t23(s: SparkSession, d: String): DataFrame = {
+    val binned = documents(s, d)
+      .groupBy(col("source"),
+        least(floor(col("n_chars") / T23_BIN_W), lit(T23_NBINS - 1))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = binned.groupBy(col("source")).agg(sum("cnt").as("n_src"))
+      .select(col("source"), col("n_src"),
+        explode(sequence(lit(0), lit(T23_NBINS - 1))).as("bin"))
+    val corpus = binned.groupBy(col("bin")).agg(sum("cnt").as("ccnt"))
+    val total = binned.agg(sum("cnt").as("n_tot"))
+    val p = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("n_src").cast("double") + lit(0.5 * T23_NBINS))
+    val q = (coalesce(col("ccnt"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("n_tot").cast("double") + lit(0.5 * T23_NBINS))
+    grid
+      .join(binned, Seq("source", "bin"), "left")
+      .join(corpus, Seq("bin"), "left")
+      .crossJoin(total) // 1-row scalar broadcast (allowlisted)
+      .select(col("source"), col("n_src"), p.as("p"), q.as("q"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        // t20's idiom: per-term double math with fixed parenthesization,
+        // exact decimal summation, one final 6-decimal rounding
+        round(sum(((col("p") - col("q")) * log(col("p") / col("q")))
+          .cast("decimal(38,12)")).cast("double"), 6).as("psi"),
+        round(sum(((col("p") - col("q")) * (col("p") - col("q")) / col("q"))
+          .cast("decimal(38,12)")).cast("double"), 6).as("chi2"))
+      .withColumn("drifted", (col("psi") > T23_ALARM).cast("int"))
+      .transform(Gate.ordered("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_psi_drift" -> (t23 _),
     "t21_ngram_novelty" -> (t21 _),
     "t18_source_quality" -> (t18 _),
     "t19_zipf_fit" -> (t19 _),
@@ -829,6 +883,36 @@ object TextAnalysis {
        |  FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the identical fixed bins, Laplace smoothing, per-term double math
+    // and exact decimal summation; cast-to-double BEFORE the 6-decimal
+    // rounding on both engines (the c41 ordering)
+    "t23_psi_drift" ->
+      s"""WITH b AS (SELECT source,
+         |  CAST(least(floor(n_chars / $T23_BIN_W), ${T23_NBINS - 1}) AS INT)
+         |   AS bin, COUNT(*) AS cnt
+         | FROM documents GROUP BY 1, 2),
+         |g AS (SELECT source, n_src, r.bin FROM
+         |  (SELECT source, SUM(cnt) AS n_src FROM b GROUP BY 1) s,
+         |  LATERAL (SELECT unnest(range(0, $T23_NBINS)) AS bin) r),
+         |c AS (SELECT bin, SUM(cnt) AS ccnt FROM b GROUP BY 1),
+         |t AS (SELECT SUM(cnt) AS n_tot FROM b),
+         |terms AS (SELECT g.source, g.n_src,
+         |  (CAST(COALESCE(b.cnt, 0) AS DOUBLE) + 0.5)
+         |    / (CAST(g.n_src AS DOUBLE) + ${0.5 * T23_NBINS}) AS p,
+         |  (CAST(COALESCE(c.ccnt, 0) AS DOUBLE) + 0.5)
+         |    / (CAST(t.n_tot AS DOUBLE) + ${0.5 * T23_NBINS}) AS q
+         | FROM g LEFT JOIN b ON g.source = b.source AND g.bin = b.bin
+         |  LEFT JOIN c ON g.bin = c.bin CROSS JOIN t)
+         |SELECT source, n_docs, psi, chi2,
+         | CAST(psi > $T23_ALARM AS INT) AS drifted
+         |FROM (
+         | SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(38,12)))
+         |   AS DOUBLE), 6) AS psi,
+         |  ROUND(CAST(SUM(CAST((p - q) * (p - q) / q AS DECIMAL(38,12)))
+         |   AS DOUBLE), 6) AS chi2
+         | FROM terms GROUP BY source)
+         |ORDER BY source""".stripMargin,
     // Dedup's shared shingle CTE verbatim — one shingle definition
     "t21_ngram_novelty" ->
       s"""WITH ${graft.operators.Dedup.SQL_SHINGLES},

@@ -615,4 +615,49 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == pairs.length.toLong,
       "bands must partition the pair set")
   }
+
+  test("d15 blocked linkage equals the all-pairs fuzzy join (lossless blocking)") {
+    import org.apache.spark.sql.functions._
+    // independent reference: derive the same dirty feed, then brute-force
+    // Levenshtein over ALL (feed, customer) pairs in Scala — the
+    // quadratic join the mask-neighborhood blocking replaces. Equality
+    // proves the pigeonhole argument end-to-end on real data: for
+    // length-preserving names, every lev<=1 pair collides in >=1 mask.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val reg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val feed = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        expr(Dedup.D15_FEED_SQL).as("f_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = feed.map { case (fid, fn) =>
+      val ms = reg.map { case (ck, cn) => (lev(fn, cn), ck) }
+        .filter(_._1 <= 1)
+      fid -> (if (ms.isEmpty) None else Some(ms.min))
+    }.toMap
+    val got = Dedup.d15(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getInt(2), r.getLong(1))))
+    }.toMap
+    assert(got == want)
+    // the planted error model keeps all three outcomes non-vacuous
+    val types = Dedup.d15(spark, sfDir).groupBy("match_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.getOrElse("exact", 0L) > 0 &&
+      types.getOrElse("fuzzy", 0L) > 0 && types.getOrElse("none", 0L) > 0,
+      s"feed must exercise exact, fuzzy AND unlinkable rows: $types")
+  }
 }

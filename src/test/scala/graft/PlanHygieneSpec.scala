@@ -49,6 +49,7 @@ class PlanHygieneSpec extends SparkSpec {
     "c49_pdc_adherence", // 1-row assessment-window broadcast
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "q41_basket_rules", // 1-row basket-total broadcast
+    "t23_psi_drift", // 1-row corpus-total (n_tot) broadcast
     "p02_multimodal_ann")
 
   test("Bench classification sets name only registered queries") {

@@ -456,4 +456,35 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = rows.count(_.getAs[Int]("keep") == 1)
     assert(kept > 0 && kept < rows.length)
   }
+
+  test("t23 PSI/chi2 equal a driver-side recompute from raw counts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val binOf = (n: Long) => math.min(n / 90, 7L).toInt
+    val bySrc = docs.groupBy(_._1)
+    val corpusBins = docs.groupBy(d => binOf(d._2)).view.mapValues(_.length)
+    val nTot = docs.length.toDouble
+    def term12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = bySrc.map { case (src, rows) =>
+      val nSrc = rows.length.toDouble
+      val bins = rows.groupBy(d => binOf(d._2)).view.mapValues(_.length)
+      val (psi, chi2) = (0 to 7).map { b =>
+        val p = (bins.getOrElse(b, 0) + 0.5) / (nSrc + 4.0)
+        val q = (corpusBins.getOrElse(b, 0) + 0.5) / (nTot + 4.0)
+        (term12((p - q) * math.log(p / q)), term12((p - q) * (p - q) / q))
+      }.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
+      src -> (psi.toDouble, chi2.toDouble)
+    }
+    val got = graft.operators.TextAnalysis.queries("t23_psi_drift")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("psi"), r.getAs[Double]("chi2"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (psi, chi2)) =>
+      assert(math.abs(got(src)._1 - psi) < 1e-6, s"psi $src")
+      assert(math.abs(got(src)._2 - chi2) < 1e-6, s"chi2 $src")
+    }
+  }
 }
