@@ -762,12 +762,17 @@ object TextAnalysis {
   private val T23_NBINS = 8
   private val T23_ALARM = 0.25
 
-  def t23(s: SparkSession, d: String): DataFrame = {
-    val binned = documents(s, d)
-      .groupBy(col("source"),
-        least(floor(col("n_chars") / T23_BIN_W), lit(T23_NBINS - 1))
-          .cast("int").as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+  /** The fixed binning — shared with the streaming monitor (st18), so
+    * the live and batch scores cannot disagree about what a bin is.
+    */
+  private[graft] def t23Bin: Column =
+    least(floor(col("n_chars") / T23_BIN_W), lit(T23_NBINS - 1)).cast("int")
+
+  /** Drift scores from a (source, bin, cnt) counts frame — the shared
+    * tail: t23 feeds it batch counts, st18 feeds it the final state of
+    * a complete-mode streaming aggregation over the same binning.
+    */
+  private[graft] def t23FromCounts(binned: DataFrame): DataFrame = {
     val grid = binned.groupBy(col("source")).agg(sum("cnt").as("n_src"))
       .select(col("source"), col("n_src"),
         explode(sequence(lit(0), lit(T23_NBINS - 1))).as("bin"))
@@ -793,6 +798,11 @@ object TextAnalysis {
       .withColumn("drifted", (col("psi") > T23_ALARM).cast("int"))
       .transform(Gate.ordered("source"))
   }
+
+  def t23(s: SparkSession, d: String): DataFrame =
+    t23FromCounts(documents(s, d)
+      .groupBy(col("source"), t23Bin.as("bin"))
+      .agg(count(lit(1)).as("cnt")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t23_psi_drift" -> (t23 _),

@@ -1327,6 +1327,7 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_index_maintenance" -> (IndexMaintenance.st16 _),
+    "st18_stream_drift" -> (DriftMonitor.st18 _),
     "st15_stream_cdc_deletes" -> (st15 _),
     "st14_stream_eras" -> (st14 _),
     "st13_stream_change_feed" -> (st13 _),
@@ -1346,6 +1347,10 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
+    // the streamed complete-mode counts must yield t23's answer
+    // row-for-row — same binning, same scoring, t23's oracle verbatim
+    "st18_stream_drift" ->
+      graft.operators.TextAnalysis.oracle("t23_psi_drift"),
     // the batch twin must equal c44's era table row-for-row — the
     // stream chains to the same SQL through the shared fold
     "st14_stream_eras" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStreams
+import graft.streaming.{DriftMonitor, EventStreams}
 import graft.streaming.EventStreams.{Ev, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, unix_micros}
@@ -1117,5 +1117,45 @@ class StreamingSpec extends SparkSpec {
       }
       assert(e2.getMessage.contains("truncated below"), e2.getMessage)
     } finally ev.unpersist()
+  }
+
+  test("st18 streamed drift equals t23 under arbitrary micro-batch splits") {
+    import spark.implicits._
+    case class Doc(source: String, n_chars: Long)
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)](spark)
+    val q = DriftMonitor.driftCounts(
+        input.toDF().toDF("source", "n_chars"))
+      .writeStream.format("memory").queryName("st18_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // three unequal slices — the complete-mode counts must be
+      // split-invariant, so the final state equals the batch counts
+      val (a, rest) = docs.splitAt(docs.length / 5)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { sl => input.addData(sl); q.processAllAvailable() }
+      // materialize the memory-sink view: Spark cannot dedup a
+      // MemoryPlan's attributes across t23FromCounts' three self-uses
+      val counts = spark.table("st18_counts").collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toDF("source", "bin", "cnt")
+      val streamed = graft.operators.TextAnalysis
+        .t23FromCounts(counts)
+        .collect().toSeq
+      val batch = graft.operators.TextAnalysis
+        .queries("t23_psi_drift")(spark, sfDir).collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("st18 gate entry re-runs idempotently and matches t23") {
+    val one = EventStreams.queries("st18_stream_drift")(spark, sfDir)
+      .collect().toSeq
+    val two = EventStreams.queries("st18_stream_drift")(spark, sfDir)
+      .collect().toSeq
+    val batch = graft.operators.TextAnalysis
+      .queries("t23_psi_drift")(spark, sfDir).collect().toSeq
+    assert(one == batch && two == batch)
   }
 }
