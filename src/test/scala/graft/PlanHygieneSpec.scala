@@ -50,6 +50,8 @@ class PlanHygieneSpec extends SparkSpec {
     "t16_tfidf_keywords", // 1-row corpus-size (n_docs) broadcast
     "q41_basket_rules", // 1-row basket-total broadcast
     "t23_psi_drift", // 1-row corpus-total (n_tot) broadcast
+    "st18_stream_drift", // t23's scoring verbatim over the streamed
+    // counts matrix — the same 1-row n_tot broadcast (plan audit (24))
     "p02_multimodal_ann")
 
   test("Bench classification sets name only registered queries") {
