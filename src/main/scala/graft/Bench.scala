@@ -131,12 +131,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // Shuffle width must scale with DATA, not core count: AQE starts
       // every exchange at initialPartitionNum and coalesces down to the
-      // advisory size, so sf0.01 still collapses to a handful of
-      // partitions while sf100's ~18 GB orderkey joins (q32/c14c) keep
-      // hundreds instead of spilling through a static 32. Streaming
-      // exchanges (no AQE) keep the static floor above.
+      // advisory size, so sf100's ~18 GB orderkey joins (q32/c14c) keep
+      // hundreds of partitions instead of spilling through a static 32.
+      // The starting width itself is sized from the input bytes
+      // (GraftConf.initShufflePartitions) so no single constant has to
+      // fit every SF. Streaming exchanges (no AQE) keep the static
+      // floor above.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "1024"))
+        sys.env.get("SPARK_GRAFT_INIT_PARTS")
+          .getOrElse(GraftConf.initShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -183,6 +183,32 @@ object GraftConf {
   def sourceQualityBar(s: SparkSession): Double =
     s.conf.get("spark.graft.sourceQuality.bar", "0.9").toDouble
 
+  /** AQE starting shuffle width, sized to the DATA instead of a
+    * constant. The r14 sf100 slice showed the static-32 spill cliff
+    * (q32: 35× the sf10 time) and fixed it with a static 1024 — but a
+    * constant is wrong in SOME direction at every other scale: 1024
+    * reduce buckets per exchange on a 17 MB sf0.1 input is pure
+    * bookkeeping (an A/B at sf0.1 measured it inside sandbox noise
+    * today, but the overhead grows with exchange count, and nothing
+    * about "1024" derives from the data). One parquet byte budget
+    * serves every SF: ~8 MB of on-disk input per initial partition
+    * (≈30–60 MB in flight), floored at the core count (shipped SFs
+    * get exactly the pre-r14 width, which AQE coalesces further
+    * anyway) and capped at 1024 — the width the sf100 slice measured
+    * good (22 GB/8 MB = 2816 uncapped; a genuinely larger deployment
+    * raises SPARK_GRAFT_INIT_PARTS). AQE still coalesces DOWN
+    * per-exchange, so this only sets the ceiling a big join can fan
+    * out to.
+    */
+  def initShufflePartitions(dataDir: String, cpus: Int): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length
+    val mb = bytes(new java.io.File(dataDir)) >> 20
+    math.max(cpus, math.min(1024L, mb / 8).toInt)
+  }
+
   /** Broadcast `df` only if its optimizer-estimated size fits under
     * [[pairBroadcastBytes]]; past the gate it is PINNED to the
     * sort-merge strategy ("merge" hint) rather than merely unhinted —

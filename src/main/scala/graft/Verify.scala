@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // data-proportional shuffle width via AQE coalescing (see Bench)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "1024"))
+        sys.env.get("SPARK_GRAFT_INIT_PARTS")
+          .getOrElse(GraftConf.initShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
