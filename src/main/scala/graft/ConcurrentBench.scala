@@ -67,6 +67,7 @@ object ConcurrentBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietTinyFrameWindowWarnings()
     val loadBefore = loadavg()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)

@@ -201,12 +201,27 @@ object GraftConf {
     * out to.
     */
   def initShufflePartitions(dataDir: String, cpus: Int): Int = {
+    // LOCAL-FILESYSTEM sizing only: a non-local dataDir (hdfs://, s3://)
+    // or an unreadable path measures 0 bytes and lands on the core-count
+    // floor — deliberate (a wrong small width only caps AQE's starting
+    // fan-out, never correctness), but a cluster deployment should set
+    // SPARK_GRAFT_INIT_PARTS explicitly. The walk never follows
+    // symlinks: a looped link inside a data dir must not recurse the
+    // driver into StackOverflowError at session build.
     def bytes(f: java.io.File): Long =
-      if (f.isDirectory)
+      if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+      else if (f.isDirectory)
         Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
       else f.length
     val mb = bytes(new java.io.File(dataDir)) >> 20
-    math.max(cpus, math.min(1024L, mb / 8).toInt)
+    val width = math.max(cpus, math.min(1024L, mb / 8).toInt)
+    // the chosen width is part of the session's performance contract —
+    // log it so a mis-sized run is diagnosable from its own output
+    System.err.println(s"[graft] AQE initialPartitionNum=$width " +
+      s"(measured $mb MB under $dataDir, ~8 MB/partition, floor=$cpus " +
+      "cores, cap=1024; local-FS measurement - non-local deployments " +
+      "set SPARK_GRAFT_INIT_PARTS)")
+    width
   }
 
   /** Broadcast `df` only if its optimizer-estimated size fits under

@@ -26,6 +26,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietTinyFrameWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Bench's focused-iteration convention; the driver sets no filter,
     // so its gate always dumps the full set
