@@ -223,6 +223,53 @@ object Snapshots {
     * only the manifest. A crashed attempt leaves an unreferenced,
     * invisible dir (vacuumOrphans' job), never a half-visible table.
     */
+  private val DUP_MARKER = "graft-merge-dup: "
+
+  /** Attach the MERGE family's duplicate-source-key refusal to the
+    * source frame itself instead of running it as a separate eager
+    * `groupBy().count()` job per merge (r14's "third job per merge"
+    * finding — measurable at nightly-delta cadence). A key-partitioned
+    * window count rides the data-dir WRITE: every source row must flow
+    * through the write, so the raise_error guard is evaluated
+    * row-by-row and cannot be skipped by a lazily-consumed join side
+    * (a semi-join-side check WOULD be skippable — sort-merge join
+    * consumes its right side only as far as the left reaches). The
+    * window's key shuffle is the same |source|-sized shuffle the eager
+    * job did, now folded into the write — one fewer job, and the
+    * written files come out clustered by merge key as a side effect.
+    * The raised error surfaces through [[rethrowDup]] as the same
+    * IllegalArgumentException the eager check threw.
+    */
+  private def dupValidated(source: DataFrame, keyCols: Seq[String],
+      op: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    source.withColumn("_graft_kn", count(lit(1)).over(w))
+      .filter(coalesce(
+        when(col("_graft_kn") > 1, raise_error(lit(
+          s"$DUP_MARKER$op source carries duplicate keys on " +
+            s"(${keyCols.mkString(", ")}) - latest-wins needs at most " +
+            "one source row per key")).cast("boolean")),
+        lit(true)))
+      .drop("_graft_kn")
+  }
+
+  /** Unwrap a [[dupValidated]] refusal from Spark's task-failure
+    * nesting back into the MERGE contract's IllegalArgumentException;
+    * anything else rethrows untouched.
+    */
+  private def rethrowDup(t: Throwable): Nothing = {
+    var c: Throwable = t
+    while (c != null) {
+      val m = c.getMessage
+      if (m != null && m.contains(DUP_MARKER))
+        throw new IllegalArgumentException(
+          m.substring(m.indexOf(DUP_MARKER) + DUP_MARKER.length))
+      c = c.getCause
+    }
+    throw t
+  }
+
   private def writeData(s: SparkSession, root: String, df: DataFrame,
       maxRecordsPerFile: Option[Long]): String = {
     val dataDir = s"$root/data/w${token()}"
@@ -489,11 +536,12 @@ object Snapshots {
   def mergeInto(s: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
-    require(source.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).isEmpty,
-      s"mergeInto source carries duplicate keys on (${keyCols.mkString(", ")})" +
-        " — latest-wins needs at most one source row per key")
-    val dataDir = writeData(s, root, source, None)
+    // duplicate source keys would BOTH survive the merge — refused
+    // loudly, but the check rides the data-dir write (dupValidated)
+    // instead of costing its own job
+    val dataDir =
+      try writeData(s, root, dupValidated(source, keyCols, "mergeInto"), None)
+      catch { case t: Throwable => rethrowDup(t) }
     val f = fs(s, root)
     var attempts = 0
     while (true) {
@@ -550,11 +598,6 @@ object Snapshots {
     require(keyCols.nonEmpty, "mergeIntoVersioned needs a key column")
     require(!keyCols.contains(versionCol),
       s"'$versionCol' cannot be both merge key and version")
-    require(source.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).isEmpty,
-      s"mergeIntoVersioned source carries duplicate keys on " +
-        s"(${keyCols.mkString(", ")}) — reduce to the max-$versionCol " +
-        "row per key first")
     val f = fs(s, root)
     var attempts = 0
     while (true) {
@@ -570,14 +613,24 @@ object Snapshots {
       val matched = live.join(
         source.select(keyCols.map(col) :+ col(versionCol).as("_src_v"): _*),
         keyCols)
-      val dvDir = s"$root/dv/w${token()}"
-      matched.filter(col("_src_v") >= col("_tgt_v"))
-        .select("file_path", "row_index")
-        .write.mode("overwrite").parquet(dvDir)
       val losers = matched.filter(col("_src_v") < col("_tgt_v"))
         .select(keyCols.map(col): _*)
-      val dataDir = writeData(s, root,
-        source.join(losers, keyCols, "left_anti"), None)
+      // winning rows FIRST: the dup refusal rides this write
+      // (dupValidated — duplicate source keys must be refused before
+      // any sidecar lands; reduce to the max-version row per key
+      // upstream), and every source row is checked because the
+      // anti-join consumes its full probe side
+      val dataDir =
+        try writeData(s, root,
+          dupValidated(source, keyCols, "mergeIntoVersioned")
+            .join(losers, keyCols, "left_anti"), None)
+        catch { case t: Throwable => rethrowDup(t) }
+      val dvDir = s"$root/dv/w${token()}"
+      try matched.filter(col("_src_v") >= col("_tgt_v"))
+        .select("file_path", "row_index")
+        .write.mode("overwrite").parquet(dvDir)
+      catch { case t: Throwable =>
+        f.delete(new Path(dataDir), true); throw t }
       val merged = schemaOf(s, root, head)
         .orElse(inferredSchemaOf(s, root, head))
         .fold(source.schema)(p => mergeSchemas(p, source.schema))

@@ -939,6 +939,37 @@ class RoundTripSpec extends SparkSpec {
       Snapshots.headVersion(spark, root)).isEmpty)
   }
 
+  test("snapshots MERGE: dup refusal rides the write, not a separate job") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = s"${graft.Scratch.dir}/snap_merge_jobs"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    Snapshots.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Snapshots.mergeInto(spark, root,
+        Seq((2L, "B"), (3L, "c")).toDF("id", "tag"), Seq("id"))
+      Thread.sleep(2000) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    // measured shape at this Spark version: the folded merge runs 6
+    // jobs (data write = AQE window-shuffle job + write job; dv write =
+    // broadcast + scan-shuffle + write; plus one AQE stage job). The
+    // r14 eager dup-check added 2 MORE (its own AQE shuffle + result
+    // job) for a total of 8 — the check now rides the data write
+    // (dupValidated). If this bound breaks, a separate validation job
+    // crept back into the merge path.
+    assert(jobs.get <= 6, s"mergeInto ran ${jobs.get} jobs")
+  }
+
   test("snapshots versioned MERGE: out-of-order replay cannot clobber newer state") {
     import graft.sources.Snapshots
     import spark.implicits._
