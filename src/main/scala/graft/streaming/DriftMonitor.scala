@@ -41,6 +41,44 @@ object DriftMonitor {
     docs.groupBy(col("source"), TextAnalysis.t23Bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** One catch-up run's outcome: the drift frame after the run, plus
+    * how many input rows the run actually processed (0 = nothing new
+    * arrived; the counts state and `out` are simply carried forward).
+    */
+  final case class CatchUp(drift: DataFrame, inputRows: Long)
+
+  /** Production resumable form of the monitor: the checkpoint is KEPT,
+    * so each availableNow invocation processes ONLY the files that
+    * arrived since the last run and folds them into the complete-mode
+    * counts state — a nightly/hourly catch-up costs the delta, never a
+    * corpus rescan. (The st18 gate face below deletes its checkpoint
+    * on purpose: its contract is "recompute from the corpus", and a
+    * kept checkpoint would turn gate re-runs into zero-batch no-ops.
+    * This is the form an ops deployment schedules.) A run that finds
+    * no new files triggers zero batches and leaves `out` at the last
+    * state — idempotent by construction. At 100 TB the state is still
+    * the |sources|x8 counts matrix; the stream's cost is the new
+    * files' scan only.
+    */
+  def monitorResumable(s: SparkSession, docsDir: String, out: String,
+      ckpt: String): CatchUp = {
+    val stream = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(docsDir)
+    val q = driftCounts(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    CatchUp(TextAnalysis.t23FromCounts(s.read.parquet(out)), rows)
+  }
+
   /** Run the monitor over a corpus dir as a real availableNow stream;
     * returns the drift frame computed from the streamed counts.
     */

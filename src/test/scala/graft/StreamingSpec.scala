@@ -1158,4 +1158,43 @@ class StreamingSpec extends SparkSpec {
       .queries("t23_psi_drift")(spark, sfDir).collect().toSeq
     assert(one == batch && two == batch)
   }
+
+  test("st18 resumable monitor: a kept checkpoint processes only new files") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val base = s"${graft.Scratch.dir}/st18_resume"
+    val srcDir = s"$base/docs"
+    val fsys = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new Path(base), true)
+    fsys.mkdirs(new Path(srcDir))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // land a frame as ONE parquet file the file stream can pick up
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fsys.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
+      fsys.rename(part, new Path(s"$srcDir/$name.parquet"))
+      df.count()
+    }
+    val nA = addFile(docs.filter(col("doc_id") % 2 === 0), "a")
+    val r1 = DriftMonitor.monitorResumable(
+      spark, srcDir, s"$base/counts", s"$base/ckpt")
+    assert(r1.inputRows == nA)
+    // new file arrives; catch-up must cost the DELTA, not a rescan
+    val nB = addFile(docs.filter(col("doc_id") % 2 === 1), "b")
+    val r2 = DriftMonitor.monitorResumable(
+      spark, srcDir, s"$base/counts", s"$base/ckpt")
+    assert(r2.inputRows == nB,
+      s"second run processed ${r2.inputRows} rows, expected the $nB new ones")
+    // folded state equals the batch monitor over the whole corpus
+    val batch = graft.operators.TextAnalysis
+      .queries("t23_psi_drift")(spark, sfDir).collect().toSeq
+    assert(r2.drift.collect().toSeq == batch)
+    // nothing new: zero batches, last state carried forward
+    val r3 = DriftMonitor.monitorResumable(
+      spark, srcDir, s"$base/counts", s"$base/ckpt")
+    assert(r3.inputRows == 0 && r3.drift.collect().toSeq == batch)
+  }
 }
