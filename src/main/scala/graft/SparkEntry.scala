@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cohort.queries ++ Panels.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Temporal.queries ++ Pipeline.queries ++
+      Temporal.queries ++ Pipeline.queries ++ Security.queries ++
+      QueryStatus.queries ++
       graft.sources.RoundTrip.queries ++ graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,6 +22,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Cohort.oracle ++ Panels.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      Temporal.oracle ++ Pipeline.oracle ++
+      Temporal.oracle ++ Pipeline.oracle ++ Security.oracle ++
+      QueryStatus.oracle ++
       graft.sources.RoundTrip.oracle ++ graft.streaming.EventStreams.oracle
 }
