@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.queries ++ Cohort.queries ++ Panels.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       Temporal.queries ++ Pipeline.queries ++ Security.queries ++
-      QueryStatus.queries ++
+      QueryStatus.queries ++ ReportDelivery.queries ++
       graft.sources.RoundTrip.queries ++ graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -23,6 +23,6 @@ object SparkEntry {
     Relational.oracle ++ Cohort.oracle ++ Panels.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
       Temporal.oracle ++ Pipeline.oracle ++ Security.oracle ++
-      QueryStatus.oracle ++
+      QueryStatus.oracle ++ ReportDelivery.oracle ++
       graft.sources.RoundTrip.oracle ++ graft.streaming.EventStreams.oracle
 }
