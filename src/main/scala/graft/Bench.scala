@@ -81,30 +81,61 @@ object Bench {
     * [[DEGRADED_RATIO]] marks the run `degraded`, which gates the
     * official record exactly like load contention does.
     */
-  private[graft] def calibrate(): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < (1 << 27)) {
-        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-        x ^= x >>> 29; x *= 0xc4ceb9fe1a85ec53L
-        x += i
-        i += 1
-      }
-      if (x == 42) System.err.print("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
+  private def spin(): Unit = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < (1 << 27)) {
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 29; x *= 0xc4ceb9fe1a85ec53L
+      x += i
+      i += 1
     }
-    once() // JIT warm-up
-    Seq.fill(5)(once()).min // min: timing noise is one-sided
+    if (x == 42) System.err.print("") // defeat dead-code elimination
   }
 
-  /** Clean-machine reference for [[calibrate]], pinned from the idle
-    * (loadavg 0.2) r15 sandbox's min over repeated probes. A different
-    * host re-pins this constant; until then the RATIO is what matters
-    * round-over-round on the same sandbox.
+  private[graft] def calibrate(): Double = {
+    spin() // JIT warm-up
+    Seq.fill(5) {
+      val t0 = System.nanoTime(); spin(); (System.nanoTime() - t0) / 1e9
+    }.min // min: timing noise is one-sided
+  }
+
+  /** ALL-CORES probe: `n` threads run the same spin once each; the
+    * wall time is the answer. On a free machine with independent cores
+    * (this host: 32 physical, no SMT) the wall EQUALS the
+    * single-thread time; host oversubscription / CPU steal shows up
+    * directly as the ratio. This is the probe that catches what
+    * [[calibrate]] cannot: the r15 sandbox measured single-thread
+    * ratio 0.96 ("clean") while 32-way parallel throughput was at 68%
+    * of the cores (32 procs: 1.47x the 1-proc wall) — a broad ~1.5x
+    * suite inflation with no per-core slowdown and loadavg ~1.
+    */
+  private[graft] def calibratePar(n: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = Seq.fill(n)(new Thread(() => spin()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT + thread-pool warm
+    Seq.fill(3)(once()).min
+  }
+
+  /** References, pinned from the idle (loadavg < 0.4) r15 sandbox's
+    * best over repeated probes. Single-thread: the measured clean spin.
+    * Parallel: pinned to this sandbox's observed NORMAL, not the
+    * theoretical ideal — on truly free independent cores the 32-way
+    * wall would equal the single-thread 0.48, but this host never
+    * delivers that (idle measurements 0.84-1.1, i.e. ~55-70% effective
+    * parallel capacity; a 32-process A/B outside the JVM confirmed
+    * ~68%). The gate's job is catching DAY-TO-DAY swings (the r14
+    * halving), so the reference is "normal for this sandbox"; the
+    * artifact still stamps both probe values, so absolute capacity
+    * (calib_par_sec / calib_sec) is always readable by a human judging
+    * cross-round absolute totals. A different host re-pins these.
     */
   private[graft] val CALIB_REF_SEC = 0.48
+  private[graft] val CALIB_PAR_REF_SEC = 0.85
   private[graft] val DEGRADED_RATIO = 1.3
 
   /** Timed-run count for one query: the official median-of-3 protocol
@@ -215,10 +246,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietTinyFrameWindowWarnings()
     val loadBefore = loadavg()
-    // machine probe BEFORE any query: the ratio stamps what the sandbox
-    // was worth when the timings started
+    // machine probes BEFORE any query: the ratios stamp what the
+    // sandbox was worth when the timings started — per-core speed AND
+    // whole-machine parallel capacity (either alone misses real
+    // degradation modes; the worse ratio gates the record)
     val calibSec = calibrate()
-    val machineRatio = calibSec / CALIB_REF_SEC
+    val calibParSec = calibratePar(Runtime.getRuntime.availableProcessors())
+    val machineRatio = math.max(
+      calibSec / CALIB_REF_SEC, calibParSec / CALIB_PAR_REF_SEC)
     // per-SF failure lists: a query failing at both SFs must not appear
     // twice, and an sf2-only failure must not discredit the primary run
     var failed = List.empty[String]
@@ -263,6 +298,16 @@ object Bench {
         val med = if (runs.size == nRuns)
             runs.sorted.apply((runs.size - 1) / 2)
           else { recordFailure(name); -1.0 }
+        // drop THIS query's cached frames before the next query: within
+        // a query the warm-up's cache entries are reused by the timed
+        // runs (CacheManager matches canonicalized plans — intended),
+        // but left in place they accumulate across the 224-query suite
+        // and push the JVM into the r11 "large-heap GC mode", where
+        // phantom 3-10x in-suite slowdowns land on whichever queries
+        // run while the heap is bloated (r15: the s-family read 12.2 s
+        // in-suite vs ~1.3x isolated on an IDLE machine; r14: d04 at
+        // 14.9 s; r13: t17 — same mode, different victim each run).
+        spark.catalog.clearCache()
         name -> med
       }
 
@@ -311,6 +356,7 @@ object Bench {
         }
         once() // warm
         val rs = Seq.fill(3)(once()).flatten
+        spark.catalog.clearCache() // same per-query hygiene as timeAll
         if (rs.size == 3) Some(rs.sorted.apply(1)) else None
       }
       for (t2 <- med3(sf2Dir); t1 <- med3(sfDir); if t2 > 0)
@@ -370,7 +416,7 @@ object Bench {
     val degraded = machineRatio > DEGRADED_RATIO
     val contended = load1 > machineCores / 2.0 || degraded
     val line =
-      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"build_queries":${BUILD_QUERIES.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"build_sec":${num(buildSec, 1)},"core_sec":${num(coreSec, 1)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","calib_sec":${num(calibSec, 3)},"calib_ref_sec":${num(CALIB_REF_SEC, 3)},"machine_ratio":${num(machineRatio, 2)},"degraded":$degraded,"contended":$contended,"machine_cores":$machineCores,"metric":"total","unit":"sec","value":${num(total, 1)}}"""
+      s"""{"queries":${json(results)},$sf2Json"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"slowest":${json(slowest)},"build_queries":${BUILD_QUERIES.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"build_sec":${num(buildSec, 1)},"core_sec":${num(coreSec, 1)},"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","calib_sec":${num(calibSec, 3)},"calib_ref_sec":${num(CALIB_REF_SEC, 3)},"calib_par_sec":${num(calibParSec, 3)},"calib_par_ref_sec":${num(CALIB_PAR_REF_SEC, 3)},"machine_ratio":${num(machineRatio, 2)},"degraded":$degraded,"contended":$contended,"machine_cores":$machineCores,"metric":"total","unit":"sec","value":${num(total, 1)}}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

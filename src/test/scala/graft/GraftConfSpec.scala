@@ -71,6 +71,26 @@ class GraftConfSpec extends AnyFunSuite {
       s"probe unstable: $a vs $b")
   }
 
+  test("Bench.calibratePar: parallel wall is bounded by the single spin") {
+    val single = Bench.calibrate()
+    val par = Bench.calibratePar(Runtime.getRuntime.availableProcessors())
+    // independent cores: n-way wall can never beat one spin (each
+    // thread does the full spin) and a sane sandbox stays well under
+    // a full serialization of the threads
+    assert(par >= single * 0.7, s"par $par vs single $single")
+    assert(par < single * 16, s"par $par vs single $single")
+  }
+
+  test("the official record carries the machine-noise calibration stamps") {
+    val p = java.nio.file.Paths.get("docs/bench_last.json")
+    assume(java.nio.file.Files.exists(p), "no official record on disk")
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    for (k <- Seq("calib_sec", "calib_par_sec", "machine_ratio", "degraded"))
+      assert(s.contains("\"" + k + "\":"),
+        s"official record missing the $k stamp - the bench protocol " +
+          "regressed to unstamped records")
+  }
+
   test("Bench.runsFor: official protocol trims sub-noise-floor queries") {
     assert(Bench.runsFor(3, Some(0.05), 0.3) === 2) // fast tail -> min-of-2
     assert(Bench.runsFor(3, Some(0.8), 0.3) === 3)  // headline -> median-of-3
