@@ -78,8 +78,15 @@ object ReportDelivery {
       .except(log.filter(col("status") === Delivered).select("report_week"))
       .collect().map(_.getString(0)).sorted.toSeq
     due.foreach { wk =>
+      // the week slice as a ts RANGE, not weekOf === wk: date_trunc is
+      // opaque to the scanner, a range reaches the parquet reader as
+      // PushedFilters (row-group pruning here; partition pruning on a
+      // date-partitioned production layout). [wk, wk+7d) IS the set of
+      // timestamps whose Monday-truncation equals wk.
+      val wkStart = to_timestamp(lit(wk))
       val report = Cohort.reportSections(
-          events(s, d).filter(weekOf === wk))
+          events(s, d).filter(col("ts") >= wkStart &&
+            col("ts") < to_timestamp(date_add(lit(wk).cast("date"), 7))))
         .groupBy(col("section"), col("sec_key"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
