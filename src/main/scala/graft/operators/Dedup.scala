@@ -96,8 +96,20 @@ object Dedup {
     * ~27% of ALL doc pairs share >=1 shingle) before an exact verify
     * touches them.
     */
-  private def cappedCandidates(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d)
+  private def cappedCandidates(s: SparkSession, d: String): DataFrame =
+    cappedCandidatesOf(s, graft.LocalCheckpointer(setRows(s, d)))
+
+  /** The same candidates derived from an ALREADY-MATERIALIZED shingle-set
+    * frame (r15): the exploded index rows are a map-side explode of the
+    * per-doc arrays, so one tokenize+shingle pass feeds the df filter,
+    * both index sides of the self-join AND (via the caller passing the
+    * same frame to exactJaccard) the verify operands — the pre-r15 plan
+    * replayed the corpus tokenize five times per d02-family query.
+    */
+  private def cappedCandidatesOf(s: SparkSession, sets: DataFrame)
+      : DataFrame = {
+    val sh = sets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val common = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
@@ -125,7 +137,11 @@ object Dedup {
     */
   private[graft] def deltaNearPairs(s: SparkSession, d: String,
       isDelta: org.apache.spark.sql.Column): DataFrame = {
-    val sh = shingleIndex(s, d)
+    // one materialized tokenize pass shared by index and verify (r15),
+    // same move as d02Core
+    val sets = graft.LocalCheckpointer(setRows(s, d))
+    val sh = sets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val common = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
@@ -140,14 +156,17 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
       .filter(col("n_cap") >= MIN_SHARED)
       .select("doc_a", "doc_b")
-    exactJaccard(cand, setRows(s, d))
+    exactJaccard(cand, sets)
   }
 
   /** Unsorted core — the edge source for d06's components. */
-  private[graft] def d02Core(s: SparkSession, d: String): DataFrame =
+  private[graft] def d02Core(s: SparkSession, d: String): DataFrame = {
     // exact verify per candidate pair on the FULL shingle sets (array
-    // intersection/union — same shape as d03's verify)
-    exactJaccard(cappedCandidates(s, d), setRows(s, d))
+    // intersection/union — same shape as d03's verify); the set frame
+    // is materialized ONCE and shared by candidates and verify
+    val sets = graft.LocalCheckpointer(setRows(s, d))
+    exactJaccard(cappedCandidatesOf(s, sets), sets)
+  }
 
   def d02(s: SparkSession, d: String): DataFrame =
     d02Core(s, d).transform(Gate.ordered("doc_a", "doc_b"))
@@ -160,13 +179,16 @@ object Dedup {
   // size for bounded bucket sizes, never all-pairs.
   def d03(s: SparkSession, d: String): DataFrame = {
     // signatures via explode + 32 codegen'd min-aggs (map-side combined),
-    // one shuffle on doc_id; the string is hashed once per shingle
-    val bands = bandRows(s, d)
+    // one shuffle on doc_id; the string is hashed once per shingle.
+    // Band rows and shingle sets are each materialized once (r15) —
+    // both sides of the bucket self-join and both verify operands
+    // otherwise replay the signature/tokenize pass
+    val bands = graft.LocalCheckpointer(bandRows(s, d))
     val cand = bands.toDF("doc_a", "band", "bucket")
       .join(bands.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    exactJaccard(cand, setRows(s, d))
+    exactJaccard(cand, graft.LocalCheckpointer(setRows(s, d)))
       .transform(Gate.ordered("doc_a", "doc_b"))
   }
 
@@ -907,7 +929,11 @@ object Dedup {
     * passages.
     */
   private[graft] def d08Of(s: SparkSession, docs: DataFrame): DataFrame =
-    passageSpansOf(anchorRowsOf(s, docs))
+    // the capped anchor rows are materialized once (r15, d02Core's
+    // move): both sides of the occurrence self-join and the df-cap
+    // derivation otherwise each replay the substr-window explode over
+    // the corpus
+    passageSpansOf(graft.LocalCheckpointer(anchorRowsOf(s, docs)))
 
   def d08(s: SparkSession, d: String): DataFrame =
     d08Of(s, documents(s, d))

@@ -373,30 +373,52 @@ object Relational {
 
   /** One profile body, parameterized by the distinct-count aggregate —
     * q29 (exact) and q29b (HLL) stay in lockstep by construction.
+    *
+    * Shape (r15): one single-column branch per profiled column, each a
+    * two-level aggregate — groupBy(value) collapses the column to its
+    * distinct values WITH multiplicities (map-side partial dedup, so
+    * the exchange carries ≤|distinct| rows per column), then one
+    * global row derives every stat from the (value, cnt) frame. This
+    * replaces the multi-countDistinct plan Spark would otherwise emit:
+    * an Expand×5 of the FULL fact table feeding a hash aggregate keyed
+    * by all four double columns at once — 5× the scan rows shuffled
+    * and hashed so that four independent distincts can share one pass
+    * (the r14 plan; 4.5 s vs 1.0 s at sf0.1, and at 100 TB the Expand
+    * is 5× the corpus). Identical values by construction: n_nulls is
+    * the null group's cnt, n_distinct counts the non-null groups,
+    * min/max over distinct values equal min/max over rows, and the
+    * exact-decimal sum distributes over multiplicity
+    * (Σ_rows x = Σ_groups x·cnt — decimal × integer is exact).
     */
   private def profile(s: SparkSession, d: String,
-      nd: Column => Column): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: PROFILE_COLS.flatMap(c => Seq(
-      count(col(c)).as(s"n_$c"),
-      nd(col(c)).as(s"nd_$c"),
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"),
-      dsum(col(c)).as(s"sum_$c")))
-    val stackArgs = PROFILE_COLS.map(c =>
-      s"'$c', n_rows - n_$c, nd_$c, min_$c, max_$c, sum_$c").mkString(", ")
-    lineitem(s, d)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${PROFILE_COLS.size}, $stackArgs) AS " +
-        "(col_name, n_nulls, n_distinct, min_v, max_v, sum_v)"))
-      .orderBy("col_name")
-  }
+      nd: Column => Column): DataFrame =
+    PROFILE_COLS.map { c =>
+      lineitem(s, d)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          nd(col(c)).as("n_distinct"),
+          min(col(c)).as("min_v"),
+          max(col(c)).as("max_v"),
+          round(sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            * col("cnt")), 2).cast("double").as("sum_v"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("sum_v"))
+    }.reduce(_ unionByName _).orderBy("col_name")
 
+  /** Exact profile: over the distinct-value frame the exact distinct
+    * count is a plain count of the non-null groups — no second
+    * dedup pass, no Expand anywhere in the plan.
+    */
   def q29(s: SparkSession, d: String): DataFrame =
-    profile(s, d, countDistinct(_))
+    profile(s, d, c => count(c))
 
   /** q29b: the 100 TB profile — approx_count_distinct (HLL, mergeable,
-    * constant memory) replaces the exact distinct's expand+shuffle;
-    * everything else identical. RelationalSpec bounds its error vs q29.
+    * constant memory) replaces the exact distinct; the HLL sketch is
+    * multiplicity-invariant, so feeding it the distinct-value frame
+    * yields the identical estimate the row frame would.
+    * RelationalSpec bounds its error vs q29.
     */
   def q29b(s: SparkSession, d: String): DataFrame =
     profile(s, d, approx_count_distinct(_))
@@ -712,24 +734,45 @@ object Relational {
   // -- q41: market-basket association rules (top co-purchased pairs) ------
   // Frequent-itemset mining's pair stage (A-priori at k=2): baskets are
   // orders, items the DISTINCT parts in them. In-basket pair expansion
-  // is a self-equi-join on the basket key — ONE shuffle of the 2-column
-  // (basket, item) projection, work bounded by Σ basket_size² (Poisson
-  // basket sizes, never all-pairs over the catalog), support counts
+  // is a map-side transform over each basket's sorted distinct item
+  // array — ONE shuffle of the 2-column (basket, item) projection
+  // builds that frame, work bounded by Σ basket_size² (Poisson basket
+  // sizes, never all-pairs over the catalog), support counts
   // map-side-combined, top-20 via TakeOrderedAndProject. Confidence and
   // lift then need single-item supports for just those 20 pairs: the
   // 20-row frame BROADCASTS into the item-support table (never the
   // reverse — the catalog is 20M parts at sf100), and the basket total
   // rides a 1-row cross. All counts integer-exact; one rounded divide
   // per measure, mirrored operand-for-operand by the oracle.
-  def q41(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
+  def q41(s: SparkSession, d: String): DataFrame = q41Core(s, d)
+
+  private[graft] def q41Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    // ONE corpus shuffle (r15): fold each basket to its sorted distinct
+    // item array up front — the pair expansion, the item supports and
+    // the basket total all derive from that basket-sized frame
+    // (checkpointed, c30's move) instead of each replaying the
+    // distinct + self-join (the pre-r15 plan: 26 Exchanges, the
+    // (basket,item) projection shuffled five times). The in-basket
+    // pair expansion is now a map-side transform over the sorted array
+    // — work still bounded by Σ basket_size², but no second shuffle of
+    // the projection to align pair sides, and a<b falls out of the
+    // array order instead of a post-join filter that discards half the
+    // expansion.
+    val baskets = cp(lineitem(s, d)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    val itemSup = li.groupBy(col("item")).agg(count(lit(1)).as("sup"))
-    val nb = broadcast(li.select(countDistinct(col("basket")).as("n_baskets")))
-    val top = li.toDF("basket", "item_a")
-      .join(li.toDF("basket", "item_b"), "basket")
-      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items")))
+    val itemSup = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("sup"))
+    val nb = broadcast(baskets.agg(count(lit(1)).as("n_baskets")))
+    val top = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (a, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    b -> struct(a AS item_a, b AS item_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("sup_ab"))
       .orderBy(col("sup_ab").desc, col("item_a"), col("item_b"))

@@ -77,23 +77,41 @@ object ReportDelivery {
     val due = log.filter(col("status") === Scheduled).select("report_week")
       .except(log.filter(col("status") === Delivered).select("report_week"))
       .collect().map(_.getString(0)).sorted.toSeq
-    due.foreach { wk =>
-      // the week slice as a ts RANGE, not weekOf === wk: date_trunc is
-      // opaque to the scanner, a range reaches the parquet reader as
-      // PushedFilters (row-group pruning here; partition pruning on a
-      // date-partitioned production layout). [wk, wk+7d) IS the set of
-      // timestamps whose Monday-truncation equals wk.
-      val wkStart = to_timestamp(lit(wk))
-      val report = Cohort.reportSections(
-          events(s, d).filter(col("ts") >= wkStart &&
-            col("ts") < to_timestamp(date_add(lit(wk).cast("date"), 7))))
-        .groupBy(col("section"), col("sec_key"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"))
-      val audit = graft.sources.RoundTrip
-        .writeWithAudit(report, "n_events", s"$outDir/$wk")
-      Snapshots.commit(s, root,
-        logRow(s, wk, Delivered, audit("n_rows").asInstanceOf[Long]))
+    // deliveries are independent period-scoped jobs — overlap a few so
+    // one week's straggler tail back-fills with the next week's scan
+    // (guide §2.6's thread-pool move; FIFO scheduling keeps the earlier
+    // week ahead). Each week still commits its own DELIVERED row as it
+    // lands — commit is CAS-with-rebase, so concurrent appends are safe
+    // and a crash mid-cycle leaves exactly the finished weeks logged
+    // (the resumability contract is unchanged: uncommitted weeks are
+    // still due next cycle). Bounded pool: enough to fill the tail,
+    // not so many the slices fight for executors.
+    if (due.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, due.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = due.map { wk => scala.concurrent.Future {
+        // the week slice as a ts RANGE, not weekOf === wk: date_trunc is
+        // opaque to the scanner, a range reaches the parquet reader as
+        // PushedFilters (row-group pruning here; partition pruning on a
+        // date-partitioned production layout). [wk, wk+7d) IS the set of
+        // timestamps whose Monday-truncation equals wk.
+        val wkStart = to_timestamp(lit(wk))
+        val report = Cohort.reportSections(
+            events(s, d).filter(col("ts") >= wkStart &&
+              col("ts") < to_timestamp(date_add(lit(wk).cast("date"), 7))))
+          .groupBy(col("section"), col("sec_key"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+        val audit = graft.sources.RoundTrip
+          .writeWithAudit(report, "n_events", s"$outDir/$wk")
+        Snapshots.commit(s, root,
+          logRow(s, wk, Delivered, audit("n_rows").asInstanceOf[Long]))
+      }}
+      try fs.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
     }
     due
   }

@@ -245,15 +245,20 @@ object Similarity {
         .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
       // update: per-dimension mean in exact decimal, so centroids are
       // identical on any partitioning (a near-tie assignment boundary
-      // cannot flip between runs)
+      // cannot flip between runs). ONE aggregate with DIM decimal sums
+      // (r15) instead of posexplode + a (cid, dim) aggregate + a
+      // collect_list re-assembly: the same sums over the same casts,
+      // but no DIM× row expansion and two fewer exchanges per
+      // iteration — map-side partials collapse each partition to ≤ k
+      // rows before the only shuffle
+      val sums = (0 until DIM).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("decimal(38,12)"))
+          .as(s"s_$i"))
       cent = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("cx"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
-          p => p.getField("cx")).as("c"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until DIM).map(i =>
+          (col(s"s_$i") / col("n")).cast("double")): _*).as("c"))
     }
     cent
   }
@@ -568,15 +573,18 @@ object Similarity {
         .withColumn("d2", dist2Fixed("sv", "c", PQ_SUB))
         .groupBy(col("vec_id"), col("m"), col("sv"))
         .agg(expr("min_by(cid, struct(d2, cid))").as("cid"))
-      // update: per-dimension decimal mean (partitioning-independent)
+      // update: per-dimension decimal mean (partitioning-independent).
+      // ONE aggregate with PQ_SUB decimal sums per (m, cid) — same
+      // sums, same casts, no posexplode row expansion and two fewer
+      // exchanges per iteration (ivfCentroidsOf's r15 move)
+      val sums = (0 until PQ_SUB).map(i =>
+        sum(element_at(col("sv"), i + 1).cast("decimal(38,12)"))
+          .as(s"s_$i"))
       cent = assigned
-        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("cid"), col("dim"))
-        .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("cx"))
         .groupBy(col("m"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
-          p => p.getField("cx")).as("c"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m"), col("cid"), array((0 until PQ_SUB).map(i =>
+          (col(s"s_$i") / col("n")).cast("double")): _*).as("c"))
     }
     cent
   }
@@ -1133,8 +1141,17 @@ object Similarity {
   // join and each index's candidate equi-join (s05b's LSH shape; the
   // same shape over the IVF cells), never a per-query loop; the recall
   // arithmetic is an integer hit-count per probe divided once.
-  def s11(s: SparkSession, d: String): DataFrame = {
-    val exact = s05(s, d).select(col("q_id"), col("vec_id"))
+  def s11(s: SparkSession, d: String): DataFrame = s11Core(s, d)
+
+  private[graft] def s11Core(s: SparkSession, d: String,
+      cp: graft.Checkpointer = graft.LocalCheckpointer): DataFrame = {
+    // materialize the exact baseline ONCE (c30's checkpoint move): the
+    // brute-force corpus×probe kNN is the report's expensive subtree
+    // and every leg references it twice (hit semi-join + probe panel) —
+    // six corpus-scoring replays in one plan without the cut (the
+    // pre-r15 plan carried 98 Exchanges); the materialized frame is
+    // K rows per probe, KB-sized at any corpus scale
+    val exact = cp(s05(s, d).select(col("q_id"), col("vec_id")))
     // ivf_app: the appended-lifecycle index (base build + appendIvf
     // delta) monitored by the SAME report — recall decay after churn
     // is exactly what this monitor exists to catch
@@ -1397,20 +1414,22 @@ object Similarity {
     * are partitioning-deterministic.
     */
   private[graft] def sqStats(vecs: DataFrame): DataFrame = {
-    val perDim = vecs
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
-      .agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
+    // ONE flat aggregate with per-dimension min/max pairs (r15) — same
+    // values as the former posexplode + per-dim groupBy + collect_list
+    // re-assembly, without the DIM× row expansion and two exchanges;
+    // map-side partials collapse each partition to one row
+    val aggs = (0 until DIM).flatMap(i => Seq(
+      min(element_at(col("embedding"), i + 1).cast("double")).as(s"mn_$i"),
+      max(element_at(col("embedding"), i + 1).cast("double")).as(s"mx_$i")))
+    broadcast(vecs
+      .agg(aggs.head, aggs.tail: _*)
       // a constant dimension gets a tiny non-zero step: every value
       // quantizes to code 0 and the affine decode stays well-defined
-      .select(col("dim"), col("mn"),
-        (greatest(col("mx") - col("mn"), lit(1e-12)) / 255.0).as("step"))
-    broadcast(perDim.groupBy()
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-          p => p.getField("mn")).as("mn"),
-        transform(array_sort(collect_list(struct(col("dim"), col("step")))),
-          p => p.getField("step")).as("step")))
+      .select(
+        array((0 until DIM).map(i => col(s"mn_$i")): _*).as("mn"),
+        array((0 until DIM).map(i =>
+          greatest(col(s"mx_$i") - col(s"mn_$i"), lit(1e-12)) / 255.0): _*)
+          .as("step")))
   }
 
   /** Encode: (vec_id, codes array<int>, each 0..255) — per-row affine
