@@ -241,6 +241,13 @@ object Bench {
       // core-count scan parallelism
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
+      // the default 100-entry codegen cache thrashes between a query's
+      // warm-up and its timed runs once the query's plans exceed ~100
+      // generated classes (s12 did): the timed runs then recompile
+      // inside tasks — r16 profiling showed CodeGenerator.compile as
+      // the top executor frame. 2000 entries hold the whole suite's
+      // generated classes; the cache stores compiled classes, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -310,8 +317,16 @@ object Bench {
         // SPARK_GRAFT_KEEPCACHE=1 restores the r13-era accumulate-
         // forever behaviour — ONLY for same-day A/B runs quantifying
         // the protocol change against old records; never official.
-        if (sys.env.getOrElse("SPARK_GRAFT_KEEPCACHE", "0") != "1")
+        if (sys.env.getOrElse("SPARK_GRAFT_KEEPCACHE", "0") != "1") {
           spark.catalog.clearCache()
+          // clearCache only drops SQL-cached frames; localCheckpoint()
+          // blocks are plain persisted RDDs that linger until the
+          // driver GC + ContextCleaner get around to them — across a
+          // 227-query suite they accumulate into the same large-heap
+          // GC mode the per-query clearCache exists to prevent (r16)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
         name -> med
       }
 
@@ -361,6 +376,8 @@ object Bench {
         once() // warm
         val rs = Seq.fill(3)(once()).flatten
         spark.catalog.clearCache() // same per-query hygiene as timeAll
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (rs.size == 3) Some(rs.sorted.apply(1)) else None
       }
       for (t2 <- med3(sf2Dir); t1 <- med3(sfDir); if t2 > 0)

@@ -23,6 +23,12 @@ object Verify {
       // parallelism locally; a real many-file deployment keeps 128 MB.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
+      // the default 100-entry codegen cache thrashes across a 227-query
+      // suite (and even within one many-plan query): evicted generated
+      // classes recompile INSIDE tasks — r16 profiling showed
+      // CodeGenerator.compile as the top executor frame. Cache entries
+      // are compiled classes, not data; 2000 covers the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -86,6 +86,18 @@ object TextFunctions {
     (0 until 64).map(j => s"IF(sb$j > 0, shiftleft(CAST(1 AS BIGINT), $j), 0L)")
       .mkString(" + "))
 
+  /** Loop-codegen'd space-padded ascii-window sum ([[AsciiWindowSum]]):
+    * value-identical to the unrolled
+    * `Σ ascii(substring(rpad(substring(str, pos, len), len, ' '), i, 1))`
+    * chain with ZERO per-row allocations (the chain allocates ~len + 2
+    * UTF8Strings per row — the m04 GC-pressure mode).
+    */
+  def asciiWindowSum(str: Column, pos: Column, len: Int): Column =
+    org.apache.spark.sql.GraftSql.column(AsciiWindowSum(
+      org.apache.spark.sql.GraftSql.expression(str),
+      org.apache.spark.sql.GraftSql.expression(pos),
+      org.apache.spark.sql.GraftSql.expression(lit(len))))
+
   /** Count of tokens contained in a fixed stopword list. */
   def stopwordHits(tokensCol: String, stopwords: Seq[String]): Column = {
     val list = stopwords.map(w => s"'$w'").mkString(", ")

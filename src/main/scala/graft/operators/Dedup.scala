@@ -373,7 +373,11 @@ object Dedup {
   }
 
   def d04(s: SparkSession, d: String): DataFrame =
-    simhashPairs(simhashes(s, d), 8, 8, 7)
+    // the 64-bit hashes are materialized once (r16, d02Core's move):
+    // both sides of the chunk-bucket self-join otherwise replay the
+    // full token-explode + 64-counter aggregation over the corpus —
+    // the plan carried two complete simhash subtrees
+    simhashPairs(graft.LocalCheckpointer(simhashes(s, d)), 8, 8, 7)
       .transform(Gate.ordered("doc_a", "doc_b"))
 
   // -- d04b: wide-chunk SimHash (the billion-doc shape) ------------------
@@ -383,7 +387,7 @@ object Dedup {
   // radius is the price; DedupSpec proves d04b returns exactly d04's
   // pairs at hamming <= 3.
   def d04b(s: SparkSession, d: String): DataFrame =
-    simhashPairs(simhashes(s, d), 4, 16, 3)
+    simhashPairs(graft.LocalCheckpointer(simhashes(s, d)), 4, 16, 3)
       .transform(Gate.ordered("doc_a", "doc_b"))
 
   // -- d06: dedup DECISION — near-dup clusters and their representative --

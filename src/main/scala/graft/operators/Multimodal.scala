@@ -138,13 +138,15 @@ object Multimodal {
 
   /** Unsorted core — composed by p02 (the c01Core pattern). */
   private def m03Core(s: SparkSession, d: String): DataFrame = {
+    // per-chunk byte-sum pooling via the loop-codegen'd ascii-window
+    // sum (r16, m04's move): value-identical to the former rpad + 8x8
+    // unrolled ascii chain — the pad-with-space semantics live in the
+    // expression — with 0 instead of ~66 allocations per frame row
     val feats = (0 until FEAT_CHUNKS).map { c =>
-      (0 until CHUNK).map(i =>
-        ascii(substring(col("fr"), c * CHUNK + i + 1, 1))).reduce(_ + _)
-        .as(s"f$c")
+      graft.functions.TextFunctions.asciiWindowSum(col("frame"),
+        lit(c * CHUNK + 1), CHUNK).as(s"f$c")
     }
     frames(s, d)
-      .withColumn("fr", rpad(col("frame"), FRAME, " "))
       .select(col("doc_id") +: col("frame_no") +: feats: _*)
   }
 
@@ -225,18 +227,22 @@ object Multimodal {
         explode(expr(
           s"sequence(0L, greatest((length(text) - $WIN) div $HOP, 0))"))
           .as("win_no"))
+      // energy via the loop-codegen'd ascii-window sum (r16): value-
+      // identical to the former substring + rpad + 128-term unrolled
+      // ascii chain — same code points, same space padding past the
+      // text end, same single double division — but reads the text
+      // bytes in place instead of allocating ~130 UTF8Strings per
+      // window (the allocation storm behind m04's in-suite 32-core GC
+      // phantom). win_chars folds the same substring-length clamp into
+      // arithmetic: windows start at least one char inside the text,
+      // so length(substring) = min(WIN, len - start + 1) exactly.
       .select(col("doc_id"), col("win_no"),
-        expr(s"substring(text, win_no * $HOP + 1, $WIN)").as("w"))
-      // unrolled codegen'd byte sum over the space-padded window (the
-      // m03 discipline — HOF lambdas evaluate interpreted); integer sum
-      // divided once in double is exact-rounded on both engines. Corpus
-      // docs are >= WIN chars so the pad never fires in practice; it
-      // exists to keep every ascii() position defined.
-      .withColumn("wp", rpad(col("w"), WIN, " "))
-      .select(col("doc_id"), col("win_no"),
-        length(col("w")).as("win_chars"),
-        ((1 to WIN).map(i => ascii(substring(col("wp"), i, 1)))
-          .reduce(_ + _).cast("double") / WIN).as("energy"))
+        least(lit(WIN.toLong),
+          length(col("text")).cast("long") - col("win_no") * HOP)
+          .cast("int").as("win_chars"),
+        (graft.functions.TextFunctions.asciiWindowSum(col("text"),
+          col("win_no") * HOP + lit(1L), WIN).cast("double") / WIN)
+          .as("energy"))
       .filter(col("energy") >= ENERGY_MIN)
 
   // -- m06: audio-visual sync (each frame ↔ its best active window) ------

@@ -32,7 +32,7 @@ object Similarity {
   private def queryVec(s: SparkSession, d: String): DataFrame =
     broadcast(embeddings(s, d).filter(col("vec_id") === QUERY_VEC)
       .select(col("embedding").as("qv"),
-        dotFixed("embedding", "embedding", DIM).as("qnrm")))
+        vecDot("embedding", "embedding", DIM).as("qnrm")))
 
   /** Exact cosine re-rank of a candidate id set against a 1-row (qv,
     * qnrm) query frame: one semi-join into the fact, unrolled
@@ -43,10 +43,10 @@ object Similarity {
       q: DataFrame, k: Int = K): DataFrame =
     embeddings(s, d)
       .join(candidates, Seq("vec_id"), "left_semi")
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(q)
       .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -65,16 +65,16 @@ object Similarity {
 
   private def adhocQ(s: SparkSession, vec: Seq[Float]): DataFrame =
     broadcast(adhocVec(s, vec).select(col("embedding").as("qv"),
-      dotFixed("embedding", "embedding", DIM).as("qnrm")))
+      vecDot("embedding", "embedding", DIM).as("qnrm")))
 
   // -- s01: exact top-k cosine neighbours --------------------------------
   def s01(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .filter(col("vec_id") =!= QUERY_VEC)
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
       .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
@@ -88,10 +88,10 @@ object Similarity {
     embeddings(s, d)
       .filter(col("vec_id") =!= QUERY_VEC)
       .join(broadcast(excluded.select("vec_id")), Seq("vec_id"), "left_anti")
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
       .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
@@ -211,12 +211,21 @@ object Similarity {
   private val IVF_NPROBE = 3
   private val IVF_ASSIGN = 2
 
-  /** Cosine of each vector against each centroid (broadcast K rows). */
-  private def cellScores(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cent))
+  /** Cosine of each vector against each centroid (broadcast K rows).
+    * Self-norms are hoisted OUT of the vec × cid expansion (r16): each
+    * was a 770-node unrolled dot re-evaluated per PAIR row — now once
+    * per vector and once per centroid. The score is bit-identical:
+    * dotFixed is deterministic, so the hoisted values are the same
+    * doubles the inline form produced, and sqrt(cnrm * vnrm) multiplies
+    * the same two operands.
+    */
+  private[graft] def cellScores(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.withColumn("_vnrm", vecDot("embedding", "embedding", DIM))
+      .crossJoin(broadcast(cent
+        .withColumn("_cnrm", vecDot("c", "c", DIM))))
       .select(col("vec_id"), col("cid"), col("embedding"),
-        (dotFixed("embedding", "c", DIM) /
-          sqrt(dotFixed("c", "c", DIM) * dotFixed("embedding", "embedding", DIM)))
+        (vecDot("embedding", "c", DIM) /
+          sqrt(col("_cnrm") * col("_vnrm")))
           .as("score"))
 
   /** K centroids after `iters` Lloyd iterations, as (cid, c). */
@@ -239,10 +248,15 @@ object Similarity {
         .orderBy("vec_id")) - 1).as("cid"), col("embedding").as("c"))
     for (_ <- 1 to iters) {
       // hard assignment: max_by with a (score, -cid) struct — partial-
-      // aggregatable (no window sort) and deterministically tie-broken
+      // aggregatable (no window sort) and deterministically tie-broken.
+      // Grouped by vec_id ALONE (r16): the embedding is functionally
+      // dependent on vec_id, and an array-typed GROUP KEY forces the
+      // whole aggregate off the codegen'd hash path — it rides as a
+      // max_by VALUE instead (same winning row, so the same array).
       val assigned = cellScores(e, cent)
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(score, -cid))").as("cid"),
+          expr("max_by(embedding, struct(score, -cid))").as("embedding"))
       // update: per-dimension mean in exact decimal, so centroids are
       // identical on any partitioning (a near-tie assignment boundary
       // cannot flip between runs). ONE aggregate with DIM decimal sums
@@ -254,11 +268,19 @@ object Similarity {
       val sums = (0 until DIM).map(i =>
         sum(element_at(col("embedding"), i + 1).cast("decimal(38,12)"))
           .as(s"s_$i"))
-      cent = assigned
+      // materialize the ≤k-row centroid table each iteration (r16):
+      // without the cut, iteration i's plan EMBEDS iteration i-1's
+      // whole chain, and every downstream stage ships that nested tree
+      // in its task binary — measured as ~0.5 s of per-task
+      // deserialization on 32-task stages that carry <40 rows (s12's
+      // profile: 24 s of task time on a 32-row stage). Values are
+      // unchanged — the decimal means are exact and checkpointing only
+      // truncates lineage.
+      cent = graft.LocalCheckpointer(assigned
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("cid"), array((0 until DIM).map(i =>
-          (col(s"s_$i") / col("n")).cast("double")): _*).as("c"))
+          (col(s"s_$i") / col("n")).cast("double")): _*).as("c")))
     }
     cent
   }
@@ -279,13 +301,16 @@ object Similarity {
   }
 
   def s03(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    // one materialized corpus frame (r16, s12's move) shared by the
+    // Lloyd chain's 3 in-plan references AND the cell assignment below
+    // — uncheckpointed, each was a separate scan + repartition exchange
+    val e = graft.LocalCheckpointer(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")))
     // cache the K-row centroid table: BOTH consumers below (cell
     // assignment and query probe) reference it, and uncached each would
     // re-run the full Lloyd chain over the corpus
-    val cent = ivfCentroids(s, d).cache()
+    val cent = ivfCentroidsOf(e, IVF_K, IVF_ITERS).cache()
     // multi-assign each vector to its IVF_ASSIGN nearest cells
     val cells = assignCells(e, cent)
     // probe the NPROBE cells nearest the query (K-row centroid table ×
@@ -293,7 +318,7 @@ object Similarity {
     val probed = broadcast(cent
       .crossJoin(queryVec(s, d))
       .select(col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE).select("cid"))
     val candidates = cells
@@ -513,7 +538,7 @@ object Similarity {
     val probed = broadcast(s.table(centT)
       .crossJoin(queryVec(s, d))
       .select(col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE).select("cid"))
     val candidates = s.table(cellsT)
@@ -543,7 +568,7 @@ object Similarity {
   private val PQ_CAND = 100
 
   /** (id, m, sv): each vector split into its M subvectors. */
-  private def subvectors(vecs: DataFrame): DataFrame =
+  private[graft] def subvectors(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), posexplode(array((0 until PQ_M).map(m =>
       slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)): _*)).as(Seq("m", "sv")))
 
@@ -568,11 +593,15 @@ object Similarity {
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
     for (_ <- 1 to PQ_ITERS) {
       // assignment: nearest codeword per (vector, subspace); min_by over
-      // a (d2, cid) struct is partial-aggregatable and tie-stable
+      // a (d2, cid) struct is partial-aggregatable and tie-stable.
+      // sv is functionally dependent on (vec_id, m) — carried as a
+      // min_by VALUE so the group key stays codegen-friendly (the
+      // ivfCentroidsOf array-group-key move, r16)
       val assigned = subs.join(broadcast(cent), "m")
         .withColumn("d2", dist2Fixed("sv", "c", PQ_SUB))
-        .groupBy(col("vec_id"), col("m"), col("sv"))
-        .agg(expr("min_by(cid, struct(d2, cid))").as("cid"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(expr("min_by(cid, struct(d2, cid))").as("cid"),
+          expr("min_by(sv, struct(d2, cid))").as("sv"))
       // update: per-dimension decimal mean (partitioning-independent).
       // ONE aggregate with PQ_SUB decimal sums per (m, cid) — same
       // sums, same casts, no posexplode row expansion and two fewer
@@ -580,11 +609,13 @@ object Similarity {
       val sums = (0 until PQ_SUB).map(i =>
         sum(element_at(col("sv"), i + 1).cast("decimal(38,12)"))
           .as(s"s_$i"))
-      cent = assigned
+      // per-iteration M·KS-row materialization — same task-binary cut
+      // as ivfCentroidsOf (r16), same unchanged-values argument
+      cent = graft.LocalCheckpointer(assigned
         .groupBy(col("m"), col("cid"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("m"), col("cid"), array((0 until PQ_SUB).map(i =>
-          (col(s"s_$i") / col("n")).cast("double")): _*).as("c"))
+          (col(s"s_$i") / col("n")).cast("double")): _*).as("c")))
     }
     cent
   }
@@ -620,7 +651,7 @@ object Similarity {
     // Decimal so the 8-term per-vector sum is order-independent.
     val lut = broadcast(cent.join(qsubs, "m")
       .select(col("m"), col("cid").as("code"),
-        dotFixed("c", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
+        vecDot("c", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
     val scored = codes.join(lut, Seq("m", "code"))
       .groupBy("vec_id").agg(sum(col("lut")).as("approx"))
     // member queries exclude themselves; ad-hoc queries exclude nothing
@@ -636,10 +667,12 @@ object Similarity {
   }
 
   def s04(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    // one materialized corpus frame (r16, s12's move) shared by the PQ
+    // Lloyd chain's in-plan references and the encode below
+    val e = graft.LocalCheckpointer(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-    val cent = pqCodebook(s, d).cache()
+      .select(col("vec_id"), col("embedding")))
+    val cent = pqCodebookOf(e).cache()
     pqSearch(s, d, pqEncode(subvectors(e), cent), cent,
       querySubs(s, d), queryVec(s, d))
   }
@@ -697,7 +730,7 @@ object Similarity {
     broadcast(embeddings(s, d)
       .filter(col("vec_id").isin(KNN_PROBE_IDS: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        dotFixed("embedding", "embedding", DIM).as("qnrm")))
+        vecDot("embedding", "embedding", DIM).as("qnrm")))
 
   /** Shared rank-filtered-window tail: (q_id, vec_id, cos) → top-k per
     * probe with the deterministic (cos desc, vec_id) tie order.
@@ -898,7 +931,7 @@ object Similarity {
     val probed = broadcast(s.table(centT)
       .crossJoin(queryVec(s, d))
       .select(col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE).select("cid"))
     val candidates = s.table(cellsT)
@@ -938,7 +971,7 @@ object Similarity {
     val probed = broadcast(s.table(centT)
       .crossJoin(queryVec(s, d))
       .select(col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE).select("cid"))
     val candidates = s.table(purgedT)
@@ -1031,10 +1064,10 @@ object Similarity {
       .over(Window.orderBy(col("shared").desc, col("doc_id"))).cast("bigint"))
     val vecPool = embeddings(s, d)
       .filter(col("vec_id") =!= S09_Q)
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
       .select(col("vec_id").as("doc_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(S09_POOL)
     val vecRank = vecPool.withColumn("vr", row_number()
@@ -1069,10 +1102,10 @@ object Similarity {
     import s.implicits._
     val pool = embeddings(s, d)
       .filter(col("vec_id") =!= QUERY_VEC)
-      .withColumn("nrm", dotFixed("embedding", "embedding", DIM))
+      .withColumn("nrm", vecDot("embedding", "embedding", DIM))
       .crossJoin(queryVec(s, d))
       .select(col("vec_id"),
-        cosineFromNormsFixed("embedding", "qv", col("nrm"), col("qnrm"), DIM)
+        cosineFromNormsLoop("embedding", "qv", col("nrm"), col("qnrm"), DIM)
           .as("rel"),
         col("embedding"), col("nrm"))
       .orderBy(col("rel").desc, col("vec_id"))
@@ -1191,7 +1224,7 @@ object Similarity {
     val probed = probeFrame(s, d)
       .crossJoin(broadcast(s.table(centT)))
       .select(col("q_id"), col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM)))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM)))
           .as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= IVF_NPROBE)
@@ -1245,7 +1278,7 @@ object Similarity {
     val probed = broadcast(s.table(centT)
       .crossJoin(adhocQ(s, vec))
       .select(col("cid"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE).select("cid"))
     val candidates = s.table(cellsT)
@@ -1272,10 +1305,18 @@ object Similarity {
   // a 2-iteration k-means result is not SQL-oracle-expressible —
   // rows-only, recall pinned against s01 in SimilaritySpec.
   def s12(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    // ONE materialized training sample (r16, the d02Core move): the
+    // coarse Lloyd chain references the corpus 3x in one plan (seed +
+    // one cellScores per iteration) and the residual assignment once
+    // more — uncheckpointed, each reference is its own parquet scan +
+    // repartition exchange. The checkpointed frame is scanned once;
+    // every consumer reads materialized blocks. Values unchanged:
+    // checkpointing only cuts lineage, and the decimal Lloyd sums are
+    // partitioning-independent anyway.
+    val e = graft.LocalCheckpointer(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-    val cent = ivfCentroids(s, d).cache()
+      .select(col("vec_id"), col("embedding")))
+    val cent = ivfCentroidsOf(e, IVF_K, IVF_ITERS).cache()
     val (rcent, codes) = ivfPqEncode(s, e, cent)
     ivfPqSearch(s, d, cent, rcent.cache(), codes)
   }
@@ -1290,29 +1331,39 @@ object Similarity {
     val assigned = cellScores(e, cent)
       .groupBy(col("vec_id"))
       .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
-    // cache the residual frame: the codebook's Lloyd chain consumes it
-    // once per iteration and the encode once more — uncached, each pass
-    // replays assignment + centroid-subtract over the corpus
-    val resid = e.join(assigned, "vec_id").join(broadcast(cent), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("embedding"), col("c"), (a, b) => a - b).as("embedding"))
-      .cache()
+    // materialize the residual frame: the codebook's Lloyd chain
+    // consumes it once per iteration and the encode once more —
+    // unmaterialized, each pass replays assignment + centroid-subtract
+    // over the corpus. localCheckpoint (not cache, r16) so downstream
+    // task binaries carry a flat RDD scan instead of the whole
+    // assignment plan (the per-task deserialization cost the
+    // per-iteration Lloyd cut targets).
+    val resid = graft.LocalCheckpointer(
+      e.join(assigned, "vec_id").join(broadcast(cent), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("c"), (a, b) => a - b)
+            .as("embedding")))
     val rvecs = resid.select(col("vec_id"), col("embedding"))
     val rcent = pqCodebookOf(rvecs)
-    (rcent, pqEncode(subvectors(rvecs), rcent).join(assigned, "vec_id"))
+    // the codes' cell id comes from the CACHED residual frame, which
+    // already carries the assignment — the pre-r16 join on `assigned`
+    // re-ran the corpus x centroids scoring pass (cellScores + agg) a
+    // second time for the same (vec_id, cid) rows
+    (rcent, pqEncode(subvectors(rvecs), rcent)
+      .join(resid.select(col("vec_id"), col("cid")), "vec_id"))
   }
 
   /** The query side shared by the live build (s12) and the persisted
     * index (s12b): probe cells, per-cell residual LUT, ADC, re-rank.
     */
-  private def ivfPqSearch(s: SparkSession, d: String, cent: DataFrame,
+  private[graft] def ivfPqSearch(s: SparkSession, d: String, cent: DataFrame,
       rcent: DataFrame, codes: DataFrame): DataFrame = {
     // probe: NPROBE cells nearest the query, each carrying its exact
     // centroid dot — the constant dot(c,q) term of the identity
     val probed = broadcast(cent.crossJoin(queryVec(s, d))
       .select(col("cid"),
-        dotFixed("c", "qv", DIM).cast("decimal(38,12)").as("cdot"),
-        (dotFixed("c", "qv", DIM) / sqrt(dotFixed("c", "c", DIM))).as("score"))
+        vecDot("c", "qv", DIM).cast("decimal(38,12)").as("cdot"),
+        (vecDot("c", "qv", DIM) / sqrt(vecDot("c", "c", DIM))).as("score"))
       .orderBy(col("score").desc, col("cid"))
       .limit(IVF_NPROBE)
       .select(col("cid"), col("cdot")))
@@ -1330,7 +1381,7 @@ object Similarity {
     val rc = rcent.select(col("m"), col("cid").as("code"), col("c").as("cw"))
     val lut = broadcast(rc.join(qsubs, "m")
       .select(col("m"), col("code"),
-        dotFixed("cw", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
+        vecDot("cw", "qsv", PQ_SUB).cast("decimal(38,12)").as("lut")))
     // probed gates the cells and carries cdot; the LUT joins on
     // (m, code) alone
     val scored = codes.join(probed, "cid").join(lut, Seq("m", "code"))
@@ -1451,7 +1502,7 @@ object Similarity {
     val candidates = codes
       .filter(col("vec_id") =!= QUERY_VEC)
       .crossJoin(lut)
-      .select(col("vec_id"), dotFixed("codes", "lut", DIM).as("approx"))
+      .select(col("vec_id"), vecDot("codes", "lut", DIM).as("approx"))
       .orderBy(col("approx").desc, col("vec_id"))
       .limit(SQ_CAND)
       .select("vec_id")
@@ -1459,9 +1510,11 @@ object Similarity {
   }
 
   def s15(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    // one materialized corpus frame (r16): the min/max stats pass and
+    // the encode otherwise each scan + repartition the corpus
+    val e = graft.LocalCheckpointer(embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")))
     val stats = sqStats(e).cache()
     sqSearch(s, d, sqEncode(e, stats), stats)
   }
