@@ -97,6 +97,17 @@ object VectorFunctions {
   def sqlDotDet(prod: String): String =
     s"CAST(SUM(CAST(($prod) AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** All sign-LSH bucket codes of a vector as one loop-codegen'd
+    * expression ([[LshSignBuckets]]) — value-identical to the exploded
+    * plane-join + decimal-sum SQL chain (LshBucketsSpec proves it over
+    * the corpus), with no explode, no join and no shuffle.
+    */
+  def lshSignBuckets(embedding: Column, dim: Int, tables: Int, nbits: Int,
+      seed: Long): Column =
+    org.apache.spark.sql.GraftSql.column(LshSignBuckets(
+      org.apache.spark.sql.GraftSql.expression(embedding),
+      dim, tables, nbits, seed))
+
   /** Random-hyperplane rows for sign-LSH: (tbl, bit, dim, hval) — one row
     * per hyperplane component, seeded-deterministic (java.util.Random is
     * a spec'd LCG, identical on every JVM). Broadcast-joined against

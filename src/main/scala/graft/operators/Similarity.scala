@@ -116,15 +116,32 @@ object Similarity {
 
   /** Sign-LSH bucket index pipeline: vectors → (vec_id, tbl, bucket).
     *
+    * One loop-codegen'd expression per vector (r16): the previous
+    * explode + 4096-row plane join + two decimal hash aggregates put
+    * ~4096 product rows per vector through an exchange and burned the
+    * query in BigDecimal buffer updates (profiled: UnsafeRow
+    * get/setDecimal were s02's top frames). [[LshSignBuckets]] computes
+    * the same per-product decimal(18,12) rounding and the same exact
+    * sums in place — LshBucketsSpec proves code equality against the
+    * old SQL chain over the whole corpus.
+    *
     * embeddings.parquet is a single file -> a single input partition;
-    * without an explicit repartition the whole x64 explode + plane-dot
-    * aggregation would run in ONE task (measured: the entire query's
-    * cost). The partition count is pinned because AQE would coalesce
-    * the small pre-explode shuffle back to one partition — it sizes by
-    * shuffle bytes and cannot see the 64x explode amplification behind
-    * it. Bucket values are unaffected (order-independent sums).
+    * the pinned repartition spreads the per-vector plane math over the
+    * cores (AQE sizes by bytes and cannot see the compute behind it).
+    * Bucket values are unaffected (order-independent sums).
     */
   private[graft] def bucketsOf(s: SparkSession, vecs: DataFrame): DataFrame =
+    vecs
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(lshSignBuckets(col("embedding"), DIM, TABLES, NBITS, SEED))
+          .as(Seq("tbl", "bucket")))
+
+  /** The pre-r16 exploded plane-join formulation — kept as the spec's
+    * equivalence oracle for [[bucketsOf]] (LshBucketsSpec proves the
+    * two produce identical (vec_id, tbl, bucket) sets).
+    */
+  private[graft] def bucketsOfSql(s: SparkSession, vecs: DataFrame): DataFrame =
     vecs
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
