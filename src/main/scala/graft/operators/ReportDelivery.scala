@@ -91,7 +91,13 @@ object ReportDelivery {
         math.min(4, due.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // fail-fast switch: the first failed week stops LATER weeks from
+      // starting (in-flight ones finish — Spark jobs aren't interrupted
+      // mid-write), so a poisoned week can't wedge the whole cycle
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val fs = due.map { wk => scala.concurrent.Future {
+        if (aborted.get())
+          throw new IllegalStateException(s"cycle aborted before $wk")
         // the week slice as a ts RANGE, not weekOf === wk: date_trunc is
         // opaque to the scanner, a range reaches the parquet reader as
         // PushedFilters (row-group pruning here; partition pruning on a
@@ -109,8 +115,22 @@ object ReportDelivery {
         Snapshots.commit(s, root,
           logRow(s, wk, Delivered, audit("n_rows").asInstanceOf[Long]))
       }}
-      try fs.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
+      // bounded await (conf'd; generous default) — a wedged write must
+      // surface as an error, not block the delivery cycle forever; on
+      // the first failure the abort flag stops unstarted weeks and
+      // shutdownNow() cancels queued work, so no orphan threads keep
+      // running behind a failed cycle. Correctness is unaffected either
+      // way: commits are CAS, and un-committed weeks are still due next
+      // cycle (the resumability contract).
+      val timeout = scala.concurrent.duration.Duration(
+        s.conf.get("spark.graft.rep.deliverTimeoutSec", "3600").toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      try fs.foreach(f => scala.concurrent.Await.result(f, timeout))
+      catch { case e: Throwable =>
+        aborted.set(true)
+        pool.shutdownNow()
+        throw e
+      }
       finally pool.shutdown()
     }
     due

@@ -282,7 +282,15 @@ object RoundTrip {
     * exact text on both engines.
     */
   def src10(s: SparkSession, d: String): DataFrame = {
+    // spread the row-oriented serialization (r16): the parquet source
+    // is a single small file -> ONE input split -> the whole XML write
+    // ran as one task (text formats pay per-row string rendering, the
+    // expensive half of this round-trip). Hash repartition, not
+    // round-robin: keyless repartition pays a per-partition sort
+    // (SPARK-23207). Row order is not part of the result (the gate
+    // sorts; readers get the same set).
     val src = orders(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
     val path = s"$scratch/src10_xml"
     src.write.mode("overwrite").format("xml")
       .option("rowTag", "order")
@@ -312,7 +320,9 @@ object RoundTrip {
   private[graft] val AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
 
   def src12(s: SparkSession, d: String): DataFrame = {
+    // same single-split serialization trap as src10 (r16)
     val src = lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
     val path = s"$scratch/src12_avro"
     src.write.mode("overwrite").format(AVRO_FMT).save(path)
     s.read.schema(src.schema).format(AVRO_FMT).load(path)

@@ -91,4 +91,36 @@ class ReportDeliverySpec extends SparkSpec {
     val two = operators.ReportDelivery.rep01(spark, sfDir).collect().toSeq
     assert(one.nonEmpty && one == two)
   }
+
+  test("a poisoned cycle fails fast and the next cycle still delivers everything") {
+    val base = freshBase("poisoned")
+    val root = s"$base/log"
+    ReportDelivery.schedule(spark, root, sfDir)
+    // poison the artifact dir: a FILE where the output directory must
+    // go makes every week's write throw — the cycle must surface the
+    // failure promptly (bounded await + fail-fast abort), never wedge
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$base/artifacts"), true).close()
+    spark.conf.set("spark.graft.rep.deliverTimeoutSec", "120")
+    try {
+      val t0 = System.nanoTime()
+      intercept[Throwable] {
+        ReportDelivery.deliverDue(spark, root, sfDir, s"$base/artifacts/x")
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 120.0,
+        "poisoned cycle did not fail fast")
+    } finally spark.conf.unset("spark.graft.rep.deliverTimeoutSec")
+    // nothing was committed as DELIVERED; the retry cycle with a
+    // healthy sink delivers every scheduled week (resumability)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/artifacts"), true)
+    val retried = ReportDelivery
+      .deliverDue(spark, root, sfDir, s"$base/artifacts")
+    val scheduled = ReportDelivery.log(spark, root)
+      .filter(col("status") === ReportDelivery.Scheduled).count()
+    assert(retried.size.toLong == scheduled,
+      s"retry delivered ${retried.size} of $scheduled scheduled weeks")
+    assert(ReportDelivery
+      .deliverDue(spark, root, sfDir, s"$base/artifacts").isEmpty)
+  }
 }
