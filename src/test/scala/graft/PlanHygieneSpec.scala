@@ -97,6 +97,33 @@ class PlanHygieneSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("r15/r16 rewrite shapes stay rewritten (plan pins)") {
+    // the shapes the r15/r16 optimization rounds removed, pinned so a
+    // refactor can't quietly reintroduce them (VERDICT r15 item 1):
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    // q29's profile was an Expand×5 of the fact table (one multi-
+    // countDistinct aggregate) before the r15 per-column rewrite
+    for (q <- Seq("q29_column_profile", "q29b_column_profile_approx"))
+      assert(!planOf(q).contains("Expand"), s"$q regressed to an Expand plan")
+    // q41's in-basket pair expansion was a sort-merge self-join on the
+    // basket key before the r15 map-side transform/slice rewrite
+    assert(!planOf("q41_basket_rules").contains("SortMergeJoin"),
+      "q41 regressed to a self-join pair expansion")
+    // s11 carried 98 Exchanges before its exact baseline was
+    // materialized once (r15); bound well under that
+    val s11Ex = "Exchange".r.findAllIn(planOf("s11_index_quality")).size
+    assert(s11Ex <= 75, s"s11 plans $s11Ex Exchanges (pre-r15 shape was 98)")
+    // the dedup family's tokenize/shingle/simhash corpus passes happen
+    // ONCE inside a checkpointed subtree (r15/r16) — the query's own
+    // plan must not re-tokenize documents.text
+    for (q <- Seq("d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+        "d04_dedup_simhash", "d04b_dedup_simhash_wide",
+        "d08_dedup_shared_passage"))
+      assert(!planOf(q).contains("split(text"),
+        s"$q re-tokenizes the corpus in-plan (the materialize-once move regressed)")
+  }
+
   test("no query plans a cartesian product; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
