@@ -318,12 +318,9 @@ object Similarity {
   }
 
   def s03(s: SparkSession, d: String): DataFrame = {
-    // one materialized corpus frame (r16, s12's move) shared by the
-    // Lloyd chain's 3 in-plan references AND the cell assignment below
-    // — uncheckpointed, each was a separate scan + repartition exchange
-    val e = graft.LocalCheckpointer(embeddings(s, d)
+    val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     // cache the K-row centroid table: BOTH consumers below (cell
     // assignment and query probe) reference it, and uncached each would
     // re-run the full Lloyd chain over the corpus
@@ -684,11 +681,9 @@ object Similarity {
   }
 
   def s04(s: SparkSession, d: String): DataFrame = {
-    // one materialized corpus frame (r16, s12's move) shared by the PQ
-    // Lloyd chain's in-plan references and the encode below
-    val e = graft.LocalCheckpointer(embeddings(s, d)
+    val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     val cent = pqCodebookOf(e).cache()
     pqSearch(s, d, pqEncode(subvectors(e), cent), cent,
       querySubs(s, d), queryVec(s, d))
@@ -1322,17 +1317,13 @@ object Similarity {
   // a 2-iteration k-means result is not SQL-oracle-expressible —
   // rows-only, recall pinned against s01 in SimilaritySpec.
   def s12(s: SparkSession, d: String): DataFrame = {
-    // ONE materialized training sample (r16, the d02Core move): the
-    // coarse Lloyd chain references the corpus 3x in one plan (seed +
-    // one cellScores per iteration) and the residual assignment once
-    // more — uncheckpointed, each reference is its own parquet scan +
-    // repartition exchange. The checkpointed frame is scanned once;
-    // every consumer reads materialized blocks. Values unchanged:
-    // checkpointing only cuts lineage, and the decimal Lloyd sums are
-    // partitioning-independent anyway.
-    val e = graft.LocalCheckpointer(embeddings(s, d)
+    // the corpus frame itself stays UN-materialized (r16 A/B: an eager
+    // localCheckpoint of it costs more than the handful of cheap
+    // parquet re-scans it saves — the per-ITERATION centroid cuts
+    // below are where the task-binary bloat lived)
+    val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     val cent = ivfCentroidsOf(e, IVF_K, IVF_ITERS).cache()
     val (rcent, codes) = ivfPqEncode(s, e, cent)
     ivfPqSearch(s, d, cent, rcent.cache(), codes)
@@ -1527,11 +1518,9 @@ object Similarity {
   }
 
   def s15(s: SparkSession, d: String): DataFrame = {
-    // one materialized corpus frame (r16): the min/max stats pass and
-    // the encode otherwise each scan + repartition the corpus
-    val e = graft.LocalCheckpointer(embeddings(s, d)
+    val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     val stats = sqStats(e).cache()
     sqSearch(s, d, sqEncode(e, stats), stats)
   }
